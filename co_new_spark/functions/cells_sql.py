@@ -1,0 +1,105 @@
+"""Cell-hierarchy algebra as **native Spark Column expressions**.
+
+Mirrors co_new_spark.grid.cells on the packed int64 form ``(bits << 6) |
+nbits`` using only shift/mask arithmetic, so parent / children / containment /
+interval ops stay inside whole-stage codegen — no Python boundary for
+hierarchy traversal, rollups, or the cover interval join (SURVEY.md §2.A13-15,
+§4 "1-D code algebra").
+
+Semantics source: /root/reference/README.md:51,77 (recursive Morton 4-way
+partition) and the mixed-precision covers of /root/reference/data/citycover.csv.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAXB = 57
+
+
+def _shiftleft(col: Column, n) -> Column:
+    """shiftleft with a Column-valued distance (SQL ShiftLeft accepts expr)."""
+    return F.call_function("shiftleft", col, n if isinstance(n, Column) else F.lit(n))
+
+
+def _shiftright(col: Column, n) -> Column:
+    return F.call_function("shiftright", col, n if isinstance(n, Column) else F.lit(n))
+
+
+def cell_depth(cell: Column) -> Column:
+    """Bit depth of a packed cell id."""
+    return cell.bitwiseAND(F.lit(63))
+
+
+def cell_bits(cell: Column) -> Column:
+    return _shiftright(cell, 6)
+
+
+def cell_pack(bits: Column, nbits: Column) -> Column:
+    return _shiftleft(bits, 6).bitwiseOR(nbits)
+
+
+def cell_parent(cell: Column, k: int = 2) -> Column:
+    """Ancestor k bits up (k=2 = quadtree parent); invalid (-1) propagates."""
+    nb = cell_depth(cell)
+    up = cell_pack(_shiftright(cell_bits(cell), k), nb - k)
+    return F.when((cell >= 0) & (nb >= k), up).otherwise(F.lit(-1))
+
+
+def cell_ancestor_at(cell: Column, depth) -> Column:
+    """Ancestor at an absolute bit depth (e.g. depth 4 = the Grid B L0 cell)."""
+    depth = depth if isinstance(depth, Column) else F.lit(depth)
+    nb = cell_depth(cell)
+    up = cell_pack(_shiftright(cell_bits(cell), nb - depth), depth)
+    return F.when((cell >= 0) & (nb >= depth), up).otherwise(F.lit(-1))
+
+
+def cell_interval(cell: Column, maxb: int = MAXB) -> tuple[Column, Column]:
+    """Half-open [lo, hi) leaf-integer range at fixed depth ``maxb``.
+
+    Containment then is ``anc.lo <= desc.lo < anc.hi`` — the rewrite that
+    turns cover containment into sortable 1-D ranges.
+    """
+    bits = cell_bits(cell)
+    shift = F.lit(maxb) - cell_depth(cell)
+    lo = _shiftleft(bits, shift)
+    hi = _shiftleft(bits + F.lit(1), shift)
+    return lo, hi
+
+
+def cell_point_key(cell: Column, maxb: int = MAXB) -> Column:
+    """Leaf-depth position key (== interval lo) for prefix joins."""
+    return cell_interval(cell, maxb)[0]
+
+
+def cell_contains(anc: Column, desc: Column) -> Column:
+    """Prefix containment: anc is ancestor-or-equal of desc (native codegen)."""
+    dk = cell_depth(desc) - cell_depth(anc)
+    return (anc >= 0) & (desc >= 0) & (dk >= 0) & (
+        _shiftright(cell_bits(desc), dk) == cell_bits(anc)
+    )
+
+
+def cell_truncate_bits(cell: Column, depth) -> Column:
+    """Leading ``depth`` bits of the cell's bit string (for per-level equi-joins)."""
+    depth = depth if isinstance(depth, Column) else F.lit(depth)
+    return _shiftright(cell_bits(cell), cell_depth(cell) - depth)
+
+
+def cell_children(cell: Column, k: int = 2) -> Column:
+    """Array of the 2^k children (native: sequence + transform, no shuffle)."""
+    bits = cell_bits(cell)
+    nb = cell_depth(cell)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit((1 << k) - 1)),
+        lambda off: cell_pack(_shiftleft(bits, k).bitwiseOR(off), nb + F.lit(k)),
+    )
+
+
+def cell_l0_digit(cell: Column) -> Column:
+    """Grid B: the leading 4 bits = L0 digit value (0..15); -1 if too shallow."""
+    nb = cell_depth(cell)
+    return F.when(
+        (cell >= 0) & (nb >= 4), _shiftright(cell_bits(cell), nb - F.lit(4))
+    ).otherwise(F.lit(-1))

@@ -1,0 +1,179 @@
+"""Geospatial Spark surface: Arrow-batched pandas UDFs + native Column helpers.
+
+Design rule (SURVEY.md §3.1): projection + morton + codec run inside a
+*single* pandas UDF per direction so each row crosses the Arrow boundary
+once.  Everything that can stay JVM-side (geo-URI parsing, hierarchy algebra,
+tile math) is a native Column expression, not a UDF.
+
+Reference parity anchors:
+* encode semantics — /root/reference/src/assert/gridLib.sql:6-11
+* grid parameters — /root/reference/conf.yaml:21-33
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..grid import cells, grids, proj
+
+# ---------------------------------------------------------------------------
+# A1: geo-URI parsing — pure native Columns (no UDF)
+# ---------------------------------------------------------------------------
+
+GEO_URI_RE = r"geo:(-?[0-9]+(?:\.[0-9]+)?),(-?[0-9]+(?:\.[0-9]+)?)"
+
+
+def geo_uri_lat(uri: Column) -> Column:
+    """'geo:LAT,LON' -> lat double (NULL if not a geo URI)."""
+    s = F.regexp_extract(uri, GEO_URI_RE, 1)
+    return F.when(s != "", s.cast("double"))
+
+
+def geo_uri_lon(uri: Column) -> Column:
+    s = F.regexp_extract(uri, GEO_URI_RE, 2)
+    return F.when(s != "", s.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# A2/A4/A6 composed: encode UDF factories (one Arrow crossing per direction)
+# ---------------------------------------------------------------------------
+
+def _to_np(s: pd.Series) -> np.ndarray:
+    return s.to_numpy(dtype=np.float64, na_value=np.nan)
+
+
+@lru_cache(maxsize=None)
+def _encode_a_udf(ndigits: int):
+    @F.pandas_udf(StringType())
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        codes = grids.osmcode_encode_a(_to_np(lat), _to_np(lon), ndigits)
+        out = pd.Series(codes, dtype="object")
+        out[out == ""] = None
+        return out
+
+    return enc
+
+
+def encode_a(lat: Column, lon: Column, ndigits: int = 9) -> Column:
+    """(lat, lon) -> Grid A base32nvu code (osmcode_encode); NULL off-grid."""
+    return _encode_a_udf(ndigits)(lat, lon)
+
+
+@lru_cache(maxsize=None)
+def _encode_b_cell_udf(rbits: int):
+    @F.pandas_udf(LongType())
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la, lo = _to_np(lat), _to_np(lon)
+        x, y = proj.forward(la, lo)
+        finite = np.isfinite(x) & np.isfinite(y)
+        bits, valid = grids.grid_b_encode_xy(
+            np.where(finite, x, 0.0), np.where(finite, y, 0.0), rbits
+        )
+        cell = cells.pack(bits, np.full(bits.shape, 4 + rbits, dtype=np.int64))
+        return pd.Series(np.where(valid & finite, cell, -1))
+
+    return enc
+
+
+def encode_b_cell(lat: Column, lon: Column, rbits: int) -> Column:
+    """(lat, lon) -> canonical Grid B cell long at ``rbits`` refinement; -1 off-grid."""
+    return _encode_b_cell_udf(rbits)(lat, lon)
+
+
+@lru_cache(maxsize=None)
+def _xy_cell_udf(rbits: int):
+    @F.pandas_udf(LongType())
+    def enc(x: pd.Series, y: pd.Series) -> pd.Series:
+        bits, valid = grids.grid_b_encode_xy(_to_np(x), _to_np(y), rbits)
+        cell = cells.pack(bits, np.full(bits.shape, 4 + rbits, dtype=np.int64))
+        return pd.Series(np.where(valid, cell, -1))
+
+    return enc
+
+
+def xy_to_cell_b(x: Column, y: Column, rbits: int) -> Column:
+    """EPSG:9377 planar (x, y) -> Grid B cell long (projection already done)."""
+    return _xy_cell_udf(rbits)(x, y)
+
+
+_LATLON = StructType([StructField("lat", DoubleType()), StructField("lon", DoubleType())])
+_XY = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+_BOX = StructType([StructField(n, DoubleType()) for n in ("xmin", "ymin", "xmax", "ymax")])
+
+
+@F.pandas_udf(_XY)
+def latlon_to_xy(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+    """Forward EPSG:9377 projection (A2)."""
+    x, y = proj.forward(_to_np(lat), _to_np(lon))
+    return pd.DataFrame({"x": x, "y": y})
+
+
+@F.pandas_udf(_LATLON)
+def xy_to_latlon(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    """Inverse EPSG:9377 projection (A3)."""
+    la, lo = proj.inverse(_to_np(x), _to_np(y))
+    return pd.DataFrame({"lat": la, "lon": lo})
+
+
+@F.pandas_udf(_LATLON)
+def decode_a_center(code: pd.Series) -> pd.DataFrame:
+    """Grid A base32nvu code -> cell-center (lat, lon) (osmcode_decode, A10)."""
+    la, lo = grids.osmcode_decode_a(code.fillna("").to_numpy(dtype=object))
+    return pd.DataFrame({"lat": la, "lon": lo})
+
+
+@F.pandas_udf(StringType())
+def cell_b_code(cell: pd.Series) -> pd.Series:
+    """Canonical Grid B cell long -> base16h string; NULL for -1."""
+    c = cell.to_numpy(dtype=np.int64, na_value=-1)
+    out = pd.Series(cells.cell_b_to_code(c), dtype="object")
+    out[c < 0] = None
+    return out
+
+
+@F.pandas_udf(LongType())
+def cell_b_from_code(code: pd.Series) -> pd.Series:
+    """base16h string -> canonical Grid B cell long; -1 invalid."""
+    return pd.Series(cells.cell_b_from_code(code.fillna("").to_numpy(dtype=object)))
+
+
+@F.pandas_udf(_BOX)
+def cell_b_box(cell: pd.Series) -> pd.DataFrame:
+    """Grid B cell long -> EPSG:9377 bounding box (A5/A16)."""
+    x0, y0, x1, y1 = cells.cell_b_box(cell.to_numpy(dtype=np.int64, na_value=-1))
+    return pd.DataFrame({"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1})
+
+
+@F.pandas_udf(_XY)
+def cell_b_center(cell: pd.Series) -> pd.DataFrame:
+    cx, cy = cells.cell_b_center(cell.to_numpy(dtype=np.int64, na_value=-1))
+    return pd.DataFrame({"x": cx, "y": cy})
+
+
+@F.pandas_udf(StringType())
+def encode_a_from_uri(uri: pd.Series) -> pd.Series:
+    """'geo:LAT,LON' -> 9-digit Grid A code in ONE Arrow crossing (A8 fused).
+
+    The fully-fused fast path for the flagship pipeline: regex parse is also
+    available natively (geo_uri_lat/lon) when the plan wants pushdown first.
+    """
+    s = uri.fillna("").astype(str)
+    m = s.str.extract(r"geo:(-?\d+\.?\d*),(-?\d+\.?\d*)")
+    lat = pd.to_numeric(m[0], errors="coerce").to_numpy(dtype=np.float64)
+    lon = pd.to_numeric(m[1], errors="coerce").to_numpy(dtype=np.float64)
+    codes = grids.osmcode_encode_a(lat, lon, 9)
+    out = pd.Series(codes, dtype="object")
+    out[(out == "") | ~np.isfinite(lat)] = None
+    return out

@@ -1,0 +1,133 @@
+"""Text/HTML operators: deterministic extraction, geoparsing, analysis.
+
+* ``extract_text`` — the engine's A28 kernel (SURVEY.md §2.A28): a pinned,
+  deterministic html->text spec so extracted text is byte-identical per url
+  (the input_hint invariant).  Spec: drop <script>/<style> subtrees, strip all
+  tags (replaced with ''), decode the entity set {&lt; &gt; &quot; &#39;
+  &nbsp; &amp;} (amp last), collapse all whitespace runs to single spaces,
+  strip.  Vectorized pandas str ops inside one Arrow-batched UDF.
+* geoparse — A27: native regexp Columns (no UDF), geo: URI first
+  (format per /root/reference/src/assert/gridLib.sql:6-11), plain decimal
+  pair as fallback.
+* analysis — token counting, quality scoring, language-ID heuristic: all
+  native Column expressions (JVM-side, codegen).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# --- A28: deterministic HTML -> text ----------------------------------------
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+             ("&nbsp;", " "), ("&amp;", "&")]  # &amp; decoded last
+
+
+@F.pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """html binary/string -> extracted text (pinned deterministic spec)."""
+    s = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
+    s = s.str.replace(r"(?is)<(script|style)\b.*?</\1\s*>", " ", regex=True)
+    s = s.str.replace(r"(?s)<[^>]*>", "", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s
+
+
+# --- A27: geoparse (native Columns) ------------------------------------------
+
+GEO_URI_RE = r"geo:(-?[0-9]{1,2}(?:\.[0-9]+)?),(-?[0-9]{1,3}(?:\.[0-9]+)?)"
+PLAIN_PAIR_RE = r"(-?[0-9]{1,2}\.[0-9]{3,}),\s(-?[0-9]{1,3}\.[0-9]{3,})"
+
+
+def _grp(text: Column, pattern: str, g: int) -> Column:
+    s = F.regexp_extract(text, pattern, g)
+    return F.when(s != "", s.cast("double"))
+
+
+def parse_lat(text: Column) -> Column:
+    """First coordinate in the text: geo: URI wins, else plain decimal pair."""
+    return F.coalesce(_grp(text, GEO_URI_RE, 1), _grp(text, PLAIN_PAIR_RE, 1))
+
+
+def parse_lon(text: Column) -> Column:
+    return F.coalesce(_grp(text, GEO_URI_RE, 2), _grp(text, PLAIN_PAIR_RE, 2))
+
+
+def parse_all_geo_uris(text: Column) -> Column:
+    """All geo: URIs in a document -> array<struct<lat,lon>> (native)."""
+    lats = F.regexp_extract_all(text, F.lit(GEO_URI_RE), F.lit(1))
+    lons = F.regexp_extract_all(text, F.lit(GEO_URI_RE), F.lit(2))
+    return F.zip_with(lats, lons,
+                      lambda a, b: F.struct(a.cast("double").alias("lat"),
+                                            b.cast("double").alias("lon")))
+
+
+# --- text analysis (all native, JVM-side) ------------------------------------
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_tokens(text: Column) -> Column:
+    """Lowercased word tokens (BPE-ish: split on non-letter/digit runs)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda x: x != ""
+    )
+
+
+_STOPWORDS = {
+    "es": ["el", "la", "de", "en", "los", "las", "del", "con", "para", "por",
+           "un", "una", "que", "se", "es", "al", "y"],
+    "en": ["the", "of", "and", "to", "in", "is", "was", "for", "on", "with",
+           "as", "at", "by", "an", "be"],
+    "pt": ["o", "a", "de", "em", "os", "as", "do", "da", "dos", "das", "com",
+           "para", "por", "um", "uma", "que", "e", "é", "não"],
+}
+
+
+def stopword_ratio(text: Column, lang: str) -> Column:
+    """Fraction of word tokens that are stopwords of ``lang``."""
+    toks = word_tokens(text)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_guess(text: Column) -> Column:
+    """Language-ID heuristic: argmax stopword ratio over {es, en, pt}."""
+    rs = {lg: stopword_ratio(text, lg) for lg in _STOPWORDS}
+    best = F.greatest(*rs.values())
+    out = F.lit("und")
+    # deterministic tie-break order: es > pt > en (es/pt share many stopwords)
+    for lg in ("en", "pt", "es"):
+        out = F.when((best > 0) & (rs[lg] == best), F.lit(lg)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length, punctuation balance, alpha ratio.
+
+    Deterministic and cheap (all codegen); the kind of scoring a training-data
+    pipeline runs before filtering.
+    """
+    n = F.length(text).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    punct_ok = F.when(n > 0, 1.0 - F.least(n_punct / F.greatest(n / 20.0, F.lit(1.0)), F.lit(1.0)))\
+        .otherwise(F.lit(0.0))
+    return F.round((len_score * 0.4 + alpha_ratio * 0.4 + punct_ok * 0.2), 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint of normalized text (exact-dup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)

@@ -1,0 +1,20 @@
+"""Query registry: name -> (spark_fn, oracle_sql | None).
+
+Consumed by __spark_entry__.py (driver contract) and bench.py.
+"""
+
+from __future__ import annotations
+
+from . import geospatial, relational, training
+
+REGISTRY: dict = {}
+for _mod in (relational, training, geospatial):
+    REGISTRY.update(_mod.QUERIES)
+
+
+def spark_queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sqls():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,184 @@
+"""Geospatial query surface.
+
+Oracle-checked entries derive deterministic planar points from ``events``
+with integer arithmetic that DuckDB reproduces exactly (both sides compute
+identical doubles — divisors are powers of two), then run the ENGINE kernel
+(pandas-UDF cell encode / native tile math) on the Spark side against a
+straight SQL re-statement of the grid spec (/root/reference/conf.yaml:21-26)
+on the oracle side.  That makes the grid semantics themselves
+driver-verified, not just pytest-verified.
+
+Pages-based entries (geoparse -> geocode -> cover join -> kNN) have no SQL
+oracle (the TM projection isn't SQL-expressible) — driver records rows-only;
+bit-exactness is gated by tests/test_grid_golden.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells_sql, geo
+from ..functions import text as txf
+from ..grid import grids
+from ..operators import tiles
+from ..operators.cover import cover_lookup_best
+from ..operators.knn import knn_ring
+from ..sources.reference_data import load_citycover
+from ..sources.pages import pages
+from ..sources.tables import load
+
+# deterministic planar points from events (exact in float64 on both engines)
+_XENG = "3678500.0 + ((event_id * 2654435761) % 2097152)"
+_YENG = "970000.0 + ((event_id * 40503) % 2621440)"
+
+
+def _event_points(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x"),
+        (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y"),
+    )
+
+
+def g_cell_assign_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine cell encode (pandas-UDF kernel) vs SQL spec re-statement."""
+    pts = _event_points(spark, sf)
+    out = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4))
+    return out.groupBy("cell").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_ev"),
+    )
+
+
+_L0_CASE = "CASE " + " ".join(
+    f"WHEN j = {j} AND i = {i} THEN {d}"
+    for (j, i), d in sorted(grids._L0_JI_TO_DIGIT.items())  # noqa: SLF001
+) + " ELSE -1 END"
+
+SQL_CELL_ASSIGN = f"""
+WITH pts AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), c AS (
+  SELECT event_id,
+         CAST(floor((x - 3678500.0) / 524288.0) AS BIGINT) AS i,
+         CAST(floor((y - 970000.0) / 524288.0) AS BIGINT) AS j,
+         (x - 3678500.0) / 524288.0 - floor((x - 3678500.0) / 524288.0) AS u,
+         (y - 970000.0) / 524288.0 - floor((y - 970000.0) / 524288.0) AS v
+  FROM pts
+), d AS (
+  SELECT event_id, {_L0_CASE} AS digit,
+         CAST(floor(u * 4) AS BIGINT) AS ix, CAST(floor(v * 4) AS BIGINT) AS iy
+  FROM c
+)
+SELECT CASE WHEN digit >= 0
+            THEN ((digit * 16 + (iy // 2) * 8 + (ix // 2) * 4 + (iy % 2) * 2 + (ix % 2)) * 64 + 8)
+            ELSE -1 END AS cell,
+       count(*) AS n, min(event_id) AS min_ev
+FROM d GROUP BY 1
+"""
+
+_TILE_Z = 6
+
+
+def g_tile_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """XYZ tile + quadkey assignment (pure native column math, A26)."""
+    pts = _event_points(spark, sf)
+    return (
+        pts.select(
+            "event_id",
+            tiles.tile_id(F.col("x"), F.col("y"), _TILE_Z).alias("tile"),
+            tiles.tile_quadkey_num(F.col("x"), F.col("y"), _TILE_Z).alias("quadkey"),
+        )
+        .groupBy("tile", "quadkey").agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_quadkey(z: int) -> str:
+    terms = []
+    for k in range(z - 1, -1, -1):
+        terms.append(f"(((ty >> {k}) & 1) * 2 + ((tx >> {k}) & 1))")
+    expr = "0"
+    for t in terms:
+        expr = f"({expr}) * 4 + {t}"
+    return expr
+
+
+SQL_TILE = f"""
+WITH pts AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), t AS (
+  SELECT event_id,
+         CAST(floor((x - 3678500.0) / {tiles.X_EXTENT / (1 << _TILE_Z)!r}) AS BIGINT) AS tx,
+         CAST(floor(({tiles.Y0 + tiles.Y_EXTENT!r} - y) / {tiles.Y_EXTENT / (1 << _TILE_Z)!r}) AS BIGINT) AS ty
+  FROM pts
+)
+SELECT CASE WHEN tx BETWEEN 0 AND {(1 << _TILE_Z) - 1} AND ty BETWEEN 0 AND {(1 << _TILE_Z) - 1}
+            THEN ty * {1 << _TILE_Z} + tx END AS tile,
+       CASE WHEN tx BETWEEN 0 AND {(1 << _TILE_Z) - 1} AND ty BETWEEN 0 AND {(1 << _TILE_Z) - 1}
+            THEN {_sql_quadkey(_TILE_Z)} END AS quadkey,
+       count(*) AS n
+FROM t GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Pages-based pipelines (rows-only driver check; bit-exactness via pytest)
+# ---------------------------------------------------------------------------
+
+_PAGES_N = 20_000
+
+
+def g_pages_l0_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship shape: synthetic pages -> geoparse -> geocode -> per-L0 agg."""
+    pg = pages(spark, _PAGES_N)
+    parsed = pg.select(
+        "url",
+        txf.parse_lat(F.col("text")).alias("lat"),
+        txf.parse_lon(F.col("text")).alias("lon"),
+    ).filter(F.col("lat").isNotNull())
+    cells = parsed.withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), 12))
+    return (
+        cells.withColumn("l0", cells_sql.cell_l0_digit(F.col("cell")))
+        .groupBy("l0")
+        .agg(F.count("*").alias("n_pages"), F.countDistinct("url").alias("n_urls"))
+    )
+
+
+def g_cover_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """pages -> cell -> municipality via the prefix-rewritten cover join."""
+    cover = load_citycover(spark)
+    pg = pages(spark, _PAGES_N)
+    pts = pg.select(
+        "url",
+        txf.parse_lat(F.col("text")).alias("lat"),
+        txf.parse_lon(F.col("text")).alias("lon"),
+    ).filter(F.col("lat").isNotNull())
+    pts = pts.withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), 26)) \
+             .filter(F.col("cell") >= 0)
+    hit = cover_lookup_best(pts.select("url", "cell"), cover)
+    return hit.groupBy("isolabel_ext").agg(F.count("*").alias("n_pages")) \
+              .orderBy(F.col("n_pages").desc(), "isolabel_ext").limit(50)
+
+
+def g_knn_ring(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN of page points around 50 query points via cell-ring expansion."""
+    pg = pages(spark, _PAGES_N, with_truth=True)
+    pts = pg.select(F.col("id"), F.col("true_lat").alias("lat"),
+                    F.col("true_lon").alias("lon")) \
+            .withColumn("xy", geo.latlon_to_xy(F.col("lat"), F.col("lon"))) \
+            .select("id", F.col("xy.x").alias("x"), F.col("xy.y").alias("y")) \
+            .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 10)) \
+            .filter(F.col("cell") >= 0)
+    q = pts.filter(F.col("id") < 50).select(F.col("id").alias("qid"), "x", "y", "cell")
+    c = pts.select(F.col("id").alias("cid"), "x", "y", "cell")
+    return knn_ring(q, c, k=5, ring=1, exclude_self=True)
+
+
+QUERIES = {
+    "geo_cell_assign": (g_cell_assign_parity, SQL_CELL_ASSIGN),
+    "geo_tile_assign": (g_tile_assign, SQL_TILE),
+    "geo_pages_l0_histogram": (g_pages_l0_histogram, None),
+    "geo_cover_lookup": (g_cover_lookup, None),
+    "geo_knn_ring": (g_knn_ring, None),
+}

@@ -1,0 +1,370 @@
+"""Relational operator surface (SURVEY.md §2.B) with DuckDB oracle SQL.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Column names/aliases match the oracle exactly (driver hashes columns by name).
+Aggregated doubles are rounded identically on both sides to absorb
+summation-order differences between Spark partial aggregation and DuckDB.
+
+Plan notes (the 100 TB story):
+* dimension joins are explicit ``broadcast()`` — no shuffle of the fact side;
+* top-k uses sort+limit (TakeOrderedAndProject — no global sort);
+* the interval join is expressed as a *prefix equi-join* on the Spark side
+  (hash join, shuffle-free vs broadcast dim) while the oracle states the
+  naive range predicate — proving the rewrite equivalence (§2.B8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """B5/B12: filtered scan + hash aggregate (TPC-H Q1 shape)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_REVENUE), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       count(*)                                           AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """B6/B7/B17: broadcast dim join + agg + top-k (TakeOrderedAndProject)."""
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """B15: multi-dim broadcast star join + ROLLUP re-aggregation."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.round(F.sum(_REVENUE), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B10: left-semi — customers that placed at least one order."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+SQL_SEMI = """
+SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B10: left-anti — customers with no orders."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_asof_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """B9: as-of / latest-version-per-key via ranking window (url-dedup shape)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+SQL_ASOF = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B16: ranking window — top-3 orders per customer by price."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """B16: frame window — 10-event moving average per user.
+
+    ``value`` is fixed to 3 decimals as an integer before the window so the
+    sliding sum is exact integer arithmetic on both engines (Spark's sliding
+    aggregate is incremental; a float sum would drift vs DuckDB's).
+    """
+    ev = load(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-9, Window.currentRow))
+    v = F.round(F.col("value") * 1000, 0).cast("long")
+    # moving average in 1e-7 value units: exact int sum, one IEEE division,
+    # floor — bit-identical on any engine (no decimal-rounding boundary)
+    mavg = F.floor((F.sum(v).over(w) * 10000) / F.count("*").over(w))
+    return ev.select("user_id", "event_id", mavg.alias("mavg_e7"))
+
+
+SQL_MOVING = """
+SELECT user_id, event_id,
+       CAST(floor(sum(CAST(round(value * 1000, 0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) * 10000
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS BIGINT) AS mavg_e7
+FROM events
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """B13: exact distinct aggregation per group."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """B23: JSON field extraction + bucketed aggregation."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k_bucket", F.pmod(k, F.lit(10)))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_date_trunc(spark: SparkSession, sf: str) -> DataFrame:
+    """B20: time bucketing."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+SQL_DATE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_string_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """B19/B22: string split + explode + frequency count."""
+    part = load(spark, sf, "part")
+    return (
+        part.select(F.explode(F.split(F.lower("p_name"), " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_STRING = """
+SELECT word, count(*) AS cnt FROM (
+  SELECT unnest(string_split(lower(p_name), ' ')) AS word FROM part)
+GROUP BY word
+"""
+
+
+def q_nation_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """B18/B22: set collection — sorted distinct segment list per nation."""
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segs"))
+    )
+
+
+SQL_SEGMENTS = """
+SELECT n_name, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs
+FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+"""
+
+
+def q_interval_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B8: interval-containment join, rewritten as a prefix equi-join.
+
+    Oracle states the naive range predicate; the Spark plan uses the
+    truncation rewrite (floor(key / width) = range_id) so it stays a
+    broadcast *hash* join — the same rewrite the cell-cover join uses
+    (cells are [lo, hi) ranges; truncation = cell_parent).
+    """
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    joined = cust.join(
+        F.broadcast(nation),
+        F.floor(cust.c_custkey / 40).cast("int") == nation.n_nationkey,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_cust"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+SQL_INTERVAL = """
+SELECT n_name, count(*) AS n_cust, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM customer JOIN nation
+  ON c_custkey >= n_nationkey * 40 AND c_custkey < (n_nationkey + 1) * 40
+GROUP BY n_name
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """B18: INTERSECT of key sets."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    a = cust.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+              .select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+SQL_INTERSECT = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """B18: EXCEPT of key sets."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    a = cust.select(F.col("c_custkey").alias("custkey"))
+    b = orders.select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+QUERIES = {
+    "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "rel_topk_revenue": (q_topk_revenue, SQL_TOPK),
+    "rel_region_rollup": (q_region_rollup, SQL_ROLLUP),
+    "rel_semi_join": (q_semi_join, SQL_SEMI),
+    "rel_anti_join": (q_anti_join, SQL_ANTI),
+    "rel_asof_latest": (q_asof_latest, SQL_ASOF),
+    "rel_window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "rel_moving_avg": (q_moving_avg, SQL_MOVING),
+    "rel_distinct_users": (q_distinct_users, SQL_DISTINCT),
+    "rel_json_props": (q_json_props, SQL_JSON),
+    "rel_date_trunc": (q_date_trunc, SQL_DATE),
+    "rel_string_tokens": (q_string_tokens, SQL_STRING),
+    "rel_nation_segments": (q_nation_segments, SQL_SEGMENTS),
+    "rel_interval_prefix_join": (q_interval_prefix_join, SQL_INTERVAL),
+    "rel_set_intersect": (q_set_intersect, SQL_INTERSECT),
+    "rel_set_except": (q_set_except, SQL_EXCEPT),
+}

@@ -1,0 +1,401 @@
+"""Training-data pipeline operators: dedup, similarity search, text analysis.
+
+These are first-class engine components for the 100 TB web-page use case:
+exact dedup, MinHash-LSH and SimHash near-dup candidate generation, n-gram
+Jaccard, brute-force + LSH-bucketed embedding kNN, language-ID, quality
+scoring, token statistics.  Oracle SQL provided wherever DuckDB can express
+the same computation bit-stably; hash-family-dependent ops (MinHash/SimHash
+use Spark's xxhash64) are rows-only checked by the driver and verified for
+recall against exact Jaccard in tests/test_training_ops.py.
+
+Scale notes: every op is shuffle-minimal —
+* dedup: single hash-partition by fingerprint;
+* MinHash: explode shingles -> ONE groupBy(doc) computing all 32 mins
+  (map-side partial agg), band explode -> self-join on (band, hash) buckets;
+* kNN brute force: broadcast the (small) query set, no shuffle on candidates;
+* LSH kNN: equi-join on bucket id — hash join instead of cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..sources.tables import load
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy) — B14 / dedup contract
+# ---------------------------------------------------------------------------
+
+def t_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep the lowest doc_id per exact (md5) text fingerprint."""
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.withColumn("fp", F.md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, fp FROM (
+  SELECT doc_id, md5(text) AS fp,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def t_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source duplication statistics."""
+    docs = load(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_DEDUP_STATS = """
+SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+       sum(n_chars) AS sum_chars
+FROM documents GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact; the ground truth for MinHash recall)
+# ---------------------------------------------------------------------------
+
+JACCARD_NGRAM = 3
+JACCARD_THRESHOLD = 0.25
+
+
+def _shingles(col):
+    """Distinct word 3-gram shingles of a space-separated text column."""
+    w = F.split(col, " ")
+    n = F.greatest(F.size(w) - (JACCARD_NGRAM - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", w[i - 1], w[i], w[i + 1]),
+        )
+    )
+
+
+def t_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc pairs with word-3-gram Jaccard >= threshold (exact computation).
+
+    Plan: explode distinct shingles -> self equi-join on shingle (hash join;
+    at scale the shingle key is salted/min-hashed first) -> pair intersection
+    counts -> join per-doc shingle counts -> Jaccard.
+    """
+    docs = load(spark, sf, "documents").select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+SQL_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(sl)) AS shingle FROM (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           [array_to_string(w[i:i+{JACCARD_NGRAM - 1}], ' ')
+            FOR i IN range(1, greatest(len(w) - {JACCARD_NGRAM - 2}, 1))] AS sl
+    FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (near-dup candidates at scale) — no SQL oracle
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 32
+LSH_BANDS = 8  # 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """doc -> MINHASH_K 64-bit min-hashes, all in ONE aggregation pass.
+
+    explode(shingles) -> groupBy(doc).agg(min(xxhash64(shingle, seed_i)))
+    for the K seeds — partial (map-side) min-combines make this a single
+    shuffle of K longs per doc regardless of document size.
+    """
+    ex = docs.select(id_col, F.explode(_shingles(F.col(text_col))).alias("shingle"))
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            for i in range(MINHASH_K)]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def t_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding over MinHash signatures."""
+    docs = load(spark, sf, "documents")
+    sig = minhash_signatures(docs)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    ex = sig.select("doc_id", F.explode(bands).alias("bb")) \
+            .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (token-hash sign aggregation, fully native) — no SQL oracle
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc -> 64-bit SimHash, computed JVM-side (explode + 64 signed sums)."""
+    ex = docs.select(id_col, F.explode(tx.word_tokens(F.col(text_col))).alias("tok"))
+    ex = ex.withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per = ex.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long")))
+    return per.select(id_col, sh.alias("simhash"))
+
+
+def t_simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup candidates: same 16-bit SimHash band, Hamming distance <= 6."""
+    docs = load(spark, sf, "documents")
+    sh = simhash(docs)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("simhash"), b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+        for b in range(4)
+    ])
+    ex = sh.select("doc_id", "simhash", F.explode(bands).alias("bb")) \
+           .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                   F.col("bb.bh").alias("bh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search (ANN) — brute-force oracle + LSH scale path
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_NQUERY = 20
+
+
+def _cosine(a, b):
+    """Cosine similarity of two array<float> columns, computed in float64."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def t_knn_cosine_brute(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set x full candidate scan."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_NQUERY).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+    scored = pairs.select("qid", "cid",
+                          F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)) \
+                 .filter(F.col("rn") <= KNN_K).select("qid", "cid", "sim", "rn")
+
+
+SQL_KNN = f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+               6) AS sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {KNN_NQUERY} AND q.vec_id <> c.vec_id
+)
+SELECT qid, cid, sim, rn FROM (
+  SELECT qid, cid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+  FROM scored
+) WHERE rn <= {KNN_K}
+"""
+
+LSH_PLANES = 12
+
+
+def embedding_buckets(emb: DataFrame, nplanes: int = LSH_PLANES) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (deterministic planes).
+
+    Plane p, dim d weight = a fixed pseudo-random sign from xxhash64(p, d) —
+    computed natively, no Python: bucket bit p = sign(sum_d w_pd * v_d).
+    """
+    dims = F.sequence(F.lit(0), F.size("embedding") - 1)
+    bucket = F.lit(0).cast("long")
+    for p in range(nplanes):
+        s = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), dims,
+                lambda v, d: v.cast("double")
+                * F.when(F.pmod(F.xxhash64(F.lit(p), d), 2) == 1, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    return emb.withColumn("bucket", bucket)
+
+
+def t_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN: equi-join on bucket id, exact cosine re-rank in-bucket."""
+    emb = embedding_buckets(load(spark, sf, "embeddings"))
+    q = emb.filter(F.col("vec_id") < KNN_NQUERY).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket")
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket")
+    pairs = c.join(F.broadcast(q), on="bucket").filter(F.col("qid") != F.col("cid"))
+    scored = pairs.select("qid", "cid",
+                          F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)) \
+                 .filter(F.col("rn") <= KNN_K).select("qid", "cid", "sim", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (language-ID, quality, token stats) — SQL-replicable
+# ---------------------------------------------------------------------------
+
+def t_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", tx.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def _sql_ratio(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in tx._STOPWORDS[lang])  # noqa: SLF001
+    return (f"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([{words}], t))) AS DOUBLE)"
+            f" / len(string_split(text, ' '))")
+
+
+SQL_LANG = f"""
+SELECT doc_id,
+  CASE WHEN best > 0 THEN
+    (CASE WHEN r_es = best THEN 'es' WHEN r_pt = best THEN 'pt' ELSE 'en' END)
+  ELSE 'und' END AS lang_guess
+FROM (
+  SELECT doc_id, r_es, r_en, r_pt, greatest(r_es, r_en, r_pt) AS best FROM (
+    SELECT doc_id, {_sql_ratio('es')} AS r_es, {_sql_ratio('en')} AS r_en,
+           {_sql_ratio('pt')} AS r_pt
+    FROM documents WHERE len(trim(text)) > 0
+  )
+)
+UNION ALL
+SELECT doc_id, 'und' AS lang_guess FROM documents WHERE len(trim(text)) = 0
+"""
+
+
+def t_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_len"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_len
+FROM documents
+"""
+
+
+def t_token_topk(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tx.word_tokens(F.col("text"))).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+SQL_TOKEN_TOPK = """
+SELECT word, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents)
+GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+"""
+
+QUERIES = {
+    "train_dedup_exact": (t_dedup_exact, SQL_DEDUP_EXACT),
+    "train_dedup_stats": (t_dedup_stats, SQL_DEDUP_STATS),
+    "train_ngram_jaccard": (t_ngram_jaccard_pairs, SQL_JACCARD),
+    "train_minhash_lsh": (t_minhash_lsh_candidates, None),
+    "train_simhash": (t_simhash_candidates, None),
+    "train_knn_brute": (t_knn_cosine_brute, SQL_KNN),
+    "train_knn_lsh": (t_knn_lsh, None),
+    "train_lang_id": (t_lang_id, SQL_LANG),
+    "train_token_stats": (t_token_stats, SQL_TOKEN_STATS),
+    "train_token_topk": (t_token_topk, SQL_TOKEN_TOPK),
+}

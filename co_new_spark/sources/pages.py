@@ -1,0 +1,150 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table (FIXTURES.md §1).
+
+Schema matches the engine's input contract exactly:
+``url:string, warc_ts:timestamp, html:binary, text:string, lang:string``.
+
+Everything is derived from the row id with **native Spark expressions only**
+(xxhash64-based uniforms, format_string templates) — no Python UDF, no driver
+loop — so the same generator produces 10^3 rows for smoke tests and 10^7+ for
+bench without changing shape.  All page content is a pure function of
+``url_id`` so duplicated urls carry byte-identical html (the dedup contract:
+extracted text must be byte-identical per url).
+
+Point distribution (selector on a url-level uniform):
+* 10%  within ~30 km of Bogotá (4.711111, -74.072222) — the hot cell;
+* 25%  uniform inside L0 cell ``c`` (ji=22) — with the above, >=35% in ``c``;
+* 5%   offshore (L0 cell ``2``, ji=41 — Caribbean territorial sea / EEZ);
+* 58%  uniform over a random cell of the 16-cell L0 cover;
+* 2%   outside the grid entirely (must geocode to NULL, not error).
+
+Anchor style: ~70% ``geo:LAT,LON`` URIs, ~20% plain decimal pairs, ~10% no
+coordinates.  Languages: es 80% / en 15% / pt 5%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..grid import grids, proj
+
+_INSET_M = 12_000.0  # margin so WGS84 rects are strictly inside their 9377 cell
+
+
+def _cell_wgs84_rect(digit: int) -> tuple[float, float, float, float]:
+    """Conservative (latmin, latmax, lonmin, lonmax) strictly inside L0 cell."""
+    j = int(grids.L0_J_BY_DIGIT[digit])
+    i = int(grids.L0_I_BY_DIGIT[digit])
+    s = grids.L0_SIDE
+    x0, y0 = grids.L0_ORIGIN_X + i * s + _INSET_M, grids.L0_ORIGIN_Y + j * s + _INSET_M
+    x1, y1 = x0 + s - 2 * _INSET_M, y0 + s - 2 * _INSET_M
+    t = np.linspace(0.0, 1.0, 65)
+    bot_lat, _ = proj.inverse(x0 + t * (x1 - x0), np.full_like(t, y0))
+    top_lat, _ = proj.inverse(x0 + t * (x1 - x0), np.full_like(t, y1))
+    _, left_lon = proj.inverse(np.full_like(t, x0), y0 + t * (y1 - y0))
+    _, right_lon = proj.inverse(np.full_like(t, x1), y0 + t * (y1 - y0))
+    rect = (bot_lat.max(), top_lat.min(), left_lon.max(), right_lon.min())
+    assert rect[0] < rect[1] and rect[2] < rect[3], (digit, rect)
+    return rect
+
+
+_RECTS = [_cell_wgs84_rect(d) for d in range(16)]
+_CELL_C_RECT = _RECTS[0xC]
+_OFFSHORE_RECT = _RECTS[0x2]
+_BOGOTA = (4.711111, -74.072222)
+
+
+def _u(col, salt: int):
+    """Deterministic uniform in [0, 1) from a column + salt (pure JVM)."""
+    return (F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(1_000_000)).cast("double")
+            / F.lit(1_000_000.0))
+
+
+def pages(spark: SparkSession, n: int, partitions: int | None = None,
+          with_truth: bool = False) -> DataFrame:
+    """Build the synthetic pages table with ``n`` rows."""
+    if partitions:
+        df = spark.range(0, n, 1, partitions)
+    else:
+        df = spark.range(n)
+
+    # ~6% of rows fall into url-duplicate groups of 3 (identical html bytes)
+    df = df.withColumn(
+        "url_id",
+        F.when(F.pmod(F.col("id"), 50) < 3, F.col("id") - F.pmod(F.col("id"), 50))
+        .otherwise(F.col("id")),
+    )
+    uid = F.col("url_id")
+    u0, u1, u2, u3, u4 = (_u(uid, k) for k in range(5))
+
+    def _rect_point(rect, a, b):
+        latmin, latmax, lonmin, lonmax = rect
+        return (F.lit(latmin) + a * F.lit(latmax - latmin),
+                F.lit(lonmin) + b * F.lit(lonmax - lonmin))
+
+    # random covered L0 digit for the uniform-over-cover branch
+    digit = F.pmod(F.xxhash64(uid, F.lit(9)), F.lit(16)).cast("int")
+    lat_arr = F.array(*[F.lit(r[0]) for r in _RECTS])
+    lat_span = F.array(*[F.lit(r[1] - r[0]) for r in _RECTS])
+    lon_arr = F.array(*[F.lit(r[2]) for r in _RECTS])
+    lon_span = F.array(*[F.lit(r[3] - r[2]) for r in _RECTS])
+    cov_lat = F.element_at(lat_arr, digit + 1) + u1 * F.element_at(lat_span, digit + 1)
+    cov_lon = F.element_at(lon_arr, digit + 1) + u2 * F.element_at(lon_span, digit + 1)
+
+    bog_lat = F.lit(_BOGOTA[0]) + (u1 - 0.5) * F.lit(0.50)
+    bog_lon = F.lit(_BOGOTA[1]) + (u2 - 0.5) * F.lit(0.50)
+    cc_lat, cc_lon = _rect_point(_CELL_C_RECT, u1, u2)
+    off_lat, off_lon = _rect_point(_OFFSHORE_RECT, u1, u2)
+    out_lat = F.lit(38.0) + u1 * F.lit(12.0)   # Iberia — off the Colombian grid
+    out_lon = F.lit(-10.0) + u2 * F.lit(8.0)
+
+    lat = (F.when(u0 < 0.10, bog_lat).when(u0 < 0.35, cc_lat)
+           .when(u0 < 0.40, off_lat).when(u0 < 0.98, cov_lat).otherwise(out_lat))
+    lon = (F.when(u0 < 0.10, bog_lon).when(u0 < 0.35, cc_lon)
+           .when(u0 < 0.40, off_lon).when(u0 < 0.98, cov_lon).otherwise(out_lon))
+
+    lat_s = F.format_string("%.7f", lat)
+    lon_s = F.format_string("%.7f", lon)
+
+    host = F.format_string("site%d.example.co", F.pmod(F.xxhash64(uid, F.lit(7)), F.lit(200)))
+    url = F.format_string("https://%s/page%d", host, uid)
+
+    # anchor sentence: 70% geo: URI, 20% plain decimal pair, 10% none
+    anchor = (
+        F.when(u3 < 0.70, F.format_string("Ubicación registrada en geo:%s,%s dentro del territorio.", lat_s, lon_s))
+        .when(u3 < 0.90, F.format_string("Las coordenadas %s, %s fueron verificadas en campo.", lat_s, lon_s))
+        .otherwise(F.lit("Sin coordenadas disponibles para este registro."))
+    )
+    lang = (F.when(u4 < 0.80, F.lit("es")).when(u4 < 0.95, F.lit("en"))
+            .otherwise(F.lit("pt")))
+
+    title = F.format_string("Informe %d", uid)
+    body2 = F.format_string("Resumen del sitio %s con código &amp; datos n.º %d.", host, F.pmod(uid, 9973))
+    html = F.format_string(
+        "<html><head><title>%s</title></head><body>\n<p>%s</p>\n<p>%s</p>\n</body></html>",
+        title,
+        F.regexp_replace(anchor, "&", "&amp;"),  # anchor has no '&' today; keep invariant
+        body2,
+    )
+    # reference extraction of that html (tag strip + entity decode + ws collapse)
+    text = F.concat_ws(
+        " ",
+        title,
+        anchor,
+        F.format_string("Resumen del sitio %s con código & datos n.º %d.", host, F.pmod(uid, 9973)),
+    )
+
+    base_epoch = 1735689600  # 2025-01-01T00:00:00Z
+    warc_ts = F.timestamp_seconds(F.lit(base_epoch) + F.pmod(F.col("id") * 7919 + F.col("id"), F.lit(31_536_000)))
+
+    out = df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+        *( [lat.alias("true_lat"), lon.alias("true_lon"), F.col("id"), F.col("url_id")]
+           if with_truth else [] ),
+    )
+    return out

@@ -1,0 +1,109 @@
+"""Operator-level tests: cover join, kNN ring, MinHash recall, reference dims."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from co_new_spark.functions import geo
+from co_new_spark.operators.cover import cover_join_candidates, cover_lookup_best
+from co_new_spark.operators.knn import knn_ring
+from co_new_spark.sources.reference_data import _cover_pdf, load_citycover, load_synonym
+
+SF = "/root/testdata/sf0.001"
+
+# seat -> containing municipality (verified cover membership, SURVEY.md §1.3)
+SEATS = [
+    (-4.21528, -69.94056, "CO-AMA-Leticia"),
+    (5.5353, -73.3678, "CO-BOY-Tunja"),
+    (6.2442, -75.5812, "CO-ANT-Medellin"),
+    (-0.6186, -72.3925, "CO-AMA-PuertoSantander"),
+    (6.9096, -75.0772, "CO-ANT-Amalfi"),
+]
+
+
+def test_citycover_parse():
+    pdf = _cover_pdf()
+    assert pdf["isolabel_ext"].nunique() == 1116
+    cov = pdf[pdf.kind == "cover"]
+    assert len(cov) == 14165  # all parseable cells (the literal NULL token skipped)
+    assert (pdf["cell"] >= 0).all()
+    tunja = cov[cov.isolabel_ext == "CO-BOY-Tunja"]
+    assert len(tunja) == 11  # 12 tokens incl. NULL on citycover.csv:325
+    # covers occur at exactly 4 depths, 5 bits apart (one quad level + one half split)
+    assert set(pdf["depth"].unique()) == {7, 12, 17, 22}
+
+
+def test_cover_lookup_seats(spark):
+    cover = load_citycover(spark)
+    df = spark.createDataFrame(
+        [(lat, lon, iso) for lat, lon, iso in SEATS], ["lat", "lon", "expected"]
+    ).withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), 26))
+    cand = cover_join_candidates(df.select("expected", "cell"), cover.filter(F.col("kind") == "cover"))
+    got = {r.expected: set() for r in df.collect()}
+    for r in cand.collect():
+        got[r.expected].add(r.isolabel_ext)
+    for _, _, iso in SEATS:
+        assert iso in got[iso], (iso, got[iso])
+
+
+def test_synonym_dim(spark):
+    syn = load_synonym(spark)
+    assert syn.count() == 7660
+    assert syn.filter(F.col("default_abbrev")).count() == 1116
+
+
+def test_knn_ring_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    # dense cluster near Bogotá so ring-1 completeness holds
+    lat = 4.7111 + rng.uniform(-0.05, 0.05, 800)
+    lon = -74.0722 + rng.uniform(-0.05, 0.05, 800)
+    from co_new_spark.grid import proj
+
+    x, y = proj.forward(lat, lon)
+    pts = spark.createDataFrame(
+        [(int(i), float(xx), float(yy)) for i, (xx, yy) in enumerate(zip(x, y))],
+        ["id", "x", "y"],
+    ).withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 10))
+    q = pts.filter(F.col("id") < 15).select(F.col("id").alias("qid"), "x", "y", "cell")
+    c = pts.select(F.col("id").alias("cid"), "x", "y", "cell")
+    got = knn_ring(q, c, k=5, ring=1, exclude_self=True).collect()
+    # numpy brute force
+    cell_side = 524288 / 32  # rbits=10 -> 5 splits/axis = 16384 m
+    for qid in range(15):
+        d = np.hypot(x - x[qid], y - y[qid])
+        d[qid] = np.inf
+        order = np.lexsort((np.arange(len(d)), d))[:5]
+        mine = sorted([(r.rn, r.cid, r.dist) for r in got if r.qid == qid])
+        if d[order[-1]] < cell_side:  # completeness guaranteed inside ring
+            assert [m[1] for m in mine] == [int(i) for i in order], qid
+
+
+def test_minhash_recall_vs_exact(spark):
+    from co_new_spark.queries.training import (
+        t_minhash_lsh_candidates,
+        t_ngram_jaccard_pairs,
+    )
+
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in t_ngram_jaccard_pairs(spark, SF).collect()}
+    cand = {(r.doc_a, r.doc_b) for r in t_minhash_lsh_candidates(spark, SF).collect()}
+    high = {p for p, j in exact.items() if j >= 0.7}
+    if high:
+        recall = len(high & cand) / len(high)
+        assert recall >= 0.9, (recall, len(high))
+    # candidates should not be absurdly over-generated
+    assert len(cand) < 5000
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {r.l0 for r in rows} <= set(range(-1, 16))
+    total = sum(r.n_pages for r in rows)
+    assert total > 3000
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 25 and len(osql) >= 20

@@ -1,0 +1,129 @@
+"""Spark-surface tests: UDF wrappers, native cell algebra, pages source."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from co_new_spark.functions import cells_sql, geo, text as tx
+from co_new_spark.grid import cells as ncells
+from co_new_spark.sources.pages import pages
+
+ASSERTS = [
+    ("geo:3.46103000261,-76.57770034945", "GF1ZDW6NY"),
+    ("geo:3.46103208489,-76.57391243547", "GF1ZSNQV7"),
+    ("geo:3.45834677198,-76.57390575999", "GF1ZLKNU4"),
+    ("geo:3.45834677198,-76.57770076667", "GF1Z6T4KC"),
+    ("geo:4.711111,-74.072222", "HX7VGYKPW"),
+]
+
+
+def test_encode_a_udf(spark):
+    df = spark.createDataFrame([(u,) for u, _ in ASSERTS], ["uri"])
+    out = df.select(
+        geo.encode_a(geo.geo_uri_lat(F.col("uri")), geo.geo_uri_lon(F.col("uri"))).alias("c1"),
+        geo.encode_a_from_uri(F.col("uri")).alias("c2"),
+    ).collect()
+    exp = [c for _, c in ASSERTS]
+    assert [r.c1 for r in out] == exp
+    assert [r.c2 for r in out] == exp
+
+
+def test_cell_b_udf_and_native_algebra(spark):
+    df = spark.createDataFrame(
+        [(-4.21528, -69.94056), (5.5353, -73.3678), (40.0, -3.7)], ["lat", "lon"]
+    )
+    out = df.select(
+        geo.encode_b_cell(F.col("lat"), F.col("lon"), 12).alias("cell")
+    ).withColumn("code", geo.cell_b_code(F.col("cell"))) \
+     .withColumn("parent", cells_sql.cell_parent(F.col("cell"), 4)) \
+     .withColumn("pcode", geo.cell_b_code(F.col("parent"))) \
+     .withColumn("half", geo.cell_b_code(cells_sql.cell_parent(F.col("cell"), 2))) \
+     .withColumn("l0", cells_sql.cell_l0_digit(F.col("cell"))) \
+     .withColumn("contained", cells_sql.cell_contains(F.col("parent"), F.col("cell"))) \
+     .collect()
+    assert out[0].code == "a0ec" and out[0].pcode == "a0e" and out[0].l0 == 0xA
+    assert out[0].half == "a0eV"  # 2-bit drop = half-cell, suffix V=0b11
+    assert out[1].code == "c358" and out[1].l0 == 0xC
+    assert out[0].contained and out[1].contained
+    assert out[2].cell == -1 and out[2].code is None and out[2].l0 == -1
+
+
+def test_native_interval_matches_numpy(spark):
+    codes = ["a0ec", "8Z", "c358G", "67d9fM", "0"]
+    df = spark.createDataFrame([(c,) for c in codes], ["code"])
+    lo, hi = cells_sql.cell_interval(F.col("cell"))
+    out = (df.withColumn("cell", geo.cell_b_from_code(F.col("code")))
+             .withColumn("lo", lo).withColumn("hi", hi).collect())
+    cell_np = ncells.cell_b_from_code(np.array(codes))
+    lo_np, hi_np = ncells.interval(cell_np)
+    assert [r.lo for r in out] == lo_np.tolist()
+    assert [r.hi for r in out] == hi_np.tolist()
+    # children native == numpy
+    ch = df.withColumn("cell", geo.cell_b_from_code(F.col("code"))) \
+           .select(cells_sql.cell_children(F.col("cell"), 2).alias("ch")).collect()
+    ch_np = ncells.children(cell_np, 2)
+    assert [r.ch for r in ch] == ch_np.tolist()
+
+
+def test_pages_source_contracts(spark):
+    df = pages(spark, 4000, with_truth=True).cache()
+    n = df.count()
+    assert n == 4000
+    # dedup contract: identical html bytes per url
+    grp = df.groupBy("url").agg(
+        F.countDistinct(F.md5(F.col("html"))).alias("nh"),
+        F.count("*").alias("cnt"),
+    )
+    assert grp.filter(F.col("nh") > 1).count() == 0
+    assert grp.filter(F.col("cnt") > 1).count() > 0
+    # extraction invariant: extract_text(html) == text byte-identically
+    bad = df.withColumn("ex", tx.extract_text(F.col("html"))) \
+            .filter(F.col("ex") != F.col("text")).count()
+    assert bad == 0
+    # language mix
+    langs = {r.lang: r.cnt for r in df.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert langs["es"] > langs["en"] > langs["pt"]
+    # point distribution: geocode truth, >=30% in L0 'c', some NULLs
+    g = df.withColumn("cell", geo.encode_b_cell(F.col("true_lat"), F.col("true_lon"), 12))
+    stats = g.agg(
+        F.sum(F.when(cells_sql.cell_l0_digit(F.col("cell")) == 0xC, 1).otherwise(0)).alias("in_c"),
+        F.sum(F.when(F.col("cell") == -1, 1).otherwise(0)).alias("off"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert stats.in_c / stats.n >= 0.30
+    assert 0.005 <= stats.off / stats.n <= 0.05
+    df.unpersist()
+
+
+def test_geoparse_pipeline(spark):
+    df = pages(spark, 2000, with_truth=True)
+    parsed = df.select(
+        "true_lat", "true_lon",
+        tx.parse_lat(F.col("text")).alias("lat"),
+        tx.parse_lon(F.col("text")).alias("lon"),
+    )
+    got = parsed.filter(F.col("lat").isNotNull())
+    # ~90% of pages carry coordinates in one of the two formats
+    assert got.count() / df.count() > 0.80
+    err = got.select(
+        F.max(F.abs(F.col("lat") - F.col("true_lat"))).alias("e1"),
+        F.max(F.abs(F.col("lon") - F.col("true_lon"))).alias("e2"),
+    ).collect()[0]
+    assert err.e1 < 1e-6 and err.e2 < 1e-6
+
+
+def test_text_analysis_native(spark):
+    df = spark.createDataFrame(
+        [("El informe de la ciudad es claro y los datos son buenos",),
+         ("The report of the city is clear and the data is good",),
+         ("",)],
+        ["text"],
+    )
+    out = df.select(
+        tx.token_count(F.col("text")).alias("tc"),
+        tx.lang_guess(F.col("text")).alias("lg"),
+        tx.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0].tc == 12 and out[0].lg == "es"
+    assert out[1].lg == "en"
+    assert out[2].tc == 0 and out[2].lg == "und"
+    assert 0.0 <= out[0].q <= 1.0
