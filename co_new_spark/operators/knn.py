@@ -40,6 +40,11 @@ def _ring_udf(ring: int):
     return ring_cells
 
 
+def ring_cells_udf(ring: int):
+    """Public surface for the ring-expansion UDF (cell -> array<cell> incl. self)."""
+    return _ring_udf(ring)
+
+
 def knn_ring(queries: DataFrame, candidates: DataFrame, k: int = 5,
              ring: int = 1, exclude_self: bool = False) -> DataFrame:
     """queries(qid, x, y, cell) x candidates(cid, x, y, cell) -> top-k per qid.

@@ -5,10 +5,10 @@ Consumed by __spark_entry__.py (driver contract) and bench.py.
 
 from __future__ import annotations
 
-from . import geospatial, relational, training
+from . import geo_algebra, geospatial, relational, training
 
 REGISTRY: dict = {}
-for _mod in (relational, training, geospatial):
+for _mod in (relational, training, geospatial, geo_algebra):
     REGISTRY.update(_mod.QUERIES)
 
 

@@ -1,0 +1,378 @@
+"""Grid-algebra query surface — hierarchy, codec, geometry, PIP — oracle-checked.
+
+Every query here derives deterministic EPSG:9377 planar points from ``events``
+(identical float64 arithmetic on both engines — divisors/steps are powers of
+two), runs the ENGINE kernels on the Spark side (pandas-UDF cell encode, native
+shift/mask hierarchy algebra, PIP), and restates the grid SPEC
+(/root/reference/conf.yaml:21-26, /root/reference/README.md:51,77) as plain SQL
+on the DuckDB side.  So parent/children/neighbor traversal, the base16h
+suffix-letter grammar, cell boxes/areas and point-in-polygon are all
+driver-verified against an independent restatement — not just pytest-verified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells_sql, geo
+from ..grid import grids
+from ..operators import pip
+from ..operators.knn import ring_cells_udf
+from .geospatial import _XENG, _YENG, _event_points
+
+X0 = grids.L0_ORIGIN_X
+Y0 = grids.L0_ORIGIN_Y
+SIDE = grids.L0_SIDE
+
+
+def _d(v: float) -> str:
+    """Float literal as DOUBLE (DuckDB parses bare decimals as DECIMAL)."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _l0_case(j: str = "j", i: str = "i") -> str:
+    """SQL CASE for the configured ji -> base16h digit map (conf.yaml:24-26)."""
+    return "CASE " + " ".join(
+        f"WHEN {j} = {jj} AND {i} = {ii} THEN {d}"
+        for (jj, ii), d in sorted(grids._L0_JI_TO_DIGIT.items())  # noqa: SLF001
+    ) + " ELSE -1 END"
+
+
+def _digit_to_j_case(d: str = "digit") -> str:
+    return "CASE " + " ".join(
+        f"WHEN {d} = {dd} THEN {jj}"
+        for (jj, ii), dd in sorted(grids._L0_JI_TO_DIGIT.items())  # noqa: SLF001
+    ) + " ELSE -1 END"
+
+
+def _digit_to_i_case(d: str = "digit") -> str:
+    return "CASE " + " ".join(
+        f"WHEN {d} = {dd} THEN {ii}"
+        for (jj, ii), dd in sorted(grids._L0_JI_TO_DIGIT.items())  # noqa: SLF001
+    ) + " ELSE -1 END"
+
+
+def _sql_ref(r: int, iy: str = "iy", ix: str = "ix") -> str:
+    """Morton interleave (y-first, MSB first) of iy/ix as a SQL expression."""
+    if r == 0:
+        return "0"
+    ny, nx = (r + 1) // 2, r // 2
+    terms = []
+    for t in range(r):
+        if t % 2 == 0:
+            terms.append(f"((({iy} >> {ny - 1 - t // 2}) & 1) << {r - 1 - t})")
+        else:
+            terms.append(f"((({ix} >> {nx - 1 - t // 2}) & 1) << {r - 1 - t})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_cells_cte(r: int) -> str:
+    """CTE chain computing the depth-(4+r) packed cell per event (SQL spec)."""
+    ny, nx = (r + 1) // 2, r // 2
+    return f"""
+pts AS (SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events),
+fr AS (
+  SELECT event_id, x, y,
+         CAST(floor((x - {X0!r}) / {SIDE!r}) AS BIGINT) AS i,
+         CAST(floor((y - {Y0!r}) / {SIDE!r}) AS BIGINT) AS j,
+         (x - {X0!r}) / {SIDE!r} - floor((x - {X0!r}) / {SIDE!r}) AS u,
+         (y - {Y0!r}) / {SIDE!r} - floor((y - {Y0!r}) / {SIDE!r}) AS v
+  FROM pts),
+dg AS (
+  SELECT event_id, x, y, i, j, {_l0_case()} AS digit,
+         CAST(floor(u * {1 << nx}) AS BIGINT) AS ix,
+         CAST(floor(v * {1 << ny}) AS BIGINT) AS iy
+  FROM fr),
+cells AS (
+  SELECT event_id, x, y, i, j, digit, ix, iy,
+         CASE WHEN digit >= 0
+              THEN ((digit * {1 << r} + {_sql_ref(r)}) * 64 + {4 + r})
+              ELSE -1 END AS cell
+  FROM dg)
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_parent_rollup — leaf agg at depth 12, native re-agg at depths 8 and 4
+# (A13/B15: hierarchy rollup = shift arithmetic, no re-scan of the fact table)
+# ---------------------------------------------------------------------------
+
+def g_parent_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    pts = _event_points(spark, sf)
+    leaf = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 8)) \
+              .filter(F.col("cell") >= 0)
+    leaf_agg = leaf.groupBy("cell").agg(F.count("*").alias("n"))
+    return (
+        leaf_agg
+        .withColumn("cell_l1", cells_sql.cell_ancestor_at(F.col("cell"), 8))
+        .withColumn("cell_l0", cells_sql.cell_ancestor_at(F.col("cell"), 4))
+        .groupBy("cell_l0", "cell_l1")
+        .agg(F.sum("n").alias("n_points"), F.count("*").alias("n_leaf_cells"))
+    )
+
+
+SQL_PARENT_ROLLUP = f"""
+WITH {_sql_cells_cte(8)},
+leaf AS (SELECT cell, count(*) AS n FROM cells WHERE cell >= 0 GROUP BY cell)
+SELECT ((cell >> 6) >> 8) * 64 + 4 AS cell_l0,
+       ((cell >> 6) >> 4) * 64 + 8 AS cell_l1,
+       sum(n) AS n_points, count(*) AS n_leaf_cells
+FROM leaf GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_children — quadtree children expansion (A14), native sequence+transform
+# ---------------------------------------------------------------------------
+
+def g_children(spark: SparkSession, sf: str) -> DataFrame:
+    pts = _event_points(spark, sf)
+    par = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 2)) \
+             .filter(F.col("cell") >= 0).select("cell").distinct()
+    return par.select(
+        F.col("cell").alias("parent"),
+        F.explode(cells_sql.cell_children(F.col("cell"), 2)).alias("child"),
+    )
+
+
+SQL_CHILDREN = f"""
+WITH {_sql_cells_cte(2)},
+par AS (SELECT DISTINCT cell FROM cells WHERE cell >= 0)
+SELECT cell AS parent,
+       (((cell >> 6) * 4 + o) * 64 + (cell & 63) + 2) AS child
+FROM par CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o)
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_neighbors — king-move ring-1 neighbors on the global lattice (A17)
+# ---------------------------------------------------------------------------
+
+def g_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    pts = _event_points(spark, sf)
+    cells = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4)) \
+               .filter(F.col("cell") >= 0).select("cell").distinct()
+    return cells.select(
+        "cell", F.explode(ring_cells_udf(1)(F.col("cell"))).alias("neighbor")
+    ).filter(F.col("neighbor") != F.col("cell"))
+
+
+SQL_NEIGHBORS = f"""
+WITH {_sql_cells_cte(4)},
+cc AS (SELECT DISTINCT cell, j * 4 + iy AS gy, i * 4 + ix AS gx
+       FROM cells WHERE cell >= 0),
+cand AS (
+  SELECT cell, gy + dy AS gy, gx + dx AS gx
+  FROM cc CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+  WHERE NOT (dy = 0 AND dx = 0)
+), nb AS (
+  SELECT cell, gy // 4 AS j, gx // 4 AS i, gy % 4 AS iy, gx % 4 AS ix
+  FROM cand WHERE gx BETWEEN 0 AND {grids.L0_NI * 4 - 1}
+              AND gy BETWEEN 0 AND {grids.L0_NJ * 4 - 1}
+), dig AS (
+  SELECT cell, {_l0_case()} AS digit, iy, ix FROM nb
+)
+SELECT cell, ((digit * 16 + {_sql_ref(4)}) * 64 + 8) AS neighbor
+FROM dig WHERE digit >= 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_cell_box — cell -> bbox / center / area (A5/A16/A24)
+# ---------------------------------------------------------------------------
+
+_DX8 = SIDE / 4.0  # depth-8 cell side: 131072 m exactly (2^17)
+
+
+def g_cell_box(spark: SparkSession, sf: str) -> DataFrame:
+    pts = _event_points(spark, sf)
+    cells = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4)) \
+               .filter(F.col("cell") >= 0).select("cell").distinct()
+    boxed = cells.withColumn("box", geo.cell_b_box(F.col("cell")))
+    return boxed.select(
+        "cell",
+        F.col("box.xmin").alias("xmin"), F.col("box.ymin").alias("ymin"),
+        F.col("box.xmax").alias("xmax"), F.col("box.ymax").alias("ymax"),
+        ((F.col("box.xmin") + F.col("box.xmax")) / 2).alias("cx"),
+        ((F.col("box.ymin") + F.col("box.ymax")) / 2).alias("cy"),
+        ((F.col("box.xmax") - F.col("box.xmin"))
+         * (F.col("box.ymax") - F.col("box.ymin"))).alias("area_m2"),
+    )
+
+
+SQL_CELL_BOX = f"""
+WITH {_sql_cells_cte(4)},
+cc AS (SELECT DISTINCT cell, i * 4 + ix AS gx, j * 4 + iy AS gy
+       FROM cells WHERE cell >= 0),
+b AS (
+  SELECT cell,
+         {_d(X0)} + gx * {_d(_DX8)} AS xmin, {_d(Y0)} + gy * {_d(_DX8)} AS ymin,
+         {_d(X0)} + gx * {_d(_DX8)} + {_d(_DX8)} AS xmax,
+         {_d(Y0)} + gy * {_d(_DX8)} + {_d(_DX8)} AS ymax
+  FROM cc)
+SELECT cell, xmin, ymin, xmax, ymax,
+       (xmin + xmax) / 2 AS cx, (ymin + ymax) / 2 AS cy,
+       (xmax - xmin) * (ymax - ymin) AS area_m2
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_cell_codec — base16h strings incl. ALL THREE suffix-letter families
+# (grammar per /root/reference/conf.yaml:29 + citycover.csv; SURVEY.md §1.5)
+# ---------------------------------------------------------------------------
+
+_SFX_SQL = {
+    1: "CASE b & 1 WHEN 0 THEN 'G' ELSE 'Q' END",
+    2: "CASE b & 3 WHEN 0 THEN 'H' WHEN 1 THEN 'M' WHEN 2 THEN 'R' ELSE 'V' END",
+    3: ("CASE b & 7 WHEN 0 THEN 'J' WHEN 1 THEN 'K' WHEN 2 THEN 'N' WHEN 3 THEN 'P'"
+        " WHEN 4 THEN 'S' WHEN 5 THEN 'T' WHEN 6 THEN 'Y' ELSE 'Z' END"),
+}
+
+
+def _sql_code(r: int) -> str:
+    """SQL base16h string of a depth-(4+r) cell whose bits are column ``b``."""
+    nbits = 4 + r
+    q, extra = divmod(nbits, 4)
+    hx = f"lower(lpad(to_hex(b >> {extra}), {q}, '0'))" if extra else \
+         f"lower(lpad(to_hex(b), {q}, '0'))"
+    return f"{hx} || {_SFX_SQL[extra]}" if extra else hx
+
+
+def g_cell_codec(spark: SparkSession, sf: str) -> DataFrame:
+    pts = _event_points(spark, sf)
+    out = pts
+    for r in (9, 10, 11):
+        out = out.withColumn(f"cell{r}", geo.xy_to_cell_b(F.col("x"), F.col("y"), r))
+    out = out.filter(F.col("cell9") >= 0)
+    return out.select(
+        "event_id",
+        geo.cell_b_code(F.col("cell9")).alias("code_g"),
+        geo.cell_b_code(F.col("cell10")).alias("code_h"),
+        geo.cell_b_code(F.col("cell11")).alias("code_j"),
+    )
+
+
+def _sql_codec_one(r: int, alias: str) -> str:
+    return f"""
+(SELECT event_id, {_sql_code(r)} AS {alias}
+ FROM (SELECT event_id, (cell >> 6) AS b FROM ({_only_cells_subq(r)}) WHERE cell >= 0))
+"""
+
+
+def _only_cells_subq(r: int) -> str:
+    return f"WITH {_sql_cells_cte(r)} SELECT event_id, cell FROM cells"
+
+
+SQL_CELL_CODEC = f"""
+SELECT g.event_id, g.code_g, h.code_h, j.code_j
+FROM {_sql_codec_one(9, 'code_g')} g
+JOIN {_sql_codec_one(10, 'code_h')} h ON g.event_id = h.event_id
+JOIN {_sql_codec_one(11, 'code_j')} j ON g.event_id = j.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_grid_generate — materialize a full grid level + geometry (A18)
+# ---------------------------------------------------------------------------
+
+_J_ARR = [int(v) for v in grids.L0_J_BY_DIGIT]
+_I_ARR = [int(v) for v in grids.L0_I_BY_DIGIT]
+
+
+def g_grid_generate(spark: SparkSession, sf: str) -> DataFrame:
+    """All 256 depth-8 cells with native (codegen) box decode — no UDF at all."""
+    df = spark.range(256)
+    digit = F.shiftright(F.col("id"), 4)
+    ref = F.col("id").bitwiseAND(F.lit(15))
+    iy = F.shiftright(ref, 3).bitwiseAND(F.lit(1)) * 2 + F.shiftright(ref, 1).bitwiseAND(F.lit(1))
+    ix = F.shiftright(ref, 2).bitwiseAND(F.lit(1)) * 2 + ref.bitwiseAND(F.lit(1))
+    jarr = F.array(*[F.lit(v) for v in _J_ARR])
+    iarr = F.array(*[F.lit(v) for v in _I_ARR])
+    j = F.element_at(jarr, (digit + 1).cast("int"))
+    i = F.element_at(iarr, (digit + 1).cast("int"))
+    gx = i * 4 + ix
+    gy = j * 4 + iy
+    return df.select(
+        (F.col("id") * 64 + 8).alias("cell"),
+        (F.lit(X0) + gx * F.lit(_DX8)).alias("xmin"),
+        (F.lit(Y0) + gy * F.lit(_DX8)).alias("ymin"),
+        (F.lit(X0) + gx * F.lit(_DX8) + F.lit(_DX8)).alias("xmax"),
+        (F.lit(Y0) + gy * F.lit(_DX8) + F.lit(_DX8)).alias("ymax"),
+    )
+
+
+SQL_GRID_GENERATE = f"""
+WITH r AS (SELECT unnest(range(256)) AS id),
+d AS (
+  SELECT id, id // 16 AS digit,
+         ((id >> 3) & 1) * 2 + ((id >> 1) & 1) AS iy,
+         ((id >> 2) & 1) * 2 + (id & 1) AS ix
+  FROM r),
+ji AS (
+  SELECT id, {_digit_to_j_case()} * 4 + iy AS gy,
+             {_digit_to_i_case()} * 4 + ix AS gx
+  FROM d)
+SELECT id * 64 + 8 AS cell,
+       {_d(X0)} + gx * {_d(_DX8)} AS xmin,
+       {_d(Y0)} + gy * {_d(_DX8)} AS ymin,
+       {_d(X0)} + gx * {_d(_DX8)} + {_d(_DX8)} AS xmax,
+       {_d(Y0)} + gy * {_d(_DX8)} + {_d(_DX8)} AS ymax
+FROM ji
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_pip_poly — point-in-polygon join (A20) vs a SQL crossing-test oracle
+# ---------------------------------------------------------------------------
+
+# Literal test polygon over central Colombia in EPSG:9377 (closed ring).
+_POLY = np.array([
+    [4_600_000.0, 1_600_000.0],
+    [5_200_000.0, 1_700_000.0],
+    [5_400_000.0, 2_200_000.0],
+    [4_900_000.0, 2_600_000.0],
+    [4_400_000.0, 2_100_000.0],
+    [4_600_000.0, 1_600_000.0],
+])
+
+
+def g_pip_poly(spark: SparkSession, sf: str) -> DataFrame:
+    pts = _event_points(spark, sf)
+    inside = pip.pip_filter(pts, [_POLY])
+    return inside.select("event_id", "x", "y")
+
+
+def _sql_crossings(poly: np.ndarray) -> str:
+    terms = []
+    for k in range(len(poly) - 1):
+        xi, yi = poly[k]
+        xj, yj = poly[k + 1]
+        terms.append(
+            f"(CASE WHEN (({yi!r} > y) <> ({yj!r} > y)) AND "
+            f"(x < ({xj!r} - {xi!r}) * (y - {yi!r}) / ({yj!r} - {yi!r}) + {xi!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+SQL_PIP = f"""
+WITH pts AS (SELECT event_id, CAST({_XENG} AS DOUBLE) AS x,
+                    CAST({_YENG} AS DOUBLE) AS y FROM events)
+SELECT event_id, x, y FROM pts
+WHERE ({_sql_crossings(_POLY)}) % 2 = 1
+"""
+
+
+QUERIES = {
+    "geo_parent_rollup": (g_parent_rollup, SQL_PARENT_ROLLUP),
+    "geo_children": (g_children, SQL_CHILDREN),
+    "geo_neighbors": (g_neighbors, SQL_NEIGHBORS),
+    "geo_cell_box": (g_cell_box, SQL_CELL_BOX),
+    "geo_cell_codec": (g_cell_codec, SQL_CELL_CODEC),
+    "geo_grid_generate": (g_grid_generate, SQL_GRID_GENERATE),
+    "geo_pip_poly": (g_pip_poly, SQL_PIP),
+}
