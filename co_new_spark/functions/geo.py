@@ -163,6 +163,22 @@ def cell_b_center(cell: pd.Series) -> pd.DataFrame:
 
 
 @F.pandas_udf(StringType())
+def b16h_string(bits: pd.Series, nbits: pd.Series) -> pd.Series:
+    """Generic (bits, nbits) -> base16h string (suffix-letter grammar §1.5).
+
+    Used for shortcode suffixes (A23): the trailing bits below a jurisdiction's
+    cover-cell prefix re-encoded standalone.  NULL where nbits < 0.
+    """
+    from ..grid.codec import b16h_encode
+
+    b = bits.to_numpy(dtype=np.uint64, na_value=0)
+    nb = nbits.to_numpy(dtype=np.int64, na_value=-1)
+    out = pd.Series(b16h_encode(b, np.maximum(nb, 0)), dtype="object")
+    out[nb < 0] = None
+    return out
+
+
+@F.pandas_udf(StringType())
 def encode_a_from_uri(uri: pd.Series) -> pd.Series:
     """'geo:LAT,LON' -> 9-digit Grid A code in ONE Arrow crossing (A8 fused).
 

@@ -131,3 +131,23 @@ def doc_fingerprint(text: Column) -> Column:
     """64-bit content fingerprint of normalized text (exact-dup key)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of normalized text (document fingerprinting).
+
+    fold over codepoints: acc = (acc * 131 + cp) % 1e9+7 — fully native
+    (higher-order functions, JVM-side) and restatable in ANSI SQL, unlike
+    xxhash64.  Empty text -> 0.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+    acc = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda a, c: (a * F.lit(FP_BASE) + c) % F.lit(FP_MOD),
+    )
+    return F.when(F.length(norm) > 0, acc).otherwise(F.lit(0).cast("long"))

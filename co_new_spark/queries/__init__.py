@@ -5,10 +5,10 @@ Consumed by __spark_entry__.py (driver contract) and bench.py.
 
 from __future__ import annotations
 
-from . import geo_algebra, geospatial, relational, training
+from . import geo_algebra, geospatial, relational, streaming_q, training, training2
 
 REGISTRY: dict = {}
-for _mod in (relational, training, geospatial, geo_algebra):
+for _mod in (relational, training, geospatial, geo_algebra, training2, streaming_q):
     REGISTRY.update(_mod.QUERIES)
 
 

@@ -367,7 +367,56 @@ WHERE ({_sql_crossings(_POLY)}) % 2 = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_shortcode — abbreviation-context short codes (A22/A23, rows-only)
+# Semantics: /root/reference/README.md:59-65 (context abbreviation replaces
+# the jurisdiction's cover-cell prefix), separator '+' per conf.yaml:30,
+# abbreviation dim /root/reference/data/synonym.csv.
+# ---------------------------------------------------------------------------
+
+
+def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as txf
+    from ..operators.cover import cover_join_candidates
+    from ..sources.pages import pages
+    from ..sources.reference_data import load_citycover, load_synonym
+
+    pg = pages(spark, 10_000)
+    pts = pg.select(
+        "url",
+        txf.parse_lat(F.col("text")).alias("lat"),
+        txf.parse_lon(F.col("text")).alias("lon"),
+    ).filter(F.col("lat").isNotNull())
+    pts = pts.withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), 26)) \
+             .filter(F.col("cell") >= 0)
+    cover = load_citycover(spark).filter(F.col("kind") == "cover")
+    cand = cover_join_candidates(pts.select("url", "cell"), cover)
+    # deepest cover cell wins; deterministic tie-break by isolabel
+    w = Window.partitionBy("url").orderBy(
+        (F.col("cover_cell").bitwiseAND(F.lit(63))).desc(), F.col("isolabel_ext"))
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    d = F.col("cover_cell").bitwiseAND(F.lit(63))
+    nsfx = (F.col("cell").bitwiseAND(F.lit(63)) - d).cast("int")
+    sfx_bits = cells_sql.cell_bits(F.col("cell")).bitwiseAND(
+        cells_sql._shiftleft(F.lit(1).cast("long"), nsfx) - 1)  # noqa: SLF001
+    best = best.withColumn("suffix", geo.b16h_string(sfx_bits, nsfx))
+    syn = load_synonym(spark).filter(F.col("default_abbrev")) \
+        .groupBy("isolabel_ext").agg(F.min("abbrev").alias("abbrev"))
+    out = best.join(F.broadcast(syn), "isolabel_ext", "left")
+    shortcode = F.concat_ws("+", F.coalesce(F.col("abbrev"), F.col("isolabel_ext")),
+                            F.col("suffix"))
+    return (
+        out.withColumn("shortcode", shortcode)
+        .groupBy("isolabel_ext", "abbrev")
+        .agg(F.count("*").alias("n_pages"), F.min("shortcode").alias("example"))
+        .orderBy(F.col("n_pages").desc(), "isolabel_ext").limit(100)
+    )
+
+
 QUERIES = {
+    "geo_shortcode": (g_shortcode, None),
     "geo_parent_rollup": (g_parent_rollup, SQL_PARENT_ROLLUP),
     "geo_children": (g_children, SQL_CHILDREN),
     "geo_neighbors": (g_neighbors, SQL_NEIGHBORS),

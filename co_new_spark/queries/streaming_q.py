@@ -1,0 +1,105 @@
+"""Streaming query surface — bounded drains of the §2.C operators, oracle-checked.
+
+Each entry streams the ``events`` parquet with Trigger.AvailableNow and
+returns the drained sink as a batch DataFrame, so the driver can compare
+against a plain-SQL restatement: tumbling windows == epoch-aligned
+date_trunc; session windows == the lag/cumsum gap construction; streaming
+dedup == first-row-per-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from ..streaming import pipeline as sp
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    # watermarks require TIMESTAMP (with tz); parquet carries TIMESTAMP_NTZ.
+    # Session tz is UTC (plans.session), so the cast is value-preserving.
+    return sp.parquet_stream(spark, f"{sf}/events.parquet") \
+             .withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def s_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events_stream(spark, sf)
+    agg = sp.windowed_counts(ev, "ts", ["event_type"], window="1 hour")
+    out = sp.run_available_now(agg, "complete")
+    return out.select(
+        F.col("win.start").alias("window_start"), "event_type", "n")
+
+
+SQL_WINDOW_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def s_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events_stream(spark, sf)
+    agg = sp.session_windows(ev, "ts", ["user_id"], gap="5 minutes")
+    out = sp.run_available_now(agg, "complete")
+    return out.select("user_id", F.col("win.start").alias("session_start"), "n")
+
+
+SQL_SESSION_WINDOWS = """
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grp AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marks)
+SELECT user_id, min(ts) AS session_start, count(*) AS n
+FROM grp GROUP BY user_id, sess
+"""
+
+
+def s_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup by (user_id, event_type), then a batch rollup."""
+    ev = _events_stream(spark, sf)
+    ded = sp.dedup_stream(ev, ["user_id", "event_type"], "ts")
+    sink = sp.run_available_now(ded, "append")
+    return sink.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
+
+
+SQL_DEDUP_COUNTS = """
+SELECT event_type, count(*) AS n_pairs
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
+def s_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream x broadcast static dim (customer) — map-side, stateless."""
+    ev = _events_stream(spark, sf)
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = sp.stream_static_join(ev, cust, "user_id")
+    sink = sp.run_available_now(joined, "append")
+    return sink.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_STATIC_JOIN = """
+SELECT c_mktsegment, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "stream_window_counts": (s_window_counts, SQL_WINDOW_COUNTS),
+    "stream_session_windows": (s_session_windows, SQL_SESSION_WINDOWS),
+    "stream_dedup_counts": (s_dedup_counts, SQL_DEDUP_COUNTS),
+    "stream_static_join": (s_static_join, SQL_STATIC_JOIN),
+}

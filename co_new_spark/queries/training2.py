@@ -1,0 +1,201 @@
+"""Training-pipeline surface, part 2: quality scoring, fingerprinting,
+embedding near-dup, multimodal plumbing, shortcode resolution, extraction.
+
+Oracle-checked where DuckDB can restate the computation bit-stably; the
+multimodal/extraction/pages entries are rows-only (binary payloads and the
+reference-CSV dims aren't visible to the oracle's pre-registered views).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import media
+from ..sources.pages import pages
+from ..sources.tables import load
+
+# ---------------------------------------------------------------------------
+# train_quality_score — heuristic doc quality (length/punct/alpha), oracle'd
+# ---------------------------------------------------------------------------
+
+
+def t_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       round(least(n / 500.0, 1.0) * 0.4
+             + (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END) * 0.4
+             + (CASE WHEN n > 0
+                     THEN 1.0 - least(n_punct / greatest(n / 20.0, 1.0), 1.0)
+                     ELSE 0.0 END) * 0.2, 6) AS quality
+FROM (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# train_fingerprint — rolling polynomial hash (native fold on both engines)
+# ---------------------------------------------------------------------------
+
+
+def t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    fp = tx.rolling_fingerprint(F.col("text"))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+        .select("doc_id", "fp", (F.col("rn") == 1).alias("is_canonical"))
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH fps AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) > 0 THEN
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(norm, ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+             (acc, c) -> (acc * {tx.FP_BASE} + c) % {tx.FP_MOD})
+         ELSE 0 END AS fp
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents))
+SELECT doc_id, fp,
+       row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_canonical
+FROM fps
+"""
+
+
+# ---------------------------------------------------------------------------
+# train_embed_neardup — embedding-cosine near-duplicate pairs (exact, oracle'd)
+# ---------------------------------------------------------------------------
+
+NEARDUP_SIM = 0.35
+
+
+def _cosine(a, b):
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def t_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """All vector pairs with cosine >= threshold (exact ground truth).
+
+    At scale this runs AFTER LSH bucketing (train_knn_lsh path); the exact
+    pair scan is the correctness oracle and the small-input default.
+    """
+    emb = load(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b",
+                     F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= NEARDUP_SIM)
+    )
+
+
+SQL_EMBED_NEARDUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+            6) >= {NEARDUP_SIM}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing over the pages binary payloads (rows-only)
+# ---------------------------------------------------------------------------
+
+_PAGES_N = 5_000
+
+
+def t_media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """binary -> typed metadata via mapInPandas; agg by sniffed format."""
+    pg = pages(spark, _PAGES_N)
+    meta = media.media_meta(pg, bin_col="html", key_col="url")
+    return meta.groupBy("format", "n_channels").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("phash").alias("n_distinct_phash"),
+    )
+
+
+def t_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling explode shape: 4 'frames' per payload, dedup by hash."""
+    pg = pages(spark, _PAGES_N)
+    fr = media.frame_sample(pg, n_frames=4, bin_col="html", key_col="url")
+    return fr.groupBy("frame_idx").agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("frame_hash").alias("n_distinct"),
+    )
+
+
+def t_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash-style dedup over decoded media features (rows-only).
+
+    Byte-identical payloads (the duplicated-url groups of the pages fixture)
+    must collapse to one canonical url per phash.
+    """
+    pg = pages(spark, _PAGES_N)
+    meta = media.media_meta(pg, bin_col="html", key_col="url")
+    w = Window.partitionBy("phash").orderBy("url")
+    return (
+        meta.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("format").agg(F.count("*").alias("n_canonical"))
+    )
+
+
+def t_extract_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """A28 contract: engine extraction of html == the stored text, per url.
+
+    Output: per-lang counts of urls where extracted == stored (must equal
+    n_urls) after B14 url-dedup.  Rows-only (binary not visible to oracle);
+    the byte-identity invariant is also pytest-gated.
+    """
+    pg = pages(spark, _PAGES_N)
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    latest = pg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ext = latest.withColumn("extracted", tx.extract_text(F.col("html")))
+    return ext.groupBy("lang").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.when(F.col("extracted") == F.col("text"), 1).otherwise(0))
+        .alias("n_bytes_identical"),
+    )
+
+
+QUERIES = {
+    "train_quality_score": (t_quality_score, SQL_QUALITY),
+    "train_fingerprint": (t_fingerprint, SQL_FINGERPRINT),
+    "train_embed_neardup": (t_embed_neardup, SQL_EMBED_NEARDUP),
+    "mm_media_meta": (t_media_meta, None),
+    "mm_frame_sample": (t_frame_sample, None),
+    "mm_phash_dedup": (t_phash_dedup, None),
+    "train_extract_consistency": (t_extract_consistency, None),
+}

@@ -1,0 +1,86 @@
+"""Structured Streaming surface (SURVEY.md §2.C): the late-page ingestion path.
+
+The reference has no streaming concept; this exists because the engine's
+north rule targets continuously-crawled pages.  All operators are pure Spark
+built-ins (watermarks, tumbling/session windows, stateful dedup,
+stream-static joins) — at scale the sink is a partitioned parquet/Iceberg
+table; tests and the driver contract use ``availableNow`` + an in-memory sink
+so a bounded input drains deterministically and the result is queryable as a
+batch table.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SINK_IDS = itertools.count()
+
+
+def parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming scan of a parquet file/dir (schema pinned from a batch read).
+
+    The file-stream source requires a DIRECTORY; a single-file path is shimmed
+    through a temp dir holding a symlink (read-only testdata stays untouched).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = os.path.join(tempfile.gettempdir(), "co_stream_src",
+                         hashlib.sha1(path.encode()).hexdigest()[:12])
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = d
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(stream: DataFrame, ts_col: str, keys: list[str],
+                    window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """C2+C3: watermarked tumbling-window counts per key."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def session_windows(stream: DataFrame, ts_col: str, keys: list[str],
+                    gap: str = "5 minutes", watermark: str = "2 hours") -> DataFrame:
+    """C4: session windows (merge events closer than ``gap`` per key)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *keys)
+        .agg(F.count("*").alias("n"), F.min(ts_col).alias("first_ts"))
+    )
+
+
+def dedup_stream(stream: DataFrame, keys: list[str], ts_col: str,
+                 watermark: str = "2 hours") -> DataFrame:
+    """C5: stateful streaming dedup — first row per key wins within watermark."""
+    return stream.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(keys)
+
+
+def stream_static_join(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """C7: stream x broadcast static dimension (no state, map-side)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a bounded stream with Trigger.AvailableNow into a memory sink.
+
+    Returns the sink as a batch DataFrame.  ``output_mode``: 'complete' for
+    full aggregations, 'append' for row streams (joins, dedup).
+    """
+    name = f"co_stream_sink_{next(_SINK_IDS)}"
+    q = (result.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return result.sparkSession.table(name)

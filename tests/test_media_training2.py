@@ -1,0 +1,85 @@
+"""Tests: multimodal plumbing, extraction contract, fingerprint/quality ops."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from co_new_spark.functions import text as tx
+from co_new_spark.operators import media
+from co_new_spark.sources.pages import pages
+
+
+def test_decode_image_stub_contract():
+    with pytest.raises(NotImplementedError):
+        media.decode_image(b"\x89PNG1234")
+    a = media.decode_image(b"payload", deterministic_fake=True)
+    b = media.decode_image(b"payload", deterministic_fake=True)
+    assert a == b  # stable pseudo-features
+    assert set(a) == {"width", "height", "n_channels", "phash"}
+
+
+def test_sniff_format():
+    assert media.sniff_format(b"\x89PNGxxx") == "png"
+    assert media.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert media.sniff_format(b"<html><body>") == "html"
+    assert media.sniff_format(b"junk") == "unknown"
+    assert media.sniff_format(b"") == "unknown"
+
+
+def test_media_meta_deterministic_across_partitionings(spark):
+    pg = pages(spark, 200)
+    m1 = media.media_meta(pg.repartition(1)).orderBy("url").toPandas()
+    m8 = media.media_meta(pg.repartition(8)).orderBy("url").toPandas()
+    assert m1.equals(m8)
+    assert (m1["format"] == "html").all()
+
+
+def test_frame_sample_shape(spark):
+    pg = pages(spark, 50)
+    fr = media.frame_sample(pg, n_frames=4).toPandas()
+    assert len(fr) == 200
+    assert sorted(fr.frame_idx.unique()) == [0, 1, 2, 3]
+    # frames of byte-identical payloads collide; distinct urls mostly differ
+    assert fr.frame_hash.nunique() > 40
+
+
+def test_extraction_byte_identity(spark):
+    """A28 contract: extract_text(html) must equal the stored text byte-for-byte."""
+    pg = pages(spark, 500)
+    ext = pg.withColumn("extracted", tx.extract_text(F.col("html")))
+    bad = ext.filter(F.col("extracted") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_extraction_dedup_contract(spark):
+    """Duplicated urls carry byte-identical html => identical extracted text."""
+    pg = pages(spark, 500, with_truth=True)
+    per_url = (
+        pg.withColumn("extracted", tx.extract_text(F.col("html")))
+        .groupBy("url").agg(F.countDistinct("extracted").alias("n"))
+    )
+    assert per_url.filter(F.col("n") > 1).count() == 0
+    assert pg.groupBy("url").count().filter(F.col("count") > 1).count() > 0
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    rows = [("a b  C",), ("",), ("ñandú río",), ("x" * 300,)]
+    df = spark.createDataFrame(rows, ["t"])
+    got = df.select(tx.rolling_fingerprint(F.col("t")).alias("fp")).toPandas()["fp"].tolist()
+
+    def pyfp(s):
+        norm = " ".join(s.lower().strip().split())
+        acc = 0
+        for ch in norm:
+            acc = (acc * tx.FP_BASE + ord(ch)) % tx.FP_MOD
+        return acc
+
+    assert got == [pyfp(r[0]) for r in rows]
+
+
+def test_fake_embed_unit_norm(spark):
+    pg = pages(spark, 20)
+    emb = media.fake_embed(pg, dim=16).toPandas()
+    norms = emb.embedding.map(lambda v: float(np.linalg.norm(v)))
+    assert ((norms - 1.0).abs() < 1e-3).all()
+    assert emb.embedding.map(len).eq(16).all()
