@@ -1,0 +1,74 @@
+"""Flagship end-to-end pipeline (SURVEY.md §3.4) with lineage + resume (M5).
+
+pages -> geoparse -> Grid B geocode (one Arrow crossing) -> broadcast cover
+join -> per-cell agg -> resumable partitioned write (L0-digit buckets) with
+the per-bucket lineage ledger.  Registered rows-only: the returned DataFrame
+is the METRICS LEDGER (bucket, n_rows, ...) so the driver check asserts the
+whole pipeline ran and committed every bucket.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells_sql, geo
+from ..functions import text as txf
+from ..operators.cover import cover_lookup_best
+from ..plans import lineage
+from ..sources.pages import pages
+from ..sources.reference_data import load_citycover
+
+_PAGES_N = 10_000
+
+
+def geocoded_pages(spark: SparkSession, n: int, rbits: int = 26,
+                   partitions: int | None = None) -> DataFrame:
+    """pages -> (url, lang, cell, l0) — the shared front half of the pipeline."""
+    pg = pages(spark, n, partitions=partitions)
+    parsed = pg.select(
+        "url", "lang",
+        txf.parse_lat(F.col("text")).alias("lat"),
+        txf.parse_lon(F.col("text")).alias("lon"),
+    ).filter(F.col("lat").isNotNull())
+    return (
+        parsed.withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), rbits))
+        .filter(F.col("cell") >= 0)
+        .withColumn("l0", cells_sql.cell_l0_digit(F.col("cell")))
+    )
+
+
+def p_resumable_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    """Run the flagship pipeline twice against one dataset dir: a partial
+    'crashed' run (2 buckets), then the resuming run; return the final ledger.
+
+    Driver-visible invariants: 16 ledger rows (one per L0 bucket present),
+    two distinct run_ids (proof the resume path executed), counts summing to
+    the geocoded page count.
+    """
+    base = os.path.join(tempfile.gettempdir(), "co_flagship_ledger")
+    shutil.rmtree(base, ignore_errors=True)
+
+    pts = geocoded_pages(spark, _PAGES_N)
+    cover = load_citycover(spark)
+    hit = cover_lookup_best(pts.select("url", "lang", "cell", "l0"), cover)
+    per_cell = hit.groupBy("l0", "isolabel_ext").agg(F.count("*").alias("n_pages"))
+
+    lineage.resumable_write(per_cell, base, "l0", max_buckets=2)  # simulated crash
+    lineage.resumable_write(per_cell, base, "l0")                 # resume
+    led = lineage.metrics(spark, base)
+    n_runs = F.size(F.collect_set("run_id").over(Window.partitionBy()))
+    return led.select(
+        F.col("bucket").alias("l0"),
+        "n_rows",
+        (n_runs >= 2).alias("resumed"),
+    ).orderBy("l0")
+
+
+QUERIES = {
+    "pipeline_resumable_flagship": (p_resumable_flagship, None),
+}

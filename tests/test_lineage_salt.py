@@ -1,0 +1,99 @@
+"""Tests: resumable ledgered writes (crash/resume) + salted aggregation parity."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from co_new_spark.operators.salt import salted_agg, salted_count, salted_topk
+from co_new_spark.plans import lineage
+
+
+def _fact(spark, n=10_000):
+    # skewed: bucket 3 holds ~half the rows; buckets 0..7 all occur
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 3)
+        .otherwise(F.pmod(F.xxhash64(F.col("id")), 8)).alias("bucket"),
+        (F.col("id") * 7 % 101).alias("v"),
+    )
+
+
+def test_resumable_write_then_resume(spark, tmp_path):
+    base = str(tmp_path / "ds")
+    df = _fact(spark)
+
+    # simulated crash: only 3 buckets commit
+    r1 = lineage.resumable_write(df, base, "bucket", max_buckets=3)
+    assert len(r1["written"]) == 3 and r1["skipped"] == []
+    assert lineage.completed_buckets(spark, base) == set(r1["written"])
+    # reader isolation: only ledgered buckets are visible
+    visible = lineage.dataset(spark, base).select("bucket").distinct()
+    assert {r.bucket for r in visible.collect()} == set(r1["written"])
+
+    # resume: remaining buckets commit, completed ones are skipped
+    r2 = lineage.resumable_write(df, base, "bucket")
+    assert set(r2["skipped"]) == set(r1["written"])
+    assert set(r2["written"]) == {0, 1, 2, 3, 4, 5, 6, 7} - set(r1["written"])
+
+    # final content equals the input exactly (no dupes, no loss)
+    got = lineage.dataset(spark, base)
+    assert got.count() == df.count()
+    assert got.select(F.sum("v")).first()[0] == df.select(F.sum("v")).first()[0]
+
+    # idempotent re-run: nothing pending
+    r3 = lineage.resumable_write(df, base, "bucket")
+    assert r3["written"] == [] and r3["n_rows"] == 0
+
+    # metrics ledger: one row per bucket, counts match the data
+    m = {r.bucket: r.n_rows for r in lineage.metrics(spark, base).collect()}
+    exp = {r.bucket: r.n for r in df.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert m == exp
+
+
+def test_interrupted_bucket_is_rewritten_not_duplicated(spark, tmp_path):
+    """A bucket written but NOT ledgered (crash before commit) re-runs cleanly."""
+    base = str(tmp_path / "ds2")
+    df = _fact(spark, 1_000)
+    # write bucket 3's data directly, without a ledger entry (simulated torn write)
+    df.filter(F.col("bucket") == 3).write.mode("overwrite") \
+      .partitionBy("bucket").parquet(str(tmp_path / "ds2" / "data"))
+    assert lineage.completed_buckets(spark, base) == set()
+    lineage.resumable_write(df, base, "bucket")
+    got = lineage.dataset(spark, base)
+    assert got.count() == df.count()  # dynamic overwrite replaced the torn bucket
+
+
+def test_salted_count_parity(spark):
+    df = _fact(spark, 5_000)
+    direct = {r.bucket: r.n for r in
+              df.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    salted = {r.bucket: r.n for r in salted_count(df, ["bucket"]).collect()}
+    assert direct == salted
+
+
+def test_salted_agg_sum_parity(spark):
+    df = _fact(spark, 5_000)
+    direct = {r.bucket: (r.n, r.s) for r in df.groupBy("bucket")
+              .agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()}
+    two = salted_agg(df, ["bucket"],
+                     {"n": F.count("*"), "s": F.sum("v")},
+                     {"n": F.sum("n"), "s": F.sum("s")})
+    got = {r.bucket: (r.n, r.s) for r in two.collect()}
+    assert direct == got
+
+
+def test_salted_topk_parity(spark):
+    df = _fact(spark, 5_000)
+    order = [F.col("v").desc(), F.col("id")]
+    w = Window.partitionBy("bucket").orderBy(*order)
+    direct = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    got = salted_topk(df, ["bucket"], order, 5)
+    d = {(r.bucket, r.rn): r.id for r in direct.collect()}
+    g = {(r.bucket, r.rn): r.id for r in got.collect()}
+    assert d == g
+
+
+def test_salted_topk_order_overload(spark):
+    # single-column order also works (non-list)
+    df = _fact(spark, 200)
+    got = salted_topk(df, ["bucket"], F.col("id"), 2)
+    assert got.filter(F.col("rn") > 2).count() == 0
