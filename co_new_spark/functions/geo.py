@@ -110,7 +110,35 @@ def xy_to_cell_b(x: Column, y: Column, rbits: int) -> Column:
 
 _LATLON = StructType([StructField("lat", DoubleType()), StructField("lon", DoubleType())])
 _XY = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+_XYC = StructType([StructField("x", DoubleType()), StructField("y", DoubleType()),
+                   StructField("cell", LongType())])
 _BOX = StructType([StructField(n, DoubleType()) for n in ("xmin", "ymin", "xmax", "ymax")])
+
+
+@lru_cache(maxsize=None)
+def _latlon_to_xy_cell_udf(rbits: int):
+    @F.pandas_udf(_XYC)
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        la, lo = _to_np(lat), _to_np(lon)
+        x, y = proj.forward(la, lo)
+        finite = np.isfinite(x) & np.isfinite(y)
+        bits, valid = grids.grid_b_encode_xy(
+            np.where(finite, x, 0.0), np.where(finite, y, 0.0), rbits)
+        cell = cells.pack(bits, np.full(bits.shape, 4 + rbits, dtype=np.int64))
+        return pd.DataFrame({"x": x, "y": y,
+                             "cell": np.where(valid & finite, cell, -1)})
+
+    return enc
+
+
+def latlon_to_xy_cell(lat: Column, lon: Column, rbits: int) -> Column:
+    """(lat, lon) -> struct(x, y, cell): projection + encode in ONE crossing.
+
+    Use this instead of chaining latlon_to_xy |> xy_to_cell_b — each chained
+    pandas UDF in a stage holds its own Python worker per task, and a filter
+    on the chain's output re-evaluates the whole chain.
+    """
+    return _latlon_to_xy_cell_udf(rbits)(lat, lon)
 
 
 @F.pandas_udf(_XY)
@@ -160,6 +188,45 @@ def cell_b_box(cell: pd.Series) -> pd.DataFrame:
 def cell_b_center(cell: pd.Series) -> pd.DataFrame:
     cx, cy = cells.cell_b_center(cell.to_numpy(dtype=np.int64, na_value=-1))
     return pd.DataFrame({"x": cx, "y": cy})
+
+
+@lru_cache(maxsize=None)
+def _encode_b_cell_from_text_udf(rbits: int):
+    import re
+
+    geo_re = re.compile(r"geo:(-?[0-9]{1,2}(?:\.[0-9]+)?),(-?[0-9]{1,3}(?:\.[0-9]+)?)")
+    pair_re = re.compile(r"(-?[0-9]{1,2}\.[0-9]{3,}),\s(-?[0-9]{1,3}\.[0-9]{3,})")
+
+    @F.pandas_udf(LongType())
+    def enc(text: pd.Series) -> pd.Series:
+        s = text.fillna("").astype(str)
+        m = s.str.extract(geo_re, expand=True)
+        need = m[0].isna()
+        if need.any():
+            m2 = s[need].str.extract(pair_re, expand=True)
+            m.loc[need, 0] = m2[0]
+            m.loc[need, 1] = m2[1]
+        lat = pd.to_numeric(m[0], errors="coerce").to_numpy(dtype=np.float64)
+        lon = pd.to_numeric(m[1], errors="coerce").to_numpy(dtype=np.float64)
+        ok = np.isfinite(lat) & np.isfinite(lon)
+        x, y = proj.forward(np.where(ok, lat, 0.0), np.where(ok, lon, 0.0))
+        f = ok & np.isfinite(x) & np.isfinite(y)
+        bits, valid = grids.grid_b_encode_xy(
+            np.where(f, x, 0.0), np.where(f, y, 0.0), rbits)
+        cell = cells.pack(bits, np.full(bits.shape, 4 + rbits, dtype=np.int64))
+        return pd.Series(np.where(valid & f, cell, -1))
+
+    return enc
+
+
+def encode_b_cell_from_text(text: Column, rbits: int) -> Column:
+    """A27+A2+A4 fused: geoparse text (geo: URI first, plain decimal pair
+    fallback — same precedence as functions.text.parse_lat) + project +
+    encode to a Grid B cell in ONE Arrow crossing; -1 where no coordinates
+    or off-grid.  This is the flagship hot path: regex runs vectorized in
+    pandas instead of four interpreted JVM regexp_extracts per row.
+    """
+    return _encode_b_cell_from_text_udf(rbits)(text)
 
 
 @F.pandas_udf(StringType())

@@ -23,6 +23,10 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Parquet scan sizing: target ~128MB splits at scale
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Split generated methods aggressively: big literal expression trees
+    # (synthetic generators, wide agg lists) must stay under janino's 64 KB
+    # per-method limit or the whole stage silently drops to interpreted eval
+    "spark.sql.codegen.methodSplitThreshold": "256",
     "spark.sql.parquet.filterPushdown": "true",
     # Deterministic timestamps across JVMs
     "spark.sql.session.timeZone": "UTC",

@@ -162,14 +162,18 @@ def g_cover_lookup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def g_knn_ring(spark: SparkSession, sf: str) -> DataFrame:
-    """kNN of page points around 50 query points via cell-ring expansion."""
+    """kNN of page points around 50 query points via cell-ring expansion.
+
+    Projection+encode fused in one pandas UDF; NO filter on the UDF output
+    (a filter would re-evaluate the chain) — off-grid cells (-1) drop out
+    naturally because the ring array of an invalid cell is empty and -1
+    never appears in any ring.
+    """
     pg = pages(spark, _PAGES_N, with_truth=True)
-    pts = pg.select(F.col("id"), F.col("true_lat").alias("lat"),
-                    F.col("true_lon").alias("lon")) \
-            .withColumn("xy", geo.latlon_to_xy(F.col("lat"), F.col("lon"))) \
-            .select("id", F.col("xy.x").alias("x"), F.col("xy.y").alias("y")) \
-            .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 10)) \
-            .filter(F.col("cell") >= 0)
+    pts = pg.select(
+        "id", geo.latlon_to_xy_cell(F.col("true_lat"), F.col("true_lon"), 10).alias("s"))
+    pts = pts.select("id", F.col("s.x").alias("x"), F.col("s.y").alias("y"),
+                     F.col("s.cell").alias("cell"))
     q = pts.filter(F.col("id") < 50).select(F.col("id").alias("qid"), "x", "y", "cell")
     c = pts.select(F.col("id").alias("cid"), "x", "y", "cell")
     return knn_ring(q, c, k=5, ring=1, exclude_self=True)

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
@@ -33,7 +34,7 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_REVENUE), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -60,7 +61,7 @@ def q_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -89,7 +90,7 @@ def q_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return j.rollup("r_name", "n_name").agg(
-        F.round(F.sum(_REVENUE), 2).alias("revenue"),
+        F.round(F.sum(_revenue()), 2).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 

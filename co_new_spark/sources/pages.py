@@ -50,8 +50,6 @@ def _cell_wgs84_rect(digit: int) -> tuple[float, float, float, float]:
 
 
 _RECTS = [_cell_wgs84_rect(d) for d in range(16)]
-_CELL_C_RECT = _RECTS[0xC]
-_OFFSHORE_RECT = _RECTS[0x2]
 _BOGOTA = (4.711111, -74.072222)
 
 
@@ -78,31 +76,26 @@ def pages(spark: SparkSession, n: int, partitions: int | None = None,
     uid = F.col("url_id")
     u0, u1, u2, u3, u4 = (_u(uid, k) for k in range(5))
 
-    def _rect_point(rect, a, b):
-        latmin, latmax, lonmin, lonmax = rect
-        return (F.lit(latmin) + a * F.lit(latmax - latmin),
-                F.lit(lonmin) + b * F.lit(lonmax - lonmin))
-
-    # random covered L0 digit for the uniform-over-cover branch
+    # Distribution is encoded as an 18-entry (base, span) lookup so lat/lon
+    # stay SMALL expressions: giant nested whens here are evaluated as the
+    # geocode pandas-UDF's argument projection, which runs OUTSIDE whole-stage
+    # codegen and falls back to interpreted eval past 64 KB of generated code
+    # (measured: ~1.5 ms/row — 30 s for 20k rows — before this form).
+    # Entries 0-15: the covered-L0-cell rects; 16: Bogotá ±0.25°; 17: Iberia
+    # (off-grid).  Offshore reuses entry 2 (the Caribbean-sea L0 cell).
+    bog = (_BOGOTA[0] - 0.25, _BOGOTA[0] + 0.25, _BOGOTA[1] - 0.25, _BOGOTA[1] + 0.25)
+    iberia = (38.0, 50.0, -10.0, -2.0)
+    rects = _RECTS + [bog, iberia]
     digit = F.pmod(F.xxhash64(uid, F.lit(9)), F.lit(16)).cast("int")
-    lat_arr = F.array(*[F.lit(r[0]) for r in _RECTS])
-    lat_span = F.array(*[F.lit(r[1] - r[0]) for r in _RECTS])
-    lon_arr = F.array(*[F.lit(r[2]) for r in _RECTS])
-    lon_span = F.array(*[F.lit(r[3] - r[2]) for r in _RECTS])
-    cov_lat = F.element_at(lat_arr, digit + 1) + u1 * F.element_at(lat_span, digit + 1)
-    cov_lon = F.element_at(lon_arr, digit + 1) + u2 * F.element_at(lon_span, digit + 1)
-
-    bog_lat = F.lit(_BOGOTA[0]) + (u1 - 0.5) * F.lit(0.50)
-    bog_lon = F.lit(_BOGOTA[1]) + (u2 - 0.5) * F.lit(0.50)
-    cc_lat, cc_lon = _rect_point(_CELL_C_RECT, u1, u2)
-    off_lat, off_lon = _rect_point(_OFFSHORE_RECT, u1, u2)
-    out_lat = F.lit(38.0) + u1 * F.lit(12.0)   # Iberia — off the Colombian grid
-    out_lon = F.lit(-10.0) + u2 * F.lit(8.0)
-
-    lat = (F.when(u0 < 0.10, bog_lat).when(u0 < 0.35, cc_lat)
-           .when(u0 < 0.40, off_lat).when(u0 < 0.98, cov_lat).otherwise(out_lat))
-    lon = (F.when(u0 < 0.10, bog_lon).when(u0 < 0.35, cc_lon)
-           .when(u0 < 0.40, off_lon).when(u0 < 0.98, cov_lon).otherwise(out_lon))
+    sel = (F.when(u0 < 0.10, F.lit(16)).when(u0 < 0.35, F.lit(0xC))
+           .when(u0 < 0.40, F.lit(0x2)).when(u0 < 0.98, digit)
+           .otherwise(F.lit(17)) + 1)
+    lat_base = F.array(*[F.lit(r[0]) for r in rects])
+    lat_span = F.array(*[F.lit(r[1] - r[0]) for r in rects])
+    lon_base = F.array(*[F.lit(r[2]) for r in rects])
+    lon_span = F.array(*[F.lit(r[3] - r[2]) for r in rects])
+    lat = F.element_at(lat_base, sel) + u1 * F.element_at(lat_span, sel)
+    lon = F.element_at(lon_base, sel) + u2 * F.element_at(lon_span, sel)
 
     lat_s = F.format_string("%.7f", lat)
     lon_s = F.format_string("%.7f", lon)
