@@ -25,7 +25,6 @@ def run() -> dict:
     from pyspark.sql import functions as F
 
     from co_new_spark.functions import cells_sql, geo
-    from co_new_spark.functions import text as txf
     from co_new_spark.operators.cover import cover_lookup_best
     from co_new_spark.plans.session import get_spark
     from co_new_spark.queries import REGISTRY
@@ -87,7 +86,7 @@ def run() -> dict:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    return {
+    out = {
         "metric": "headline suite wall seconds (flagship 1M-page geocode+cover-join + operator suite)",
         "value": total,
         "unit": "sec",
@@ -98,6 +97,42 @@ def run() -> dict:
         "n_geocoded": int(n_geocoded),
         "cpus": cpus,
     }
+
+    # --- two-cluster-size scaling rule (BASELINE.json): same job, fresh JVM
+    # per parallelism level, fixed input + partitioning.  N=1 vs 4N=4 keeps
+    # BOTH runs under the host's real core budget (each Spark task thread
+    # drives a Python UDF worker, so local[k] consumes ~2k cores; see
+    # BENCH.md for the full 1..32 curve and the JVM-only calibration).
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        import subprocess
+
+        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "scaling_worker.py")
+        scale_pages = int(os.environ.get("SCALING_PAGES", "4000000"))
+        trials = int(os.environ.get("SCALING_TRIALS", "2"))
+        env = {**os.environ, "SCALING_PARTS": "64"}
+        sc_res: dict[int, dict] = {}
+        # interleaved best-of-N: the sandbox host's spare capacity swings
+        # minute-to-minute, so each level keeps its best (least-contended) run
+        for _trial in range(trials):
+            for c in (1, 4):
+                r = subprocess.run([sys.executable, worker, str(c), str(scale_pages)],
+                                   capture_output=True, text=True, env=env)
+                got = json.loads(r.stdout.strip().splitlines()[-1])
+                if c not in sc_res or got["pages_per_sec"] > sc_res[c]["pages_per_sec"]:
+                    sc_res[c] = got
+        eff = sc_res[4]["pages_per_sec"] / sc_res[1]["pages_per_sec"] / 4.0
+        out["scaling"] = {
+            "pages": scale_pages,
+            "n_cores": {"throughput": sc_res[1]["pages_per_sec"],
+                        "wall_s": sc_res[1]["wall_s"], "cores": 1},
+            "4n_cores": {"throughput": sc_res[4]["pages_per_sec"],
+                         "wall_s": sc_res[4]["wall_s"], "cores": 4},
+            "efficiency": round(eff, 3),
+            "partition_skew": sc_res[4]["partition_skew"],
+            "hot_municipality_share": sc_res[4]["hot_share"],
+        }
+    return out
 
 
 if __name__ == "__main__":

@@ -1,0 +1,74 @@
+"""One scaling-bench trial: flagship pipeline at a given local[N] parallelism.
+
+Usage: python tools/scaling_worker.py <cpus> <n_pages>
+Prints ONE JSON line: {"cpus": N, "wall_s": .., "pages_per_sec": ..,
+"n_geocoded": .., "partition_skew": max/median input-partition rows,
+"hot_share": top-municipality share of output rows}.
+
+Run in a FRESH process per parallelism level (the JVM master can't change
+in-process); the parent (bench.py / tools/scaling_bench.py) computes the
+two-cluster-size efficiency per the BASELINE.json north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(cpus: int, n_pages: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from co_new_spark.functions import geo
+    from co_new_spark.operators.cover import cover_lookup_best
+    from co_new_spark.plans.session import get_spark
+    from co_new_spark.sources.pages import pages
+    from co_new_spark.sources.reference_data import load_citycover
+
+    spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    cover = load_citycover(spark)
+
+    def flagship(n, parts):
+        pg = pages(spark, n, partitions=parts)
+        pts = pg.select(
+            "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
+        ).filter(F.col("cell") >= 0)
+        hit = cover_lookup_best(pts, cover, keep=["url", "cell"], dedup=False)
+        return hit.groupBy("isolabel_ext").agg(F.count("*").alias("n"))
+
+    flagship(20_000, cpus).agg(F.sum("n")).collect()  # steady-state warmup
+
+    parts = int(os.environ.get("SCALING_PARTS", cpus * 4))
+    t0 = time.time()
+    agg = flagship(n_pages, parts)
+    rows = agg.collect()
+    wall = time.time() - t0
+    n_geo = sum(r.n for r in rows)
+    hot_share = max(r.n for r in rows) / n_geo
+
+    # input-partition balance of the Arrow-UDF stage (skew diagnostic)
+    pg = pages(spark, n_pages, partitions=parts)
+    sizes = [r.n for r in pg.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count("*").alias("n")).collect()]
+    skew = max(sizes) / statistics.median(sizes)
+
+    return {
+        "cpus": cpus,
+        "pages": n_pages,
+        "wall_s": round(wall, 2),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "n_geocoded": int(n_geo),
+        "partition_skew": round(skew, 3),
+        "hot_share": round(hot_share, 4),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(main(int(sys.argv[1]), int(sys.argv[2]))))
