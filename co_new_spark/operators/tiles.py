@@ -36,6 +36,89 @@ def tile_id(x: Column, y: Column, z: int) -> Column:
     return F.when(ok, ty * (1 << z) + tx)
 
 
+def _grid_b_global_ji(cell: Column, depth: int) -> tuple[Column, Column]:
+    """Grid B cell (depth = 4+r, even r) -> (gy, gx) global lattice coords,
+    entirely native: digit -> (j, i) via literal arrays, refinement bits
+    de-interleaved with shifts (y-first Morton, MSB first)."""
+    r = depth - 4
+    ny = nx = r // 2
+    bits = F.shiftright(cell, 6)
+    digit = F.shiftright(bits, r)
+    ref = bits.bitwiseAND(F.lit((1 << r) - 1)) if r else F.lit(0)
+    jarr = F.array(*[F.lit(int(v)) for v in grids.L0_J_BY_DIGIT])
+    iarr = F.array(*[F.lit(int(v)) for v in grids.L0_I_BY_DIGIT])
+    j = F.element_at(jarr, (digit + 1).cast("int"))
+    i = F.element_at(iarr, (digit + 1).cast("int"))
+    iy = F.lit(0).cast("long")
+    ix = F.lit(0).cast("long")
+    for t in range(r):  # stream bit t (0 = MSB): even -> y, odd -> x
+        b = F.shiftrightunsigned(ref, r - 1 - t).bitwiseAND(F.lit(1)).cast("long")
+        if t % 2 == 0:
+            iy = iy.bitwiseOR(F.shiftleft(b, ny - 1 - t // 2))
+        else:
+            ix = ix.bitwiseOR(F.shiftleft(b, nx - 1 - t // 2))
+    return j * (1 << ny) + iy, i * (1 << nx) + ix
+
+
+def cell_to_tile(cell: Column, depth: int, z: int) -> Column:
+    """A26: Grid B cell -> containing XYZ tile id at zoom z (via cell center,
+    all codegen arithmetic — no UDF).  NULL for invalid cells."""
+    side = grids.L0_SIDE / (1 << (depth - 4) // 2)
+    gy, gx = _grid_b_global_ji(cell, depth)
+    cx = F.lit(X0) + (gx.cast("double") + 0.5) * F.lit(side)
+    cy = F.lit(Y0) + (gy.cast("double") + 0.5) * F.lit(side)
+    return F.when(cell >= 0, tile_id(cx, cy, z))
+
+
+def tile_to_cells(tile: Column, z: int, depth: int) -> Column:
+    """A26 inverse: XYZ tile -> array of the depth-``depth`` Grid B cells
+    whose centers fall inside the tile (cells off the 16-cell cover excluded).
+
+    Native: tile -> planar extent -> lattice index window -> sequence x
+    sequence -> re-interleave.  Callers explode the array for tile joins.
+    """
+    r = depth - 4
+    ny = nx = r // 2
+    side = grids.L0_SIDE / (1 << ny)
+    n = 1 << z
+    tx = F.pmod(tile, F.lit(n))
+    ty = F.floor(tile / n).cast("long")
+    x0 = F.lit(X0) + tx.cast("double") * F.lit(X_EXTENT / n)
+    x1 = x0 + F.lit(X_EXTENT / n)
+    y1 = F.lit(Y0 + Y_EXTENT) - ty.cast("double") * F.lit(Y_EXTENT / n)
+    y0 = y1 - F.lit(Y_EXTENT / n)
+    gx0 = F.greatest(F.ceil((x0 - F.lit(X0)) / F.lit(side) - 0.5), F.lit(0)).cast("long")
+    gx1 = F.least(F.floor((x1 - F.lit(X0)) / F.lit(side) - 0.5),
+                  F.lit(grids.L0_NI * (1 << nx) - 1)).cast("long")
+    gy0 = F.greatest(F.ceil((y0 - F.lit(Y0)) / F.lit(side) - 0.5), F.lit(0)).cast("long")
+    gy1 = F.least(F.floor((y1 - F.lit(Y0)) / F.lit(side) - 0.5),
+                  F.lit(grids.L0_NJ * (1 << ny) - 1)).cast("long")
+    digit_arr = F.array(*[F.lit(int(v)) for row in grids.L0_DIGIT_BY_JI
+                          for v in row])  # row-major (j, i)
+
+    def _cell(gy, gx):
+        j = F.floor(gy / (1 << ny)).cast("long")
+        i = F.floor(gx / (1 << nx)).cast("long")
+        iy = gy.bitwiseAND(F.lit((1 << ny) - 1))
+        ix = gx.bitwiseAND(F.lit((1 << nx) - 1))
+        digit = F.element_at(digit_arr, (j * grids.L0_NI + i + 1).cast("int"))
+        ref = F.lit(0).cast("long")
+        for t in range(r):
+            src = iy if t % 2 == 0 else ix
+            k = (ny - 1 - t // 2) if t % 2 == 0 else (nx - 1 - t // 2)
+            ref = ref.bitwiseOR(F.shiftleft(
+                F.shiftrightunsigned(src, k).bitwiseAND(F.lit(1)).cast("long"),
+                r - 1 - t))
+        bits = F.shiftleft(digit.cast("long"), r).bitwiseOR(ref)
+        return F.when(digit >= 0, F.shiftleft(bits, 6).bitwiseOR(F.lit(depth)))
+
+    pairs = F.flatten(F.transform(
+        F.sequence(gy0, gy1),
+        lambda gy: F.transform(F.sequence(gx0, gx1), lambda gx: _cell(gy, gx)),
+    ))
+    return F.filter(pairs, lambda c: c.isNotNull())
+
+
 def tile_quadkey_num(x: Column, y: Column, z: int) -> Column:
     """Bing-style quadkey as an integer: sum over levels of digit*4^k.
 

@@ -415,7 +415,22 @@ def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def g_coverage_clip(spark: SparkSession, sf: str) -> DataFrame:
+    """A19: every depth-8 cell clipped to the test polygon -> per-cell area.
+
+    Rows-only (S–H clipping is not SQL-expressible); the exactness property
+    (sum of per-cell clip areas == shoelace area of the polygon) is the
+    pytest gate in tests/test_geometry.py.
+    """
+    from ..operators.coverage import coverage_clip
+
+    cells = g_grid_generate(spark, sf).select("cell")
+    out = coverage_clip(cells, _POLY)
+    return out.select("cell", F.round(F.col("clip_area"), 3).alias("clip_area"))
+
+
 QUERIES = {
+    "geo_coverage_clip": (g_coverage_clip, None),
     "geo_shortcode": (g_shortcode, None),
     "geo_parent_rollup": (g_parent_rollup, SQL_PARENT_ROLLUP),
     "geo_children": (g_children, SQL_CHILDREN),

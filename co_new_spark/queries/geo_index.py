@@ -1,0 +1,222 @@
+"""Index/tiling/scan query surface: global quadtree (A25), tile<->cell
+algebra (A26), partitioned-write pushdown (B1/B4), GeoJSON scan (B3).
+
+Oracle strategy: deterministic lat/lon or planar points derived from
+``events`` with power-of-two-safe integer arithmetic; the engine runs native
+Column kernels; the oracle restates the arithmetic in SQL.  The GeoJSON scan
+reads the reference's own fixture (not visible to the oracle views) and is
+rows-only, cross-checked by pytest against conf.yaml's L0 map.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import global_grid
+from ..grid import grids
+from ..operators import tiles
+from ..sources.tables import load
+from .geo_algebra import _d, _l0_case, _sql_cells_cte, _sql_ref
+
+# deterministic global lat/lon per event (exact in float64 on both engines)
+_LAT = "(-90.0 + ((event_id * 40503) % 180000) / 1000.0)"
+_LON = "(-180.0 + ((event_id * 2654435761) % 360000) / 1000.0)"
+
+_GLEVEL = 6
+
+
+def _event_latlon(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        (F.lit(-90.0) + (F.col("event_id") * 40503) % 180000 / 1000.0).alias("lat"),
+        (F.lit(-180.0) + (F.col("event_id") * 2654435761) % 360000 / 1000.0).alias("lon"),
+    )
+
+
+def g_global_cell(spark: SparkSession, sf: str) -> DataFrame:
+    """A25: global quadtree encode + center round-trip + parent, all native."""
+    pts = _event_latlon(spark, sf)
+    out = pts.withColumn("cell", global_grid.latlng_to_cell(
+        F.col("lat"), F.col("lon"), _GLEVEL))
+    clat, clon = global_grid.cell_to_latlng(F.col("cell"), _GLEVEL)
+    return out.select(
+        "event_id", "cell",
+        clat.alias("center_lat"), clon.alias("center_lon"),
+        global_grid.cell_to_parent(F.col("cell"), 3).alias("parent3"),
+    )
+
+
+def _sql_global() -> str:
+    n = 1 << _GLEVEL
+    r = 2 * _GLEVEL
+    return f"""
+WITH pts AS (
+  SELECT event_id, CAST({_LAT} AS DOUBLE) AS lat, CAST({_LON} AS DOUBLE) AS lon
+  FROM events
+), ij AS (
+  SELECT event_id,
+         least(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), {n - 1}) AS iy,
+         least(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1}) AS ix
+  FROM pts
+), c AS (
+  SELECT event_id, iy, ix, ({_sql_ref(r)}) AS bits FROM ij
+)
+SELECT event_id, bits * 64 + {r} AS cell,
+       (iy + 0.5) / {n} * 180.0 - 90.0 AS center_lat,
+       (ix + 0.5) / {n} * 360.0 - 180.0 AS center_lon,
+       (bits >> {r - 6}) * 64 + 6 AS parent3
+FROM c
+"""
+
+
+_TILE_Z = 3
+_TILE_DEPTH = 8
+
+
+def g_cell_to_tile(spark: SparkSession, sf: str) -> DataFrame:
+    """A26: Grid B cell -> containing raster tile, native prefix/arith only."""
+    from .geo_algebra import _event_points
+    from ..functions import geo
+
+    pts = _event_points(spark, sf)
+    cells = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4)) \
+               .filter(F.col("cell") >= 0).select("cell").distinct()
+    return cells.select(
+        "cell", tiles.cell_to_tile(F.col("cell"), _TILE_DEPTH, _TILE_Z).alias("tile"))
+
+
+def _sql_cell_to_tile() -> str:
+    n = 1 << _TILE_Z
+    dx = tiles.X_EXTENT / n
+    dy = tiles.Y_EXTENT / n
+    side = grids.L0_SIDE / 4.0
+    return f"""
+WITH {_sql_cells_cte(4)},
+cc AS (SELECT DISTINCT cell, j * 4 + iy AS gy, i * 4 + ix AS gx
+       FROM cells WHERE cell >= 0),
+ctr AS (
+  SELECT cell, {_d(tiles.X0)} + (gx + 0.5) * {_d(side)} AS cx,
+               {_d(tiles.Y0)} + (gy + 0.5) * {_d(side)} AS cy
+  FROM cc)
+SELECT cell,
+       CAST(floor(({_d(tiles.Y0 + tiles.Y_EXTENT)} - cy) / {_d(dy)}) AS BIGINT) * {n}
+       + CAST(floor((cx - {_d(tiles.X0)}) / {_d(dx)}) AS BIGINT) AS tile
+FROM ctr
+"""
+
+
+def g_tile_to_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """A26 inverse: every z=2 tile -> its depth-8 cells (explode shape)."""
+    t = spark.range(1 << (2 * 2)).select(F.col("id").alias("tile"))
+    return t.select(
+        "tile",
+        F.explode(tiles.tile_to_cells(F.col("tile"), 2, _TILE_DEPTH)).alias("cell"),
+    )
+
+
+def _sql_tile_to_cells() -> str:
+    z = 2
+    n = 1 << z
+    side = grids.L0_SIDE / 4.0
+    dx = tiles.X_EXTENT / n
+    dy = tiles.Y_EXTENT / n
+    return f"""
+WITH t AS (SELECT unnest(range({n * n})) AS tile),
+ext AS (
+  SELECT tile, (tile % {n}) AS tx, (tile // {n}) AS ty FROM t
+), box AS (
+  SELECT tile,
+         tx * {_d(dx)} AS x0, tx * {_d(dx)} + {_d(dx)} AS x1,
+         {_d(tiles.Y_EXTENT)} - ty * {_d(dy)} - {_d(dy)} AS y0,
+         {_d(tiles.Y_EXTENT)} - ty * {_d(dy)} AS y1
+  FROM ext
+), rng AS (
+  SELECT tile,
+         greatest(CAST(ceil(x0 / {_d(side)} - 0.5) AS BIGINT), 0) AS gx0,
+         least(CAST(floor(x1 / {_d(side)} - 0.5) AS BIGINT), {grids.L0_NI * 4 - 1}) AS gx1,
+         greatest(CAST(ceil(y0 / {_d(side)} - 0.5) AS BIGINT), 0) AS gy0,
+         least(CAST(floor(y1 / {_d(side)} - 0.5) AS BIGINT), {grids.L0_NJ * 4 - 1}) AS gy1
+  FROM box
+), latt AS (
+  SELECT tile, gy.g AS gy, gx.g AS gx
+  FROM rng, LATERAL (SELECT unnest(range(gy0, gy1 + 1)) AS g) gy,
+            LATERAL (SELECT unnest(range(gx0, gx1 + 1)) AS g) gx
+), ji AS (
+  SELECT tile, gy // 4 AS j, gx // 4 AS i, gy % 4 AS iy, gx % 4 AS ix FROM latt
+), dig AS (
+  SELECT tile, {_l0_case()} AS digit, iy, ix FROM ji
+)
+SELECT tile, ((digit * 16 + {_sql_ref(4)}) * 64 + 8) AS cell
+FROM dig WHERE digit >= 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# B1/B4: partitioned write + partition-pruned scan round-trip
+# ---------------------------------------------------------------------------
+
+
+def g_partitioned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Write per-cell aggregates partitioned by L0 digit, read back with a
+    partition filter (pruned scan — only 3 of 16 hive partitions listed),
+    return the filtered contents.  The oracle recomputes from events
+    directly, so the round-trip (write -> prune -> read) is value-checked.
+    """
+    from .geo_algebra import _event_points
+    from ..functions import cells_sql, geo
+
+    pts = _event_points(spark, sf)
+    agg = (pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4))
+           .filter(F.col("cell") >= 0)
+           .groupBy("cell").agg(F.count("*").alias("n"),
+                                F.min("event_id").alias("min_ev"))
+           .withColumn("l0", cells_sql.cell_l0_digit(F.col("cell"))))
+    base = os.path.join(tempfile.gettempdir(), "co_part_scan")
+    agg.write.mode("overwrite").partitionBy("l0").parquet(base)
+    back = spark.read.parquet(base).filter(F.col("l0").isin(0xC, 0x6, 0x4))
+    return back.select("cell", "n", "min_ev", F.col("l0").cast("long").alias("l0"))
+
+
+SQL_PARTITIONED_SCAN = f"""
+WITH {_sql_cells_cte(4)},
+agg AS (
+  SELECT cell, count(*) AS n, min(event_id) AS min_ev,
+         (cell >> 6) >> 4 AS l0
+  FROM cells WHERE cell >= 0 GROUP BY cell)
+SELECT cell, n, min_ev, l0 FROM agg WHERE l0 IN (12, 6, 4)
+"""
+
+
+# ---------------------------------------------------------------------------
+# B3: GeoJSON scan via spark.read.json (rows-only; pytest-checked vs conf)
+# ---------------------------------------------------------------------------
+
+
+def g_geojson_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan the reference grid256 GeoJSON as a DataFrame: explode features,
+    pull nested properties + ring vertex counts natively."""
+    ref = os.environ.get("CO_REFERENCE_DIR", "/root/reference")
+    raw = spark.read.option("multiLine", True).json(
+        os.path.join(ref, "data", "grid256.geojson"))
+    feats = raw.select(F.explode("features").alias("f"))
+    return feats.select(
+        F.col("f.properties.code").alias("code"),
+        F.col("f.properties.ji").alias("ji"),
+        F.col("f.properties.ji_int").alias("ji_int"),
+        F.col("f.geometry.type").alias("geom_type"),
+        F.size(F.col("f.geometry.coordinates")[0]).alias("n_vertices"),
+    ).orderBy("code")
+
+
+QUERIES = {
+    "geo_global_cell": (g_global_cell, _sql_global()),
+    "geo_cell_to_tile": (g_cell_to_tile, _sql_cell_to_tile()),
+    "geo_tile_to_cells": (g_tile_to_cells, _sql_tile_to_cells()),
+    "geo_partitioned_scan": (g_partitioned_scan, SQL_PARTITIONED_SCAN),
+    "geo_geojson_scan": (g_geojson_scan, None),
+}

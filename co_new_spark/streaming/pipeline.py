@@ -73,6 +73,39 @@ def stream_static_join(stream: DataFrame, dim: DataFrame, on, how: str = "inner"
     return stream.join(F.broadcast(dim), on, how)
 
 
+def stateful_running_counts(stream: DataFrame, key: str, ts_col: str,
+                            key_type: str = "string") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    row count + last-seen timestamp, carried across micro-batches in
+    GroupState (the 'custom stateful operator' path of SURVEY.md §2.C when
+    built-ins can't express the semantics).
+
+    Emits one UPDATE row per key per batch: (key, n_total, last_ts).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n, last = (state.get if state.exists else (0, None))
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf[ts_col].max()
+            ms = int(pd.Timestamp(m).value // 1000) if m is not None else None
+            if ms is not None and (last is None or ms > last):
+                last = ms
+        state.update((n, last))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_total": [n],
+                            "last_ts_us": [last]})
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=f"{key} {key_type}, n_total long, last_ts_us long",
+        stateStructType="n long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
     """Drain a bounded stream with Trigger.AvailableNow into a memory sink.
 

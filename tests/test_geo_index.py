@@ -1,0 +1,95 @@
+"""Tests: global quadtree (A25), tile<->cell algebra (A26), GeoJSON scan (B3)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from co_new_spark.functions import global_grid
+from co_new_spark.grid import grids
+from co_new_spark.operators import tiles
+
+LEVEL = 5
+
+
+def test_global_cell_roundtrip(spark):
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-90, 90, 300)
+    lon = rng.uniform(-180, 180, 300)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lon)], ["lat", "lon"])
+    out = df.withColumn("cell", global_grid.latlng_to_cell(F.col("lat"), F.col("lon"), LEVEL))
+    clat, clon = global_grid.cell_to_latlng(F.col("cell"), LEVEL)
+    got = out.select("lat", "lon", "cell", clat.alias("clat"), clon.alias("clon")).toPandas()
+    n = 1 << LEVEL
+    # center must be within half a cell of the input point
+    assert (np.abs(got.clat - got.lat) <= 180.0 / n / 2 + 1e-9).all()
+    assert (np.abs(got.clon - got.lon) <= 360.0 / n / 2 + 1e-9).all()
+    assert (got.cell >= 0).all()
+    assert (got.cell % 64 == 2 * LEVEL).all()
+
+
+def test_global_cell_bounds_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(90.0, 180.0), (-90.0, -180.0), (91.0, 0.0), (None, 10.0)],
+        ["lat", "lon"])
+    got = [r.c for r in df.select(
+        global_grid.latlng_to_cell(F.col("lat"), F.col("lon"), LEVEL).alias("c")).collect()]
+    assert got[0] >= 0 and got[1] >= 0  # poles/antimeridian clamp into range
+    assert got[2] == -1 and got[3] == -1
+
+
+def test_global_parent_contains(spark):
+    from co_new_spark.functions import cells_sql
+
+    df = spark.createDataFrame([(4.7, -74.1)], ["lat", "lon"]) \
+        .withColumn("cell", global_grid.latlng_to_cell(F.col("lat"), F.col("lon"), 8)) \
+        .withColumn("parent", global_grid.cell_to_parent(F.col("cell"), 3)) \
+        .withColumn("ok", cells_sql.cell_contains(F.col("parent"), F.col("cell")))
+    r = df.first()
+    assert r.ok and r.parent % 64 == 6
+
+
+def test_grid_disk_wraps_longitude(spark):
+    # cell on the antimeridian edge: disk must wrap, not truncate
+    df = spark.createDataFrame([(0.0, -179.9), (0.0, 0.0)], ["lat", "lon"]) \
+        .withColumn("cell", global_grid.latlng_to_cell(F.col("lat"), F.col("lon"), LEVEL)) \
+        .withColumn("disk", global_grid.grid_disk(F.col("cell"), LEVEL, 1))
+    rows = df.select(F.size("disk").alias("n")).collect()
+    assert rows[0].n == 9 and rows[1].n == 9  # wrap keeps the full 3x3 disk
+
+
+def test_grid_disk_clamps_poles(spark):
+    df = spark.createDataFrame([(89.9, 0.0)], ["lat", "lon"]) \
+        .withColumn("cell", global_grid.latlng_to_cell(F.col("lat"), F.col("lon"), LEVEL)) \
+        .withColumn("disk", global_grid.grid_disk(F.col("cell"), LEVEL, 1))
+    assert df.select(F.size("disk").alias("n")).first().n == 6  # top row clipped
+
+
+def test_cell_tile_consistency(spark):
+    """Every depth-8 cell maps into a tile whose cell list contains it."""
+    df = spark.range(256).select((F.col("id") * 64 + 8).alias("cell"))
+    df = df.withColumn("tile", tiles.cell_to_tile(F.col("cell"), 8, 2))
+    back = df.withColumn("cells_of_tile", tiles.tile_to_cells(F.col("tile"), 2, 8))
+    bad = back.filter(~F.array_contains("cells_of_tile", F.col("cell"))).count()
+    assert bad == 0
+
+
+def test_tile_to_cells_partitions_lattice(spark):
+    """z=2 tiles tile the plane: each valid cell appears in exactly one tile."""
+    t = spark.range(16).select(F.col("id").alias("tile"))
+    ex = t.select("tile", F.explode(tiles.tile_to_cells(F.col("tile"), 2, 8)).alias("cell"))
+    counts = ex.groupBy("cell").count().filter(F.col("count") != 1).count()
+    assert counts == 0
+    assert ex.count() == 256  # all 16 digits x 16 refinements covered once
+
+
+def test_geojson_scan_matches_conf(spark):
+    from co_new_spark.queries.geo_index import g_geojson_scan
+
+    got = g_geojson_scan(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(got) == 20
+    assert (got.geom_type == "Polygon").all()
+    assert (got.n_vertices == 5).all()
+    # the 16 covered cells carry the configured digit codes (conf.yaml:24-26)
+    dig = {f"{v:x}" for v in grids._L0_JI_TO_DIGIT.values()}  # noqa: SLF001
+    codes = {str(c).lower() for c in got.code if c is not None}
+    assert dig <= codes

@@ -60,3 +60,64 @@ def test_stream_static_join(spark, tmp_path):
 def test_single_file_shim_reads_testdata(spark):
     ev = sp.parquet_stream(spark, "/root/testdata/sf0.001/events.parquet")
     assert "ts" in ev.columns and ev.isStreaming
+
+
+def test_stateful_running_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-key state across micro-batches."""
+    import datetime
+
+    base = datetime.datetime(2025, 4, 1)
+    d = tmp_path / "st"
+    df1 = spark.createDataFrame(
+        [("a", base), ("a", base), ("b", base)], ["host", "ts"])
+    df2 = spark.createDataFrame(
+        [("a", base + datetime.timedelta(minutes=1)),
+         ("b", base + datetime.timedelta(minutes=2))], ["host", "ts"])
+    df1.coalesce(1).write.mode("overwrite").parquet(str(d))
+    import time as _t
+    _t.sleep(1.1)
+    df2.coalesce(1).write.mode("append").parquet(str(d))
+
+    schema = spark.read.parquet(str(d)).schema
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(d))
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = sp.run_available_now(sp.stateful_running_counts(ev, "host", "ts"), "update")
+    # final (max) running count per key across BOTH batches
+    final = {r.host: r.n for r in
+             out.groupBy("host").agg(F.max("n_total").alias("n")).collect()}
+    assert final == {"a": 3, "b": 2}
+    # state updated incrementally: >1 emission for at least one key
+    assert out.count() >= 3
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """C6: an event older than the advanced watermark is discarded (append)."""
+    import datetime
+
+    base = datetime.datetime(2025, 5, 1, 12, 0, 0)
+    d = tmp_path / "late"
+    # batch 1: on-time events up to 12:00 + 3h
+    rows1 = [(1, base + datetime.timedelta(hours=h)) for h in range(4)]
+    # batch 2: one very-late event (10 h before max seen, watermark is 1 h)
+    rows2 = [(1, base - datetime.timedelta(hours=7)),
+             (1, base + datetime.timedelta(hours=4))]
+    spark.createDataFrame(rows1, ["uid", "ts"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(d))
+    import time as _t
+    _t.sleep(1.1)
+    spark.createDataFrame(rows2, ["uid", "ts"]).coalesce(1) \
+        .write.mode("append").parquet(str(d))
+
+    schema = spark.read.parquet(str(d)).schema
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(d))
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (ev.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("win"))
+           .agg(F.count("*").alias("n")))
+    sink = sp.run_available_now(agg, "append")
+    total = sink.agg(F.sum("n")).first()[0] or 0
+    # 6 events arrived; the one 7h-early (far below watermark) is dropped,
+    # so at most 5 contribute to emitted windows
+    assert total <= 5
