@@ -351,7 +351,19 @@ EXCEPT
 SELECT o_custkey AS custkey FROM orders
 """
 
+
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """B13: HLL++ approximate distinct (rows-only: HLL sketches differ across
+    engines; accuracy vs exact is gated in tests/test_geo_algebra.py)."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
 QUERIES = {
+    "rel_approx_distinct": (q_approx_distinct, None),
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "rel_topk_revenue": (q_topk_revenue, SQL_TOPK),
     "rel_region_rollup": (q_region_rollup, SQL_ROLLUP),

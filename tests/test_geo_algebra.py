@@ -69,3 +69,13 @@ def test_registry_complete():
                  "geo_pip_poly"):
         assert name in q and name in o, name
     assert len(REGISTRY) >= 38
+
+
+def test_approx_distinct_accuracy(spark):
+    from co_new_spark.queries.relational import q_approx_distinct, q_distinct_users
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.event_type: r.n_users for r in q_distinct_users(spark, sf).collect()}
+    approx = {r.event_type: r.n_users_approx for r in q_approx_distinct(spark, sf).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / max(v, 1) < 0.1, (k, v, approx[k])
