@@ -46,12 +46,32 @@ def ring_cells_udf(ring: int):
 
 
 def knn_ring(queries: DataFrame, candidates: DataFrame, k: int = 5,
-             ring: int = 1, exclude_self: bool = False) -> DataFrame:
+             ring: int = 1, exclude_self: bool = False,
+             fallback_ring: int | None = None) -> DataFrame:
     """queries(qid, x, y, cell) x candidates(cid, x, y, cell) -> top-k per qid.
 
     Both inputs carry a Grid B cell at the SAME (even) refinement depth.
     ``exclude_self`` drops qid == cid pairs (self-kNN over one table).
+
+    ``fallback_ring``: queries that found fewer than k matches at ``ring``
+    re-run ONCE at this wider ring (the completeness fallback of SURVEY.md
+    §2.A17) — a second small broadcast pass over only the short queries,
+    never a cross join.
     """
+    first = _knn_pass(queries, candidates, k, ring, exclude_self)
+    if fallback_ring is None:
+        return first
+    counts = first.groupBy("qid").agg(F.count("*").alias("__n"))
+    full = first.join(
+        F.broadcast(counts.filter(F.col("__n") >= k).select("qid")), "qid")
+    short_q = queries.join(F.broadcast(counts), "qid", "left") \
+                     .filter(F.coalesce(F.col("__n"), F.lit(0)) < k).drop("__n")
+    second = _knn_pass(short_q, candidates, k, fallback_ring, exclude_self)
+    return full.unionByName(second)
+
+
+def _knn_pass(queries: DataFrame, candidates: DataFrame, k: int,
+              ring: int, exclude_self: bool) -> DataFrame:
     q = queries.withColumn("__ring", F.explode(_ring_udf(ring)(F.col("cell")))) \
                .select(F.col("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"),
                        F.col("__ring").alias("cell"))

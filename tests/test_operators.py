@@ -107,3 +107,31 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25 and len(osql) >= 20
+
+
+def test_knn_fallback_ring_completes_short_queries(spark):
+    """Sparse candidates: ring-1 finds < k, the fallback ring completes them."""
+    from co_new_spark.grid import proj as _proj
+    import numpy as _np
+
+    # query at Bogotá; candidates far away (~40-80 km: outside ring-1 at
+    # depth 14 [16 km cells], inside ring-5)
+    qlat, qlon = 4.7111, -74.0722
+    lats = [qlat + 0.4, qlat + 0.5, qlat - 0.45, qlat + 0.6, qlat - 0.6]
+    lons = [qlon + 0.4, qlon - 0.5, qlon + 0.5, qlon - 0.6, qlon + 0.6]
+    x, y = _proj.forward(_np.array([qlat] + lats), _np.array([qlon] + lons))
+    from co_new_spark.grid import grids as _grids, cells as _ncells
+    bits, ok = _grids.grid_b_encode_xy(x, y, 10)
+    cell = _ncells.pack(bits, _np.full(bits.shape, 14, dtype=_np.int64))
+    assert ok.all()
+    rows = [(int(i), float(xx), float(yy), int(cc))
+            for i, (xx, yy, cc) in enumerate(zip(x, y, cell))]
+    df = spark.createDataFrame(rows, ["id", "x", "y", "cell"])
+    q = df.filter(F.col("id") == 0).select(F.col("id").alias("qid"), "x", "y", "cell")
+    c = df.filter(F.col("id") > 0).select(F.col("id").alias("cid"), "x", "y", "cell")
+
+    narrow = knn_ring(q, c, k=3, ring=1)
+    assert narrow.count() < 3  # ring-1 misses the far candidates
+    wide = knn_ring(q, c, k=3, ring=1, fallback_ring=6)
+    got = wide.orderBy("rn").collect()
+    assert len(got) == 3 and [r.rn for r in got] == [1, 2, 3]
