@@ -1,0 +1,78 @@
+"""IVF-style approximate nearest neighbor over embedding columns.
+
+The scale path for similarity search (SURVEY.md training ops): partition the
+vector space by a small set of centroids (inverted file), assign every
+candidate to its nearest centroid (one Arrow crossing, numpy matmul per
+batch), and answer queries by probing only the ``nprobe`` nearest centroid
+buckets — a hash equi-join on centroid_id instead of a cross join — then
+exact-cosine re-rank inside the probed buckets.
+
+Centroid selection is DETERMINISTIC (the lowest-id vectors): no k-means
+iterations, no RNG — recall is gated against brute force in tests.  At 100 TB
+the centroid set stays driver-sized (|C| ~ sqrt(N) capped) and broadcasts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..queries.training import _cosine
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def deterministic_centroids(emb: DataFrame, n_centroids: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> np.ndarray:
+    """(n_centroids, dim) unit-norm centroid matrix from the lowest-id rows."""
+    rows = (emb.orderBy(id_col).limit(n_centroids)
+            .select(vec_col).toPandas()[vec_col].tolist())
+    return _norm_rows(np.asarray(rows, dtype=np.float64))
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """pandas UDF: embedding -> array of the nprobe nearest centroid ids."""
+    cmat = _norm_rows(np.asarray(centroids, dtype=np.float64)).T.copy()
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vec: pd.Series) -> pd.Series:
+        m = _norm_rows(np.asarray(vec.tolist(), dtype=np.float64))
+        sims = m @ cmat  # (batch, n_centroids) — one BLAS call per Arrow batch
+        if nprobe == 1:
+            top = sims.argmax(axis=1)[:, None]
+        else:
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return assign
+
+
+def ivf_knn(emb: DataFrame, k: int = 5, n_query: int = 20,
+            n_centroids: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Self-kNN: top-k cosine neighbors per query vector via IVF probing.
+
+    Candidates index into 1 bucket; queries probe ``nprobe`` buckets; the
+    join is a broadcast hash join on centroid_id; exact cosine re-ranks.
+    """
+    centroids = deterministic_centroids(emb, n_centroids, id_col, vec_col)
+    c = emb.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        F.element_at(ivf_assign_udf(centroids, 1)(F.col(vec_col)), 1).alias("bucket"))
+    q = emb.filter(F.col(id_col) < n_query).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        F.explode(ivf_assign_udf(centroids, nprobe)(F.col(vec_col))).alias("bucket"))
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("qid") != F.col("cid"))
+    scored = pairs.select(
+        "qid", "cid", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).select("qid", "cid", "sim", "rn"))

@@ -110,3 +110,33 @@ def dataset(spark: SparkSession, base: str, bucket_col: str = "bucket") -> DataF
 def metrics(spark: SparkSession, base: str) -> DataFrame:
     """Per-bucket lineage metrics (rows, wall seconds, run id, finish time)."""
     return read_ledger(spark, base).orderBy("bucket")
+
+
+def snapshots(spark: SparkSession, base: str) -> DataFrame:
+    """Commit history: one row per run_id with its bucket/row counts —
+    the snapshot-log half of the emulated Iceberg contract."""
+    led = read_ledger(spark, base)
+    return led.groupBy("run_id").agg(
+        F.min("finished_at").alias("committed_at"),
+        F.count("*").alias("n_buckets"),
+        F.sum("n_rows").alias("n_rows"),
+    ).orderBy("committed_at")
+
+
+def dataset_at(spark: SparkSession, base: str, as_of_run: str,
+               bucket_col: str = "bucket") -> DataFrame:
+    """Time travel: the dataset as of (and including) commit ``as_of_run`` —
+    only buckets whose ledger entry was appended at or before that run's
+    commit time are visible."""
+    led = read_ledger(spark, base)
+    cutoff_rows = led.filter(F.col("run_id") == as_of_run) \
+                     .agg(F.max("finished_at")).collect()
+    cutoff = cutoff_rows[0][0]
+    if cutoff is None:
+        raise ValueError(f"unknown run_id {as_of_run!r}")
+    vis = led.filter(F.col("finished_at") <= cutoff) \
+             .select(F.col("bucket").cast("bigint").alias("__b")).distinct()
+    data = spark.read.parquet(os.path.join(base, "data"))
+    return data.join(F.broadcast(vis),
+                     data[bucket_col].cast("bigint") == F.col("__b"),
+                     "left_semi")

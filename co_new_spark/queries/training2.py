@@ -190,7 +190,16 @@ def t_extract_consistency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def t_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only; recall vs brute force gated in pytest)."""
+    from ..operators.ann import ivf_knn
+
+    return ivf_knn(load(spark, sf, "embeddings"),
+                   k=5, n_query=20, n_centroids=16, nprobe=6)
+
+
 QUERIES = {
+    "train_knn_ivf": (t_knn_ivf, None),
     "train_quality_score": (t_quality_score, SQL_QUALITY),
     "train_fingerprint": (t_fingerprint, SQL_FINGERPRINT),
     "train_embed_neardup": (t_embed_neardup, SQL_EMBED_NEARDUP),

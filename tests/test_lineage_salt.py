@@ -97,3 +97,24 @@ def test_salted_topk_order_overload(spark):
     df = _fact(spark, 200)
     got = salted_topk(df, ["bucket"], F.col("id"), 2)
     assert got.filter(F.col("rn") > 2).count() == 0
+
+
+def test_snapshots_and_time_travel(spark, tmp_path):
+    base = str(tmp_path / "tt")
+    df = _fact(spark, 2_000)
+    lineage.resumable_write(df, base, "bucket", max_buckets=3)
+    lineage.resumable_write(df, base, "bucket")
+    snaps = lineage.snapshots(spark, base).collect()
+    assert len(snaps) == 2
+    first, second = snaps[0], snaps[1]
+    assert first.n_buckets == 3
+    # time travel to the first commit sees only its 3 buckets
+    old = lineage.dataset_at(spark, base, first.run_id)
+    assert old.select("bucket").distinct().count() == 3
+    assert old.count() == first.n_rows
+    # the second commit sees everything
+    new = lineage.dataset_at(spark, base, second.run_id)
+    assert new.count() == df.count()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lineage.dataset_at(spark, base, "nope")

@@ -135,3 +135,18 @@ def test_knn_fallback_ring_completes_short_queries(spark):
     wide = knn_ring(q, c, k=3, ring=1, fallback_ring=6)
     got = wide.orderBy("rn").collect()
     assert len(got) == 3 and [r.rn for r in got] == [1, 2, 3]
+
+
+def test_ivf_knn_recall_vs_brute(spark):
+    from co_new_spark.operators.ann import ivf_knn
+    from co_new_spark.queries.training import t_knn_cosine_brute
+
+    sf = "/root/testdata/sf0.01"
+    brute = t_knn_cosine_brute(spark, sf).collect()
+    ivf = ivf_knn(spark.read.parquet(f"{sf}/embeddings.parquet"),
+                  k=5, n_query=20, n_centroids=16, nprobe=6).collect()
+    bset = {(r.qid, r.cid) for r in brute}
+    iset = {(r.qid, r.cid) for r in ivf}
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.5, recall  # nprobe=6/16 buckets; exact rerank inside
+    assert all(r.rn <= 5 for r in ivf)
