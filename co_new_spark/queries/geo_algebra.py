@@ -378,19 +378,14 @@ WHERE ({_sql_crossings(_POLY)}) % 2 = 1
 def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions import text as txf
     from ..operators.cover import cover_join_candidates
     from ..sources.pages import pages
     from ..sources.reference_data import load_citycover, load_synonym
 
     pg = pages(spark, 10_000)
     pts = pg.select(
-        "url",
-        txf.parse_lat(F.col("text")).alias("lat"),
-        txf.parse_lon(F.col("text")).alias("lon"),
-    ).filter(F.col("lat").isNotNull())
-    pts = pts.withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), 26)) \
-             .filter(F.col("cell") >= 0)
+        "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
+    ).filter(F.col("cell") >= 0)
     cover = load_citycover(spark).filter(F.col("kind") == "cover")
     cand = cover_join_candidates(pts.select("url", "cell"), cover)
     # deepest cover cell wins; deterministic tie-break by isolabel

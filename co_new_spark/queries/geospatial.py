@@ -150,13 +150,9 @@ def g_cover_lookup(spark: SparkSession, sf: str) -> DataFrame:
     cover = load_citycover(spark)
     pg = pages(spark, _PAGES_N)
     pts = pg.select(
-        "url",
-        txf.parse_lat(F.col("text")).alias("lat"),
-        txf.parse_lon(F.col("text")).alias("lon"),
-    ).filter(F.col("lat").isNotNull())
-    pts = pts.withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), 26)) \
-             .filter(F.col("cell") >= 0)
-    hit = cover_lookup_best(pts.select("url", "cell"), cover)
+        "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
+    ).filter(F.col("cell") >= 0)
+    hit = cover_lookup_best(pts, cover, keep=["url", "cell"])
     return hit.groupBy("isolabel_ext").agg(F.count("*").alias("n_pages")) \
               .orderBy(F.col("n_pages").desc(), "isolabel_ext").limit(50)
 

@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import cells_sql, geo
-from ..functions import text as txf
 from ..operators.cover import cover_lookup_best
 from ..plans import lineage
 from ..sources.pages import pages
@@ -30,13 +29,9 @@ def geocoded_pages(spark: SparkSession, n: int, rbits: int = 26,
                    partitions: int | None = None) -> DataFrame:
     """pages -> (url, lang, cell, l0) — the shared front half of the pipeline."""
     pg = pages(spark, n, partitions=partitions)
-    parsed = pg.select(
-        "url", "lang",
-        txf.parse_lat(F.col("text")).alias("lat"),
-        txf.parse_lon(F.col("text")).alias("lon"),
-    ).filter(F.col("lat").isNotNull())
     return (
-        parsed.withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), rbits))
+        pg.select("url", "lang",
+                  geo.encode_b_cell_from_text(F.col("text"), rbits).alias("cell"))
         .filter(F.col("cell") >= 0)
         .withColumn("l0", cells_sql.cell_l0_digit(F.col("cell")))
     )
