@@ -131,6 +131,7 @@ def run() -> dict:
             "efficiency": round(eff, 3),
             "partition_skew": sc_res[4]["partition_skew"],
             "hot_municipality_share": sc_res[4]["hot_share"],
+            "straggler_ratio": sc_res[4].get("straggler_ratio"),
         }
     return out
 

@@ -59,6 +59,27 @@ def main(cpus: int, n_pages: int) -> dict:
              .agg(F.count("*").alias("n")).collect()]
     skew = max(sizes) / statistics.median(sizes)
 
+    # straggler ratio (max/median executor run time) of the heaviest stage,
+    # via the Spark UI REST API (BASELINE.md metric)
+    straggler = None
+    try:
+        import json as _json
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        apps = _json.load(urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5))
+        app_id = apps[0]["id"]
+        stages = _json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=5))
+        heavy = max(stages, key=lambda s: s.get("executorRunTime", 0))
+        q = _json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages/{heavy['stageId']}/"
+            f"{heavy['attemptId']}/taskSummary?quantiles=0.5,1.0", timeout=5))
+        med, mx = q["executorRunTime"]
+        straggler = round(mx / med, 3) if med else None
+    except Exception:
+        pass
+
     return {
         "cpus": cpus,
         "pages": n_pages,
@@ -67,6 +88,7 @@ def main(cpus: int, n_pages: int) -> dict:
         "n_geocoded": int(n_geo),
         "partition_skew": round(skew, 3),
         "hot_share": round(hot_share, 4),
+        "straggler_ratio": straggler,
     }
 
 
