@@ -99,3 +99,39 @@ def test_fused_udf_single_arrow_crossing(spark):
     pg = pages(spark, 1000)
     pts = pg.select("url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell"))
     assert _plan(pts).count("ArrowEvalPython") == 1
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate join keys: the join plan has no Exchange
+    on either side (the bucketing-for-colocated-joins path of SURVEY.md §4)."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").limit(5000)
+    od = spark.read.parquet(f"{SF}/orders.parquet").limit(5000)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey") \
+      .sortBy("l_orderkey").saveAsTable("li_b")
+    od.write.mode("overwrite").bucketBy(8, "o_orderkey") \
+      .sortBy("o_orderkey").saveAsTable("od_b")
+    try:
+        j = spark.table("li_b").join(
+            spark.table("od_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A dim filter prunes fact partitions at runtime (DPP subquery in plan)."""
+    base = str(tmp_path / "dpp")
+    spark.range(10_000).withColumn("k", F.pmod("id", 16)) \
+        .withColumn("v", F.col("id") * 2) \
+        .write.partitionBy("k").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.range(16).select(F.col("id").alias("k"),
+                                 (F.col("id") % 4 == 0).alias("keep"))
+    j = fact.join(dim.filter("keep"), "k")
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
+    assert j.count() == 10_000 / 16 * 4
