@@ -106,6 +106,33 @@ def stateful_running_counts(stream: DataFrame, key: str, ts_col: str,
     )
 
 
+def stream_to_ledger(stream: DataFrame, base: str, bucket_col: str,
+                     checkpoint: str) -> None:
+    """Drain a bounded stream into a ledgered dataset via foreachBatch.
+
+    Composes the two resumability layers: Spark's streaming checkpoint
+    (source offsets — a restart never re-reads processed files) and the
+    lineage ledger (per-bucket commit metrics + snapshot/time-travel reads).
+    Each micro-batch appends its buckets' rows through a dynamic-partition
+    overwrite keyed by (bucket, batch) so replays of an interrupted batch
+    are idempotent.
+    """
+    from pyspark.sql import functions as FF
+
+    from ..plans import lineage
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # bucket per (batch, bucket_col): replayed batches overwrite themselves
+        out = batch_df.withColumn(
+            "__ledger_bucket",
+            FF.col(bucket_col).cast("bigint") * 1_000_000 + FF.lit(batch_id))
+        lineage.resumable_write(out, base, "__ledger_bucket")
+
+    (stream.writeStream.foreachBatch(sink)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True).start().awaitTermination())
+
+
 def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
     """Drain a bounded stream with Trigger.AvailableNow into a memory sink.
 

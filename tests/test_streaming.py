@@ -121,3 +121,39 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     # 6 events arrived; the one 7h-early (far below watermark) is dropped,
     # so at most 5 contribute to emitted windows
     assert total <= 5
+
+
+def test_stream_to_ledger_checkpointed(spark, tmp_path):
+    """foreachBatch -> ledgered dataset; checkpoint makes restarts incremental."""
+    from co_new_spark.plans import lineage
+
+    src = tmp_path / "src"
+    base = str(tmp_path / "ds")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = spark.range(100).select(F.col("id"), F.pmod("id", 4).alias("b"))
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    import time as _t
+    _t.sleep(1.1)
+    spark.range(100, 150).select(F.col("id"), F.pmod("id", 4).alias("b")) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1) \
+        .parquet(str(src))
+    sp.stream_to_ledger(stream, base, "b", ckpt)
+    assert lineage.dataset(spark, base, "__ledger_bucket").count() == 150
+
+    # restart with the same checkpoint: nothing new to read, nothing re-added
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    sp.stream_to_ledger(stream2, base, "b", ckpt)
+    assert lineage.dataset(spark, base, "__ledger_bucket").count() == 150
+
+    # a third file arrives: only IT is processed on the next drain
+    _t.sleep(1.1)
+    spark.range(150, 170).select(F.col("id"), F.pmod("id", 4).alias("b")) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    stream3 = spark.readStream.schema(schema).parquet(str(src))
+    sp.stream_to_ledger(stream3, base, "b", ckpt)
+    got = lineage.dataset(spark, base, "__ledger_bucket")
+    assert got.count() == 170
+    assert got.select(F.sum("id")).first()[0] == sum(range(170))
