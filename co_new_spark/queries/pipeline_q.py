@@ -64,6 +64,16 @@ def p_resumable_flagship(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("l0")
 
 
+def p_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's SQL entry-point shape (gridLib.sql) end-to-end via
+    spark.sql over registered kernel UDFs (rows-only; codes are
+    pytest-gated bit-exact)."""
+    from ..plans.register import example_sql_pipeline
+
+    return example_sql_pipeline(spark)
+
+
 QUERIES = {
     "pipeline_resumable_flagship": (p_resumable_flagship, None),
+    "pipeline_sql_surface": (p_sql_surface, None),
 }

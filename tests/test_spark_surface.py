@@ -127,3 +127,30 @@ def test_text_analysis_native(spark):
     assert out[1].lg == "en"
     assert out[2].tc == 0 and out[2].lg == "und"
     assert 0.0 <= out[0].q <= 1.0
+
+
+def test_sql_registered_functions_bit_exact(spark):
+    """The SQL surface (reference entry-point shape) hits the same kernels:
+    osmcode_encode over gridLib.sql's own assert vectors, via spark.sql."""
+    from co_new_spark.plans.register import register_functions
+
+    register_functions(spark)
+    rows = [("geo:3.46103000261,-76.57770034945", "GF1ZDW6NY"),
+            ("geo:4.711111,-74.072222", "HX7VGYKPW")]
+    spark.createDataFrame(rows, ["uri", "expected"]).createOrReplaceTempView("v_assert")
+    got = spark.sql("SELECT uri, osmcode_encode(uri) AS code, expected FROM v_assert").collect()
+    for r in got:
+        assert r.code == r.expected, (r.uri, r.code)
+    # decode round-trip through SQL
+    back = spark.sql(
+        "SELECT osmcode_decode(osmcode_encode(uri)) AS c FROM v_assert").collect()
+    assert abs(back[0].c.lat - 3.46103000261) < 1e-5
+
+
+def test_sql_pipeline_matches_dataframe_pipeline(spark):
+    from co_new_spark.plans.register import example_sql_pipeline
+
+    out = example_sql_pipeline(spark, 2_000).collect()
+    assert len(out) >= 10  # most L0 cells hit
+    assert all(len(r.l0_code) == 1 for r in out)  # single base16h digit
+    assert sum(r.n_pages for r in out) > 1500
