@@ -230,6 +230,37 @@ def encode_b_cell_from_text(text: Column, rbits: int) -> Column:
 
 
 @F.pandas_udf(StringType())
+def cell_b_geojson(cell: pd.Series) -> pd.Series:
+    """Grid B cell -> GeoJSON Feature string (WGS84 ring + base16h code).
+
+    The visualization sink of the reference's decode path
+    (osmcode_decode_polyXY -> GeoJSON, /root/reference/src/assert/
+    gridLib.sql:15-16 + README.md:109-114; the grid256*.geojson files are
+    exactly such products).  Deterministic 7-decimal formatting.
+    """
+    import json as _json
+
+    c = cell.to_numpy(dtype=np.int64, na_value=-1)
+    x0, y0, x1, y1 = cells.cell_b_box(c)
+    codes = cells.cell_b_to_code(c)
+    out = []
+    for k in range(len(c)):
+        if c[k] < 0 or not np.isfinite(x0[k]):
+            out.append(None)
+            continue
+        xs = np.array([x0[k], x1[k], x1[k], x0[k], x0[k]])
+        ys = np.array([y0[k], y0[k], y1[k], y1[k], y0[k]])
+        la, lo = proj.inverse(xs, ys)
+        ring = [[round(float(o), 7), round(float(a), 7)] for o, a in zip(lo, la)]
+        out.append(_json.dumps({
+            "type": "Feature",
+            "properties": {"code": str(codes[k])},
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+        }, separators=(",", ":")))
+    return pd.Series(out, dtype="object")
+
+
+@F.pandas_udf(StringType())
 def b16h_string(bits: pd.Series, nbits: pd.Series) -> pd.Series:
     """Generic (bits, nbits) -> base16h string (suffix-letter grammar §1.5).
 

@@ -213,7 +213,21 @@ def g_geojson_scan(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("code")
 
 
+def g_decode_geojson(spark: SparkSession, sf: str) -> DataFrame:
+    """§3.3 visualization sink: cells -> GeoJSON Feature strings (WGS84).
+
+    Rows-only (the inverse TM projection isn't SQL-expressible); geometric
+    agreement with the reference's grid256.geojson is pytest-gated.
+    """
+    from ..functions import geo
+
+    cells_df = spark.range(16).select((F.col("id") * 64 + 4).alias("cell"))
+    return cells_df.select(
+        "cell", geo.cell_b_geojson(F.col("cell")).alias("feature"))
+
+
 QUERIES = {
+    "geo_decode_geojson": (g_decode_geojson, None),
     "geo_global_cell": (g_global_cell, _sql_global()),
     "geo_cell_to_tile": (g_cell_to_tile, _sql_cell_to_tile()),
     "geo_tile_to_cells": (g_tile_to_cells, _sql_tile_to_cells()),

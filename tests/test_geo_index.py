@@ -93,3 +93,32 @@ def test_geojson_scan_matches_conf(spark):
     dig = {f"{v:x}" for v in grids._L0_JI_TO_DIGIT.values()}  # noqa: SLF001
     codes = {str(c).lower() for c in got.code if c is not None}
     assert dig <= codes
+
+
+def test_decode_geojson_matches_reference_grid(spark):
+    """Generated L0 GeoJSON features reproduce grid256L0.geojson corners."""
+    import json as _json
+
+    from co_new_spark.queries.geo_index import g_decode_geojson
+
+    out = {r.cell: r.feature for r in
+           g_decode_geojson(spark, "/root/testdata/sf0.001").collect()}
+    feats = {}
+    with open("/root/reference/data/grid256L0.geojson") as f:
+        gj = _json.load(f)
+    for ft in gj["features"]:
+        feats[str(ft["properties"]["code"]).lower()] = ft["geometry"]["coordinates"][0]
+    n_checked = 0
+    for cell, feature in out.items():
+        parsed = _json.loads(feature)
+        code = parsed["properties"]["code"]
+        if code not in feats:
+            continue
+        ours = {(round(p[0], 4), round(p[1], 4)) for p in parsed["geometry"]["coordinates"][0]}
+        ref = {(round(p[0], 4), round(p[1], 4)) for p in feats[code]}
+        # corner agreement to ~1e-4 deg (the file's own quantization is ~1e-5)
+        for pt in ref:
+            assert any(abs(pt[0] - o[0]) < 2e-4 and abs(pt[1] - o[1]) < 2e-4
+                       for o in ours), (code, pt, ours)
+        n_checked += 1
+    assert n_checked == 16
