@@ -1,0 +1,70 @@
+"""Cover PRODUCTION pipeline (SURVEY.md §3.2): polygon -> mixed-precision
+cell cover — the process that produced the reference's citycover.csv
+(jurisdiction polygons x grid -> per-municipality cover lists, with border
+cells refined to deeper/half cells).
+
+Spark-native iterative refinement: start from the coarse full-grid level,
+classify every candidate cell by clipped area (one Arrow crossing per level:
+numpy S–H clip), emit cells FULLY inside, refine PARTIAL cells via native
+``cell_children`` explode, repeat to ``max_depth``; partial leaves at
+max_depth are emitted as boundary cells.  Each level is one small Spark job;
+the frontier shrinks geometrically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells_sql
+from .coverage import clip_area_udf
+
+
+def _cells_at_depth(spark: SparkSession, depth: int) -> DataFrame:
+    """All Grid B cells of the 16-cell cover at ``depth`` (native generate)."""
+    r = depth - 4
+    return spark.range(16 << r).select(
+        (F.shiftleft(F.col("id"), 6) + depth).alias("cell"))
+
+
+def polygon_cover(spark: SparkSession, ring: np.ndarray,
+                  base_depth: int = 8, max_depth: int = 14) -> DataFrame:
+    """polygon -> DataFrame(cell, kind['full'|'border'], area_m2).
+
+    Invariants (pytest-gated): full cells are entirely inside; the sum of
+    full-cell areas + border-cell clipped areas equals the polygon area; any
+    point inside the polygon has an ancestor among the emitted cells.
+    """
+    area = clip_area_udf(ring)
+    cell_area = (1.0 * 2 ** 19) ** 2  # recomputed per depth below
+
+    def classify(cells: DataFrame, depth: int) -> DataFrame:
+        r = depth - 4
+        side = 524_288.0 / (1 << (r // 2))
+        side_y = 524_288.0 / (1 << ((r + 1) // 2))
+        full_area = side * side_y
+        return cells.withColumn("clip", area(F.col("cell"))) \
+                    .withColumn("__full", F.col("clip") >= full_area * (1 - 1e-12))
+
+    del cell_area
+    frontier = classify(_cells_at_depth(spark, base_depth), base_depth) \
+        .filter(F.col("clip") > 0)
+    emitted = []
+    depth = base_depth
+    while depth < max_depth:
+        emitted.append(frontier.filter(F.col("__full")).select(
+            "cell", F.lit("full").alias("kind"), F.col("clip").alias("area_m2")))
+        partial = frontier.filter(~F.col("__full"))
+        depth += 2
+        children = partial.select(
+            F.explode(cells_sql.cell_children(F.col("cell"), 2)).alias("cell"))
+        frontier = classify(children, depth).filter(F.col("clip") > 0)
+    emitted.append(frontier.select(
+        "cell",
+        F.when(F.col("__full"), "full").otherwise("border").alias("kind"),
+        F.col("clip").alias("area_m2")))
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.unionByName(e)
+    return out

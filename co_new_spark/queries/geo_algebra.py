@@ -424,7 +424,17 @@ def g_coverage_clip(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("cell", F.round(F.col("clip_area"), 3).alias("clip_area"))
 
 
+def g_polygon_cover(spark: SparkSession, sf: str) -> DataFrame:
+    """§3.2 cover production: polygon -> mixed-precision cell cover (rows-only;
+    the area-partition + ancestry invariants are pytest-gated)."""
+    from ..operators.cover_gen import polygon_cover
+
+    out = polygon_cover(spark, _POLY, base_depth=8, max_depth=12)
+    return out.select("cell", "kind", F.round(F.col("area_m2"), 3).alias("area_m2"))
+
+
 QUERIES = {
+    "geo_polygon_cover": (g_polygon_cover, None),
     "geo_coverage_clip": (g_coverage_clip, None),
     "geo_shortcode": (g_shortcode, None),
     "geo_parent_rollup": (g_parent_rollup, SQL_PARENT_ROLLUP),

@@ -60,3 +60,39 @@ def test_coverage_clip_query_partitions_polygon(spark):
     exact = shoelace_area(_POLY)
     assert abs(got - exact) / exact < 1e-6
     assert out.count() > 10  # polygon spans many cells
+
+
+def test_polygon_cover_generation(spark):
+    """§3.2 cover production: full+border cells partition the polygon area,
+    and interior points always have a cover ancestor (citycover semantics)."""
+    import numpy as np
+
+    from co_new_spark.functions import geo
+    from co_new_spark.grid import cells as ncells
+    from co_new_spark.operators.cover_gen import polygon_cover
+    from co_new_spark.queries.geo_algebra import _POLY
+
+    cov = polygon_cover(spark, _POLY, base_depth=8, max_depth=12).cache()
+    rows = cov.collect()
+    total = sum(r.area_m2 for r in rows)
+    exact = shoelace_area(_POLY)
+    assert abs(total - exact) / exact < 1e-9
+
+    # full cells are disjoint (no cell is an ancestor of another full cell)
+    full = sorted(r.cell for r in rows if r.kind == "full")
+    iv = [ncells.interval(np.array([c]))[0][0] for c in full]
+    hi = [ncells.interval(np.array([c]))[1][0] for c in full]
+    order = np.argsort(iv)
+    for a, b in zip(order[:-1], order[1:]):
+        assert hi[a] <= iv[b], "overlapping full cells"
+
+    # interior points resolve to some cover cell by prefix ancestry
+    pts = np.array([[4.8e6, 2.0e6], [5.0e6, 2.1e6], [4.6e6, 1.9e6]])
+    df = spark.createDataFrame([(float(x), float(y)) for x, y in pts], ["x", "y"]) \
+        .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 22))
+    pcells = [r.cell for r in df.collect()]
+    allc = np.array([r.cell for r in rows])
+    for pc in pcells:
+        anc = ncells.contains(allc, np.full(allc.shape, pc))
+        assert anc.any()
+    cov.unpersist()
