@@ -226,7 +226,30 @@ def g_decode_geojson(spark: SparkSession, sf: str) -> DataFrame:
         "cell", geo.cell_b_geojson(F.col("cell")).alias("feature"))
 
 
+def g_pip_colombia(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast PIP join against the REAL reference coverage geometry
+    (Colombia land+sea, 40,405 vertices): per-L0 counts of pages inside.
+    Rows-only; geometric sanity is pytest-gated (test_geometry)."""
+    from ..functions import cells_sql, geo
+    from ..operators.pip import pip_udf
+    from ..sources.pages import pages
+    from ..sources.reference_data import load_admin_polygons
+
+    rings = [r for f in load_admin_polygons() for r in f["rings"]]
+    pg = pages(spark, 5_000, with_truth=True)
+    pts = pg.select(
+        "url", geo.latlon_to_xy_cell(F.col("true_lat"), F.col("true_lon"), 4).alias("s"))
+    pts = pts.select("url", F.col("s.x").alias("x"), F.col("s.y").alias("y"),
+                     F.col("s.cell").alias("cell"))
+    pts = pts.withColumn("inside", pip_udf(rings)(F.col("x"), F.col("y")))
+    return (pts.withColumn("l0", cells_sql.cell_l0_digit(F.col("cell")))
+            .groupBy("l0")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("inside").cast("long")).alias("n_inside")))
+
+
 QUERIES = {
+    "geo_pip_colombia": (g_pip_colombia, None),
     "geo_decode_geojson": (g_decode_geojson, None),
     "geo_global_cell": (g_global_cell, _sql_global()),
     "geo_cell_to_tile": (g_cell_to_tile, _sql_cell_to_tile()),

@@ -96,3 +96,66 @@ def test_polygon_cover_generation(spark):
         anc = ncells.contains(allc, np.full(allc.shape, pc))
         assert anc.any()
     cov.unpersist()
+
+
+def test_clip_preserves_reference_coverage_polygons():
+    """S–H clip on the REAL 40k-vertex coverage clips: clipping each L0
+    coverage feature to its own cell box is the identity (area-preserving);
+    clipping to a far-away box is empty."""
+    import numpy as np
+
+    from co_new_spark.grid import cells as ncells
+    from co_new_spark.grid.geometry import clip_to_rect
+    from co_new_spark.sources.reference_data import load_admin_polygons
+
+    feats = load_admin_polygons()
+    assert len(feats) == 16
+    n_vertices = sum(len(r) for f in feats for r in f["rings"])
+    assert n_vertices > 39_000
+
+    from co_new_spark.grid import grids
+    checked = 0
+    for f in feats:
+        code = str(f["properties"].get("code", "")).lower()
+        try:
+            digit = int(code, 16)
+        except ValueError:
+            continue
+        cell = np.array([(digit << 6) | 4])
+        x0, y0, x1, y1 = ncells.cell_b_box(cell)
+        for ring in f["rings"][:3]:
+            a0 = shoelace_area(ring)
+            clipped = clip_to_rect(ring, x0[0] - 1, y0[0] - 1, x1[0] + 1, y1[0] + 1)
+            assert abs(shoelace_area(clipped) - a0) <= 1e-6 * max(a0, 1.0)
+            far = clip_to_rect(ring, x0[0] - 9e6, y0[0] - 9e6,
+                               x0[0] - 8e6, y0[0] - 8e6)
+            assert shoelace_area(far) == 0.0
+        checked += 1
+    assert checked == 16
+
+
+def test_pip_against_reference_coverage(spark):
+    """Pages points PIP-joined against the real Colombia land+sea coverage:
+    on-grid geocoded points overwhelmingly fall inside; Iberia points never."""
+    import numpy as np
+
+    from co_new_spark.functions import geo
+    from co_new_spark.operators.pip import point_in_rings
+    from co_new_spark.sources.pages import pages
+    from co_new_spark.sources.reference_data import load_admin_polygons
+
+    rings = [r for f in load_admin_polygons() for r in f["rings"]]
+    pg = pages(spark, 2_000, with_truth=True)
+    pts = pg.select("true_lat", "true_lon").toPandas()
+    from co_new_spark.grid import proj
+    x, y = proj.forward(pts.true_lat.to_numpy(), pts.true_lon.to_numpy())
+    on_grid = (pts.true_lat < 20).to_numpy()  # Iberia branch is lat >= 38
+    inside = point_in_rings(x, y, rings)
+    # the coverage clips are Colombia land+sea only (~47% of the 16-cell
+    # area); on-grid points spread over whole cells, so well under 1.0 but
+    # far above the Iberia control, and the Bogotá hotspot is always inside
+    frac = inside[on_grid].mean()
+    assert 0.35 < frac < 0.95, frac
+    assert not inside[~on_grid].any()
+    bog = point_in_rings(*proj.forward(np.array([4.711111]), np.array([-74.072222])), rings)
+    assert bog[0]
