@@ -23,10 +23,12 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Parquet scan sizing: target ~128MB splits at scale
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # Split generated methods aggressively: big literal expression trees
-    # (synthetic generators, wide agg lists) must stay under janino's 64 KB
-    # per-method limit or the whole stage silently drops to interpreted eval
-    "spark.sql.codegen.methodSplitThreshold": "256",
+    # Generated methods must stay under janino's 64 KB limit or the whole
+    # stage silently drops to interpreted eval (10-30x slower).  The default
+    # split threshold suffices once expressions are kept lookup-shaped
+    # (sources/pages.py); a lower threshold was measured to ADD ~6s of janino
+    # compile time on wide-agg plans (32-min MinHash) with no benefit.
+    "spark.sql.codegen.methodSplitThreshold": "1024",
     "spark.sql.parquet.filterPushdown": "true",
     # Deterministic timestamps across JVMs
     "spark.sql.session.timeZone": "UTC",

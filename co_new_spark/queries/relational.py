@@ -362,7 +362,46 @@ def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """B12/B16: exact interpolated percentiles per group (sort-based agg)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("price_p90"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """B15: CUBE over two dims (all grouping-set combinations)."""
+    ev = load(spark, sf, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    return ev.cube(day, "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+
+
+SQL_CUBE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_v
+FROM events GROUP BY CUBE (1, 2)
+"""
+
+
 QUERIES = {
+    "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
+    "rel_cube": (q_cube, SQL_CUBE),
     "rel_approx_distinct": (q_approx_distinct, None),
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "rel_topk_revenue": (q_topk_revenue, SQL_TOPK),
