@@ -433,7 +433,28 @@ def g_polygon_cover(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("cell", "kind", F.round(F.col("area_m2"), 3).alias("area_m2"))
 
 
+def g_cover_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """B18 over the reference dims: per-municipality cover/overlay set
+    algebra (sizes, intersections) — array_intersect on collected cell sets.
+    Rows-only (reference CSVs aren't oracle views); parser counts are
+    pytest-gated in test_operators.test_citycover_parse."""
+    from ..sources.reference_data import load_citycover
+
+    cov = load_citycover(spark)
+    per = cov.groupBy("isolabel_ext").pivot("kind", ["cover", "overlay"]) \
+             .agg(F.collect_set("cell"))
+    return per.select(
+        "isolabel_ext",
+        F.size(F.coalesce(F.col("cover"), F.array())).alias("n_cover"),
+        F.size(F.coalesce(F.col("overlay"), F.array())).alias("n_overlay"),
+        F.size(F.array_intersect(
+            F.coalesce(F.col("cover"), F.array()),
+            F.coalesce(F.col("overlay"), F.array()))).alias("n_shared"),
+    ).orderBy(F.col("n_cover").desc(), "isolabel_ext").limit(100)
+
+
 QUERIES = {
+    "geo_cover_set_ops": (g_cover_set_ops, None),
     "geo_polygon_cover": (g_polygon_cover, None),
     "geo_coverage_clip": (g_coverage_clip, None),
     "geo_shortcode": (g_shortcode, None),
