@@ -198,7 +198,69 @@ def t_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
                    k=5, n_query=20, n_centroids=16, nprobe=6)
 
 
+# ---------------------------------------------------------------------------
+# Contamination scan + reproducible hash sampling (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_PROBES = ["query plan", "shuffle join", "broadcast hash", "window agg"]
+
+
+def t_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination scan: docs containing any probe phrase.
+
+    The multi-pattern containment check a training pipeline runs against
+    eval-set strings before training; probes broadcast (at scale: Aho-
+    Corasick in a pandas UDF; here the built-in contains stays JVM-side).
+    """
+    docs = load(spark, sf, "documents")
+    hit = None
+    flags = []
+    for i, p in enumerate(_PROBES):
+        f = F.col("text").contains(p)
+        flags.append(f.cast("int").alias(f"hit_{i}"))
+        hit = f if hit is None else (hit | f)
+    return docs.filter(hit).select("doc_id", *flags)
+
+
+SQL_CONTAMINATION = f"""
+SELECT doc_id,
+       {", ".join(f"CAST(contains(text, '{p}') AS INT) AS hit_{i}"
+                  for i, p in enumerate(_PROBES))}
+FROM documents
+WHERE {" OR ".join(f"contains(text, '{p}')" for p in _PROBES)}
+"""
+
+
+def t_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible stratified sampling: keep docs whose content-hash falls
+    in a fixed bucket range (1/8 rate), counted per source stratum.
+
+    Hash-gated sampling is how a 100 TB pipeline takes consistent,
+    re-runnable samples — no RNG, no sampleBy seed drift across engines.
+    """
+    docs = load(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast("int")
+    kept = docs.withColumn("bucket", bucket).filter(F.col("bucket") < 32)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_HASH_SAMPLE = """
+SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+FROM (SELECT source, doc_id,
+             (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS bucket
+      FROM documents)
+WHERE bucket < 32
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "train_contamination": (t_contamination, SQL_CONTAMINATION),
+    "train_hash_sample": (t_hash_sample, SQL_HASH_SAMPLE),
     "train_knn_ivf": (t_knn_ivf, None),
     "train_quality_score": (t_quality_score, SQL_QUALITY),
     "train_fingerprint": (t_fingerprint, SQL_FINGERPRINT),
