@@ -154,3 +154,13 @@ def test_sql_pipeline_matches_dataframe_pipeline(spark):
     assert len(out) >= 10  # most L0 cells hit
     assert all(len(r.l0_code) == 1 for r in out)  # single base16h digit
     assert sum(r.n_pages for r in out) > 1500
+
+
+def test_flagship_deterministic_across_runs(spark):
+    """Run-twice determinism (SURVEY §5.2.6): identical results, identical
+    ordering-insensitive content, across different partitionings."""
+    from co_new_spark.queries.geospatial import g_cover_lookup
+
+    a = sorted(map(tuple, g_cover_lookup(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, g_cover_lookup(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b and len(a) > 0
