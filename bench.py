@@ -73,10 +73,11 @@ def run() -> dict:
     # --- operator suite on the sf tables ------------------------------------
     headline = [
         "rel_pricing_summary", "rel_topk_revenue", "rel_region_rollup",
-        "rel_asof_latest", "rel_moving_avg",
+        "rel_asof_latest", "rel_moving_avg", "rel_percentiles",
         "train_dedup_exact", "train_minhash_lsh", "train_simhash",
-        "train_knn_brute", "train_knn_lsh",
+        "train_knn_brute", "train_knn_lsh", "train_fingerprint",
         "geo_cell_assign", "geo_tile_assign", "geo_knn_ring",
+        "geo_global_cell", "geo_parent_rollup", "stream_window_counts",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]
