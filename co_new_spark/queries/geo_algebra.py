@@ -453,7 +453,28 @@ def g_cover_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.col("n_cover").desc(), "isolabel_ext").limit(100)
 
 
+def g_seat_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """A22: per-municipality seat overlay cells decoded to WGS84 centers.
+
+    Every non-empty ``overlay`` in citycover.csv is the municipality seat's
+    half-cell (verified for Leticia/P.Nariño/Abejorral/Amalfi — SURVEY §2.A22);
+    decode = bit de-interleave + inverse TM, one Arrow crossing.
+    """
+    from ..sources.reference_data import load_citycover
+
+    ov = load_citycover(spark).filter(F.col("kind") == "overlay")
+    ctr = ov.withColumn("c", geo.cell_b_center(F.col("cell")))
+    ll = ctr.withColumn("ll", geo.xy_to_latlon(F.col("c.x"), F.col("c.y")))
+    return ll.select(
+        "isolabel_ext", F.col("code").alias("seat_code"),
+        F.round(F.col("ll.lat"), 6).alias("seat_lat"),
+        F.round(F.col("ll.lon"), 6).alias("seat_lon"),
+        (F.col("cell").bitwiseAND(F.lit(63))).alias("depth"),
+    ).orderBy("isolabel_ext", "seat_code")
+
+
 QUERIES = {
+    "geo_seat_cells": (g_seat_cells, None),
     "geo_cover_set_ops": (g_cover_set_ops, None),
     "geo_polygon_cover": (g_polygon_cover, None),
     "geo_coverage_clip": (g_coverage_clip, None),

@@ -164,3 +164,30 @@ def test_flagship_deterministic_across_runs(spark):
     a = sorted(map(tuple, g_cover_lookup(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(tuple, g_cover_lookup(spark, "/root/testdata/sf0.001").collect()))
     assert a == b and len(a) > 0
+
+
+def test_parse_all_geo_uris_multi_hit(spark):
+    """A27: every geo: URI in a document is extracted, in order."""
+    from co_new_spark.functions.text import parse_all_geo_uris
+
+    txt = ("ver geo:4.711111,-74.072222 y también geo:6.2442,-75.5812 "
+           "y coordenadas sueltas 3.451, -76.532 al final")
+    df = spark.createDataFrame([(txt,), ("sin coordenadas",)], ["text"])
+    got = df.select(parse_all_geo_uris(F.col("text")).alias("hits")).collect()
+    hits = got[0].hits
+    assert len(hits) == 2
+    assert abs(hits[0].lat - 4.711111) < 1e-9 and abs(hits[1].lon + 75.5812) < 1e-9
+    assert got[1].hits == []
+
+
+def test_seat_cells_match_known_seats(spark):
+    """A22: decoded overlay centers land near the real municipality seats."""
+    from co_new_spark.queries.geo_algebra import g_seat_cells
+
+    out = g_seat_cells(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) >= 334  # all non-empty overlays
+    let = out[out.isolabel_ext == "CO-AMA-Leticia"].iloc[0]
+    assert abs(let.seat_lat - (-4.215)) < 0.2 and abs(let.seat_lon - (-69.94)) < 0.2
+    med = out[out.isolabel_ext == "CO-ANT-Medellin"]
+    if len(med):
+        assert abs(med.iloc[0].seat_lat - 6.244) < 0.3
