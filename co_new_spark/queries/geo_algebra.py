@@ -473,7 +473,37 @@ def g_seat_cells(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("isolabel_ext", "seat_code")
 
 
+# donut: outer pentagon (reused) + square hole around its centroid
+_HOLE = np.array([
+    [4_800_000.0, 1_950_000.0],
+    [5_050_000.0, 1_950_000.0],
+    [5_050_000.0, 2_200_000.0],
+    [4_800_000.0, 2_200_000.0],
+    [4_800_000.0, 1_950_000.0],
+])
+
+
+def g_pip_holes(spark: SparkSession, sf: str) -> DataFrame:
+    """A20 with holes: even-odd parity over outer ring + hole ring.
+
+    Points inside the hole are OUTSIDE the polygon; the oracle restates the
+    crossing sum over BOTH rings mod 2.
+    """
+    pts = _event_points(spark, sf)
+    inside = pip.pip_filter(pts, [_POLY, _HOLE])
+    return inside.select("event_id", "x", "y")
+
+
+SQL_PIP_HOLES = f"""
+WITH pts AS (SELECT event_id, CAST({_XENG} AS DOUBLE) AS x,
+                    CAST({_YENG} AS DOUBLE) AS y FROM events)
+SELECT event_id, x, y FROM pts
+WHERE (({_sql_crossings(_POLY)}) + ({_sql_crossings(_HOLE)})) % 2 = 1
+"""
+
+
 QUERIES = {
+    "geo_pip_holes": (g_pip_holes, SQL_PIP_HOLES),
     "geo_seat_cells": (g_seat_cells, None),
     "geo_cover_set_ops": (g_cover_set_ops, None),
     "geo_polygon_cover": (g_polygon_cover, None),

@@ -258,7 +258,40 @@ GROUP BY source
 """
 
 
+def t_mm_embed_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal composition: payload -> deterministic embedding stub ->
+    IVF ANN top-k over the embedded pages (rows-only; each stage is
+    independently gated — embed determinism + IVF recall tests)."""
+    pg = pages(spark, 2_000)
+    emb = media.fake_embed(pg, dim=16)
+    emb = emb.withColumn("vec_id", F.xxhash64("url")).dropDuplicates(["vec_id"]) \
+             .select("vec_id", "embedding")
+    return _mm_knn(emb)
+
+
+def _mm_knn(emb: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ann import deterministic_centroids, ivf_assign_udf
+    from .training import _cosine
+
+    cents = deterministic_centroids(emb, 8)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
+                   F.element_at(ivf_assign_udf(cents, 1)(F.col("embedding")), 1)
+                   .alias("bucket"))
+    q = emb.orderBy("vec_id").limit(10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.explode(ivf_assign_udf(cents, 2)(F.col("embedding"))).alias("bucket"))
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("qid") != F.col("cid"))
+    scored = pairs.select("qid", "cid",
+                          F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)) \
+                 .filter(F.col("rn") <= 3).select("qid", "cid", "sim", "rn")
+
+
 QUERIES = {
+    "mm_embed_knn": (t_mm_embed_knn, None),
     "train_contamination": (t_contamination, SQL_CONTAMINATION),
     "train_hash_sample": (t_hash_sample, SQL_HASH_SAMPLE),
     "train_knn_ivf": (t_knn_ivf, None),
