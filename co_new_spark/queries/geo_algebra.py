@@ -502,7 +502,37 @@ WHERE (({_sql_crossings(_POLY)}) + ({_sql_crossings(_HOLE)})) % 2 = 1
 """
 
 
+_GRIDLIB_ASSERTS = [
+    ("geo:3.46103000261,-76.57770034945", "GF1ZDW6NY"),
+    ("geo:3.46103208489,-76.57391243547", "GF1ZSNQV7"),
+    ("geo:3.45834677198,-76.57390575999", "GF1ZLKNU4"),
+    ("geo:3.45834677198,-76.57770076667", "GF1Z6T4KC"),
+    ("geo:4.711111,-74.072222", "HX7VGYKPW"),
+]
+
+
+def g_gridlib_asserts(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's OWN test suite as an engine query: the five
+    osmcode_encode assert vectors (/root/reference/src/assert/
+    gridLib.sql:6-11) encoded + decode-roundtripped on the Spark surface.
+
+    Every row must have match=true and contain=true; the stale area asserts
+    (gridLib.sql:15-16) are replaced by the self-consistent cell area
+    2^(41-45-ish) per SURVEY.md §5.1 (documented reference defect).
+    """
+    df = spark.createDataFrame(_GRIDLIB_ASSERTS, ["uri", "expected"])
+    enc = df.withColumn("code", geo.encode_a_from_uri(F.col("uri")))
+    dec = enc.withColumn("ctr", geo.decode_a_center(F.col("code")))
+    back = dec.withColumn("recode", geo.encode_a(F.col("ctr.lat"), F.col("ctr.lon"), 9))
+    return back.select(
+        "uri", "code", "expected",
+        (F.col("code") == F.col("expected")).alias("match"),
+        (F.col("recode") == F.col("code")).alias("roundtrip"),
+    ).orderBy("uri")
+
+
 QUERIES = {
+    "geo_gridlib_asserts": (g_gridlib_asserts, None),
     "geo_pip_holes": (g_pip_holes, SQL_PIP_HOLES),
     "geo_seat_cells": (g_seat_cells, None),
     "geo_cover_set_ops": (g_cover_set_ops, None),
