@@ -110,7 +110,7 @@ def run() -> dict:
         worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tools", "scaling_worker.py")
         scale_pages = int(os.environ.get("SCALING_PAGES", "4000000"))
-        trials = int(os.environ.get("SCALING_TRIALS", "2"))
+        trials = int(os.environ.get("SCALING_TRIALS", "3"))
         env = {**os.environ, "SCALING_PARTS": "64"}
         sc_res: dict[int, dict] = {}
         # interleaved best-of-N: the sandbox host's spare capacity swings
