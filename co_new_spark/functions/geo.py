@@ -192,22 +192,23 @@ def cell_b_center(cell: pd.Series) -> pd.DataFrame:
 
 @lru_cache(maxsize=None)
 def _encode_b_cell_from_text_udf(rbits: int):
-    import re
-
-    geo_re = re.compile(r"geo:(-?[0-9]{1,2}(?:\.[0-9]+)?),(-?[0-9]{1,3}(?:\.[0-9]+)?)")
-    pair_re = re.compile(r"(-?[0-9]{1,2}\.[0-9]{3,}),\s(-?[0-9]{1,3}\.[0-9]{3,})")
+    # RE2 via pyarrow.compute (~4x pandas str.extract); both patterns use
+    # only RE2-safe constructs, so semantics match functions.text exactly
+    geo_pat = r"geo:(?P<lat>-?[0-9]{1,2}(?:\.[0-9]+)?),(?P<lon>-?[0-9]{1,3}(?:\.[0-9]+)?)"
+    pair_pat = r"(?P<lat>-?[0-9]{1,2}\.[0-9]{3,}),\s(?P<lon>-?[0-9]{1,3}\.[0-9]{3,})"
 
     @F.pandas_udf(LongType())
     def enc(text: pd.Series) -> pd.Series:
-        s = text.fillna("").astype(str)
-        m = s.str.extract(geo_re, expand=True)
-        need = m[0].isna()
-        if need.any():
-            m2 = s[need].str.extract(pair_re, expand=True)
-            m.loc[need, 0] = m2[0]
-            m.loc[need, 1] = m2[1]
-        lat = pd.to_numeric(m[0], errors="coerce").to_numpy(dtype=np.float64)
-        lon = pd.to_numeric(m[1], errors="coerce").to_numpy(dtype=np.float64)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(text.fillna("").astype(str))
+        g = pc.extract_regex(arr, geo_pat)
+        p = pc.extract_regex(arr, pair_pat)
+        lat_s = pc.coalesce(pc.struct_field(g, "lat"), pc.struct_field(p, "lat"))
+        lon_s = pc.coalesce(pc.struct_field(g, "lon"), pc.struct_field(p, "lon"))
+        lat = pc.cast(lat_s, pa.float64()).to_numpy(zero_copy_only=False)
+        lon = pc.cast(lon_s, pa.float64()).to_numpy(zero_copy_only=False)
         ok = np.isfinite(lat) & np.isfinite(lon)
         x, y = proj.forward(np.where(ok, lat, 0.0), np.where(ok, lon, 0.0))
         f = ok & np.isfinite(x) & np.isfinite(y)
