@@ -32,16 +32,19 @@ from ..grid import cells, grids, proj
 # A1: geo-URI parsing — pure native Columns (no UDF)
 # ---------------------------------------------------------------------------
 
-GEO_URI_RE = r"geo:(-?[0-9]+(?:\.[0-9]+)?),(-?[0-9]+(?:\.[0-9]+)?)"
-
-
 def geo_uri_lat(uri: Column) -> Column:
-    """'geo:LAT,LON' -> lat double (NULL if not a geo URI)."""
+    """'geo:LAT,LON' -> lat double (NULL if not a geo URI).
+
+    Pattern shared with functions.text (single grammar source)."""
+    from .text import GEO_URI_RE
+
     s = F.regexp_extract(uri, GEO_URI_RE, 1)
     return F.when(s != "", s.cast("double"))
 
 
 def geo_uri_lon(uri: Column) -> Column:
+    from .text import GEO_URI_RE
+
     s = F.regexp_extract(uri, GEO_URI_RE, 2)
     return F.when(s != "", s.cast("double"))
 
@@ -192,10 +195,10 @@ def cell_b_center(cell: pd.Series) -> pd.DataFrame:
 
 @lru_cache(maxsize=None)
 def _encode_b_cell_from_text_udf(rbits: int):
-    # RE2 via pyarrow.compute (~4x pandas str.extract); both patterns use
-    # only RE2-safe constructs, so semantics match functions.text exactly
-    geo_pat = r"geo:(?P<lat>-?[0-9]{1,2}(?:\.[0-9]+)?),(?P<lon>-?[0-9]{1,3}(?:\.[0-9]+)?)"
-    pair_pat = r"(?P<lat>-?[0-9]{1,2}\.[0-9]{3,}),\s(?P<lon>-?[0-9]{1,3}\.[0-9]{3,})"
+    # RE2 via pyarrow.compute (~4x pandas str.extract).  Patterns come from
+    # functions.text (single source; RE2-safe constructs + explicit [ \t]
+    # separator so Java/RE2/Python engines agree — see text.py note).
+    from . import text as _tx
 
     @F.pandas_udf(LongType())
     def enc(text: pd.Series) -> pd.Series:
@@ -203,10 +206,14 @@ def _encode_b_cell_from_text_udf(rbits: int):
         import pyarrow.compute as pc
 
         arr = pa.Array.from_pandas(text.fillna("").astype(str))
-        g = pc.extract_regex(arr, geo_pat)
-        p = pc.extract_regex(arr, pair_pat)
-        lat_s = pc.coalesce(pc.struct_field(g, "lat"), pc.struct_field(p, "lat"))
-        lon_s = pc.coalesce(pc.struct_field(g, "lon"), pc.struct_field(p, "lon"))
+        g = pc.extract_regex(arr, _tx.GEO_URI_RE_NAMED)
+        g_lat = pc.struct_field(g, "lat")
+        if g_lat.null_count:  # pair fallback only when some rows missed geo:
+            p = pc.extract_regex(arr, _tx.PLAIN_PAIR_RE_NAMED)
+            lat_s = pc.coalesce(g_lat, pc.struct_field(p, "lat"))
+            lon_s = pc.coalesce(pc.struct_field(g, "lon"), pc.struct_field(p, "lon"))
+        else:
+            lat_s, lon_s = g_lat, pc.struct_field(g, "lon")
         lat = pc.cast(lat_s, pa.float64()).to_numpy(zero_copy_only=False)
         lon = pc.cast(lon_s, pa.float64()).to_numpy(zero_copy_only=False)
         ok = np.isfinite(lat) & np.isfinite(lon)

@@ -39,9 +39,22 @@ def extract_text(html: pd.Series) -> pd.Series:
 
 
 # --- A27: geoparse (native Columns) ------------------------------------------
+#
+# SINGLE SOURCE for the geoparse grammar.  The separator is the explicit
+# class [ \t] (not \s): Java regex (Spark native), RE2 (pyarrow fused path)
+# and Python re disagree on \s (vertical tab, NBSP, unicode spaces), so \s
+# would silently desynchronize the three engines that share these patterns.
 
-GEO_URI_RE = r"geo:(-?[0-9]{1,2}(?:\.[0-9]+)?),(-?[0-9]{1,3}(?:\.[0-9]+)?)"
-PLAIN_PAIR_RE = r"(-?[0-9]{1,2}\.[0-9]{3,}),\s(-?[0-9]{1,3}\.[0-9]{3,})"
+_LAT_NUM = r"-?[0-9]{1,2}(?:\.[0-9]+)?"
+_LON_NUM = r"-?[0-9]{1,3}(?:\.[0-9]+)?"
+_LAT_DEC = r"-?[0-9]{1,2}\.[0-9]{3,}"
+_LON_DEC = r"-?[0-9]{1,3}\.[0-9]{3,}"
+_SEP = r"[ \t]"
+
+GEO_URI_RE = f"geo:({_LAT_NUM}),({_LON_NUM})"
+PLAIN_PAIR_RE = f"({_LAT_DEC}),{_SEP}({_LON_DEC})"
+GEO_URI_RE_NAMED = f"geo:(?P<lat>{_LAT_NUM}),(?P<lon>{_LON_NUM})"
+PLAIN_PAIR_RE_NAMED = f"(?P<lat>{_LAT_DEC}),{_SEP}(?P<lon>{_LON_DEC})"
 
 
 def _grp(text: Column, pattern: str, g: int) -> Column:

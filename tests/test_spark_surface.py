@@ -191,3 +191,31 @@ def test_seat_cells_match_known_seats(spark):
     med = out[out.isolabel_ext == "CO-ANT-Medellin"]
     if len(med):
         assert abs(med.iloc[0].seat_lat - 6.244) < 0.3
+
+
+def test_geoparse_grammar_parity_native_vs_fused(spark):
+    """The native (Java regex) and fused (RE2) geoparse paths must agree,
+    including on the pinned [ \\t] pair separator — \\s engines disagree on
+    vertical tab / NBSP, so those must parse in NEITHER path."""
+    from co_new_spark.functions import geo
+    from co_new_spark.functions import text as txf
+
+    rows = [
+        ("geo:4.711111,-74.072222 x",),       # geo URI
+        ("las 4.711111, -74.072222 aqui",),   # space separator
+        ("las 4.711111,\t-74.072222 aqui",),  # tab separator
+        ("las 4.711111,\x0b-74.072222 no",),  # vertical tab: must NOT parse
+        ("las 4.711111, -74.072222 no",),  # NBSP: must NOT parse
+        ("sin coordenadas",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    native = df.select(
+        geo.encode_b_cell(txf.parse_lat(F.col("text")),
+                          txf.parse_lon(F.col("text")), 12).alias("cell")).collect()
+    fused = df.select(
+        geo.encode_b_cell_from_text(F.col("text"), 12).alias("cell")).collect()
+    n = [r.cell for r in native]
+    f = [r.cell for r in fused]
+    assert n == f, (n, f)
+    assert n[0] >= 0 and n[1] >= 0 and n[2] >= 0
+    assert n[3] == -1 and n[4] == -1 and n[5] == -1
