@@ -34,8 +34,11 @@ def cover_join_candidates(points: DataFrame, cover: DataFrame,
                           cell_col: str = "cell") -> DataFrame:
     """points (any cols + cell_col) x cover -> + (isolabel_ext, cover_cell).
 
-    One broadcast hash equi-join on exploded per-depth ancestors.
+    One broadcast hash equi-join on exploded per-depth ancestors.  Overlay
+    (seat) rows are excluded automatically when the dim carries ``kind``.
     """
+    if "kind" in cover.columns:
+        cover = cover.filter(F.col("kind") == "cover")
     depths = cover_depths(cover)
     anc = F.array(*[cells_sql.cell_ancestor_at(F.col(cell_col), d) for d in depths])
     exploded = points.withColumn("__anc", F.explode(anc)).filter(F.col("__anc") >= 0)
@@ -69,6 +72,9 @@ def cover_lookup_best(points: DataFrame, cover: DataFrame,
     dim_pdf = (cov.groupBy("cell", "depth")
                .agg(F.min("isolabel_ext").alias("__iso")).toPandas())
     depths = sorted(int(d) for d in dim_pdf["depth"].unique())
+    if not depths:  # empty cover dim: zero matches, stable schema
+        return points.select(*keep).withColumn(
+            "isolabel_ext", F.lit(None).cast("string")).limit(0)
     out = points
     iso_cols = []
     for d in depths:

@@ -27,7 +27,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LEDGER_SCHEMA = "bucket BIGINT, n_rows BIGINT, wall_s DOUBLE, run_id STRING, finished_at TIMESTAMP"
+# run_wall_s = the COMMITTING RUN's wall time, repeated on each of its
+# bucket rows (not a per-bucket cost; see snapshots() for per-run totals)
+LEDGER_SCHEMA = "bucket BIGINT, n_rows BIGINT, run_wall_s DOUBLE, run_id STRING, finished_at TIMESTAMP"
 
 
 def _ledger_path(base: str) -> str:
@@ -60,13 +62,17 @@ def resumable_write(df: DataFrame, base: str, bucket_col: str = "bucket",
     """
     spark = df.sparkSession
     done = completed_buckets(spark, base)
-    pending_df = df.filter(~F.col(bucket_col).isin(list(done)) if done else F.lit(True))
-
-    pending = sorted(
-        r[0] for r in pending_df.select(bucket_col).distinct().collect())
+    # distinct buckets BEFORE any done-filter: a NULL bucket must fail loud
+    # here — `~isin(done)` would evaluate NULL and silently drop those rows
+    all_buckets = [r[0] for r in df.select(bucket_col).distinct().collect()]
+    if any(b is None for b in all_buckets):
+        raise ValueError(
+            f"resumable_write: {bucket_col!r} contains NULL — refusing to "
+            "silently drop rows; clean or re-bucket upstream")
+    pending = sorted(b for b in all_buckets if b not in done)
     if max_buckets is not None:
         pending = pending[:max_buckets]
-        pending_df = df.filter(F.col(bucket_col).isin(pending))
+    pending_df = df.filter(F.col(bucket_col).isin(pending)) if pending else df.limit(0)
     if not pending:
         return {"written": [], "skipped": sorted(done), "n_rows": 0}
 
@@ -79,20 +85,19 @@ def resumable_write(df: DataFrame, base: str, bucket_col: str = "bucket",
     wall = time.time() - t0
 
     # metrics: per-bucket row counts read back from the committed files
-    # (counts what actually landed, not what the plan promised)
-    written = (spark.read.parquet(os.path.join(base, "data"))
-               .filter(F.col(bucket_col).isin(pending))
-               .groupBy(bucket_col).agg(F.count("*").alias("n_rows")))
+    # (counts what actually landed, not what the plan promised); ONE job —
+    # counts collect to the driver, the ledger rows are built locally
+    counts = (spark.read.parquet(os.path.join(base, "data"))
+              .filter(F.col(bucket_col).isin(pending))
+              .groupBy(bucket_col).agg(F.count("*").alias("n_rows"))).collect()
     run_id = uuid.uuid4().hex[:12]
-    entries = written.select(
-        F.col(bucket_col).cast("bigint").alias("bucket"),
-        F.col("n_rows"),
-        F.lit(round(wall, 3)).alias("wall_s"),
-        F.lit(run_id).alias("run_id"),
-        F.current_timestamp().alias("finished_at"),
-    )
+    rows = [(int(r[bucket_col]), int(r["n_rows"]), round(wall, 3), run_id)
+            for r in counts]
+    entries = spark.createDataFrame(
+        rows, "bucket BIGINT, n_rows BIGINT, run_wall_s DOUBLE, run_id STRING"
+    ).withColumn("finished_at", F.current_timestamp())
     entries.write.mode("append").parquet(_ledger_path(base))
-    n = sum(r.n_rows for r in entries.select("n_rows").collect())
+    n = sum(r[1] for r in rows)
     return {"written": pending, "skipped": sorted(done), "n_rows": n}
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SINK_IDS = itertools.count()
+_SINK_KEEP: list[str] = []
 
 
 def parquet_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -30,12 +31,15 @@ def parquet_stream(spark: SparkSession, path: str) -> DataFrame:
     import tempfile
 
     if os.path.isfile(path):
+        target = os.path.abspath(path)  # relative targets would dangle
         d = os.path.join(tempfile.gettempdir(), "co_stream_src",
-                         hashlib.sha1(path.encode()).hexdigest()[:12])
+                         hashlib.sha1(target.encode()).hexdigest()[:12])
         os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, os.path.basename(path))
-        if not os.path.exists(link):
-            os.symlink(path, link)
+        link = os.path.join(d, os.path.basename(target))
+        try:
+            os.symlink(target, link)
+        except FileExistsError:  # concurrent creators race benignly
+            pass
         path = d
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(path)
@@ -89,8 +93,8 @@ def stateful_running_counts(stream: DataFrame, key: str, ts_col: str,
         n, last = (state.get if state.exists else (0, None))
         for pdf in pdfs:
             n += len(pdf)
-            m = pdf[ts_col].max()
-            ms = int(pd.Timestamp(m).value // 1000) if m is not None else None
+            m = pdf[ts_col].max()  # NaT when the batch's timestamps are all null
+            ms = int(pd.Timestamp(m).value // 1000) if pd.notna(m) else None
             if ms is not None and (last is None or ms > last):
                 last = ms
         state.update((n, last))
@@ -117,15 +121,20 @@ def stream_to_ledger(stream: DataFrame, base: str, bucket_col: str,
     overwrite keyed by (bucket, batch) so replays of an interrupted batch
     are idempotent.
     """
-    from pyspark.sql import functions as FF
-
     from ..plans import lineage
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # bucket per (batch, bucket_col): replayed batches overwrite themselves
-        out = batch_df.withColumn(
-            "__ledger_bucket",
-            FF.col(bucket_col).cast("bigint") * 1_000_000 + FF.lit(batch_id))
+        # bucket per (batch, bucket_col): replayed batches overwrite
+        # themselves.  Encoding (bucket << 20) | batch_id is guarded: fail
+        # LOUD on out-of-range ids rather than silently wrap/collide.
+        if batch_id >= (1 << 20):
+            raise ValueError(f"batch_id {batch_id} exceeds ledger encoding range")
+        b = F.col(bucket_col).cast("bigint")
+        # out-of-range/NULL buckets encode to NULL; resumable_write raises
+        # ValueError on NULL buckets, so bad ids fail loud, never wrap
+        enc = F.when((b >= 0) & (b < (1 << 42)),
+                     F.shiftleft(b, 20) + F.lit(batch_id))
+        out = batch_df.withColumn("__ledger_bucket", enc)
         lineage.resumable_write(out, base, "__ledger_bucket")
 
     (stream.writeStream.foreachBatch(sink)
@@ -139,8 +148,19 @@ def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
     Returns the sink as a batch DataFrame.  ``output_mode``: 'complete' for
     full aggregations, 'append' for row streams (joins, dedup).
     """
+    spark = result.sparkSession
     name = f"co_stream_sink_{next(_SINK_IDS)}"
     q = (result.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
-    return result.sparkSession.table(name)
+    q.stop()
+    # bound driver memory: memory-sink tables live for the session; keep the
+    # last few and drop older drained sinks
+    _SINK_KEEP.append(name)
+    while len(_SINK_KEEP) > 8:
+        old = _SINK_KEEP.pop(0)
+        try:
+            spark.catalog.dropTempView(old)
+        except Exception:
+            pass
+    return spark.table(name)

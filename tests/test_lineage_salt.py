@@ -118,3 +118,12 @@ def test_snapshots_and_time_travel(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         lineage.dataset_at(spark, base, "nope")
+
+
+def test_resumable_write_rejects_null_buckets(spark, tmp_path):
+    import pytest as _pt
+
+    df = spark.range(10).select(
+        F.col("id"), F.when(F.col("id") < 5, F.col("id") % 2).alias("bucket"))
+    with _pt.raises(ValueError, match="NULL"):
+        lineage.resumable_write(df, str(tmp_path / "nb"), "bucket")

@@ -150,3 +150,24 @@ def test_ivf_knn_recall_vs_brute(spark):
     recall = len(bset & iset) / len(bset)
     assert recall >= 0.5, recall  # nprobe=6/16 buckets; exact rerank inside
     assert all(r.rn <= 5 for r in ivf)
+
+
+def test_cover_lookup_empty_dim_returns_empty(spark):
+    from co_new_spark.operators.cover import cover_lookup_best
+
+    pts = spark.range(5).select(F.col("id").alias("url"), (F.col("id") * 64 + 8).alias("cell"))
+    empty = spark.createDataFrame([], "isolabel_ext string, kind string, cell long, depth long")
+    out = cover_lookup_best(pts, empty, keep=["url", "cell"])
+    assert out.count() == 0
+    assert set(out.columns) == {"url", "cell", "isolabel_ext"}
+
+
+def test_cover_candidates_excludes_overlay(spark):
+    from co_new_spark.operators.cover import cover_join_candidates
+
+    cover = spark.createDataFrame(
+        [("A", "cover", (3 << 6) | 2, 2), ("B", "overlay", (3 << 6) | 2, 2)],
+        ["isolabel_ext", "kind", "cell", "depth"])
+    pts = spark.createDataFrame([(((3 << 4) << 6) | 6,)], ["cell"])  # descendant of 3@2
+    got = cover_join_candidates(pts, cover).select("isolabel_ext").collect()
+    assert {r.isolabel_ext for r in got} == {"A"}  # overlay row never matches
