@@ -71,11 +71,14 @@ def _deinterleave(cell: Column, level: int) -> tuple[Column, Column]:
 
 
 def cell_to_latlng(cell: Column, level: int) -> tuple[Column, Column]:
-    """Cell -> (lat, lon) of the cell CENTER (h3.cell_to_latlng shape)."""
+    """Cell -> (lat, lon) of the cell CENTER (h3.cell_to_latlng shape).
+
+    NULL for the -1 invalid sentinel (whose bit pattern would otherwise
+    decode to the (n-1, n-1) corner — a silent wrong answer)."""
     n = 1 << level
     iy, ix = _deinterleave(cell, level)
-    lat = (iy.cast("double") + 0.5) / n * 180.0 - 90.0
-    lon = (ix.cast("double") + 0.5) / n * 360.0 - 180.0
+    lat = F.when(cell >= 0, (iy.cast("double") + 0.5) / n * 180.0 - 90.0)
+    lon = F.when(cell >= 0, (ix.cast("double") + 0.5) / n * 360.0 - 180.0)
     return lat, lon
 
 
@@ -101,7 +104,9 @@ def grid_disk(cell: Column, level: int, ring: int = 1) -> Column:
         for dx in range(-ring, ring + 1):
             ny = iy + dy
             nx = F.pmod(ix + dx, F.lit(n))  # longitude wraps
-            valid = (ny >= 0) & (ny < n)
+            valid = (cell >= 0) & (ny >= 0) & (ny < n)
             out.append(F.when(valid, cells_sql.cell_pack(
                 _interleave_yx(ny, nx, level), F.lit(2 * level))))
-    return F.filter(F.array(*out), lambda c: c.isNotNull())
+    # array_distinct: at n <= 2*ring+1 the lon wrap folds the window onto
+    # itself; h3.grid_disk semantics are a distinct set
+    return F.array_distinct(F.filter(F.array(*out), lambda c: c.isNotNull()))

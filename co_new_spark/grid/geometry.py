@@ -25,21 +25,29 @@ def shoelace_area(ring: np.ndarray) -> float:
 
 
 def _clip_halfplane(poly: np.ndarray, axis: int, bound: float, keep_leq: bool) -> np.ndarray:
-    """One Sutherland–Hodgman pass: keep points with coord <=/>= bound."""
-    if len(poly) == 0:
-        return poly
-    out: list[np.ndarray] = []
+    """One Sutherland–Hodgman pass: keep points with coord <=/>= bound.
+
+    Fully vectorized over the vertex array: per edge, emit the current
+    vertex (if inside) then the boundary intersection (if the edge crosses),
+    preserving edge order via an interleaved (n, 2, 2) slot layout.
+    """
     n = len(poly)
-    for i in range(n):
-        cur, nxt = poly[i], poly[(i + 1) % n]
-        cin = (cur[axis] <= bound) if keep_leq else (cur[axis] >= bound)
-        nin = (nxt[axis] <= bound) if keep_leq else (nxt[axis] >= bound)
-        if cin:
-            out.append(cur)
-        if cin != nin:
-            t = (bound - cur[axis]) / (nxt[axis] - cur[axis])
-            out.append(cur + t * (nxt - cur))
-    return np.asarray(out, dtype=np.float64) if out else np.empty((0, 2))
+    if n == 0:
+        return poly
+    cur = poly
+    nxt = np.roll(poly, -1, axis=0)
+    if keep_leq:
+        cin = cur[:, axis] <= bound
+        nin = nxt[:, axis] <= bound
+    else:
+        cin = cur[:, axis] >= bound
+        nin = nxt[:, axis] >= bound
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (bound - cur[:, axis]) / (nxt[:, axis] - cur[:, axis])
+        inter = cur + t[:, None] * (nxt - cur)  # nan/inf slots are masked out
+    slots = np.stack([cur, inter], axis=1)          # (n, 2, 2): vertex, crossing
+    mask = np.stack([cin, cin != nin], axis=1)       # emit flags, edge order kept
+    return slots.reshape(-1, 2)[mask.reshape(-1)]
 
 
 def clip_to_rect(ring: np.ndarray, xmin: float, ymin: float,
@@ -61,8 +69,27 @@ def clip_to_rect(ring: np.ndarray, xmin: float, ymin: float,
 
 
 def clip_area_to_rects(ring: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """Area of ring ∩ each box; boxes (n, 4) as (xmin, ymin, xmax, ymax)."""
+    """Area of ring ∩ each box; boxes (n, 4) as (xmin, ymin, xmax, ymax).
+
+    Fast paths: bbox-disjoint boxes are 0 without clipping, and boxes that
+    contain the whole ring bbox get the full polygon area — only boxes
+    straddling the boundary pay the 4-pass clip.
+    """
     boxes = np.asarray(boxes, dtype=np.float64)
-    return np.array([
-        shoelace_area(clip_to_rect(ring, *b)) for b in boxes
-    ])
+    r = np.asarray(ring, dtype=np.float64)
+    rx0, ry0 = r.min(axis=0)
+    rx1, ry1 = r.max(axis=0)
+    out = np.zeros(len(boxes))
+    disjoint = (boxes[:, 2] <= rx0) | (boxes[:, 0] >= rx1) \
+        | (boxes[:, 3] <= ry0) | (boxes[:, 1] >= ry1)
+    contains_ring = (boxes[:, 0] <= rx0) & (boxes[:, 1] <= ry0) \
+        & (boxes[:, 2] >= rx1) & (boxes[:, 3] >= ry1)
+    full = None
+    for k in np.nonzero(~disjoint)[0]:
+        if contains_ring[k]:
+            if full is None:
+                full = shoelace_area(r)
+            out[k] = full
+        else:
+            out[k] = shoelace_area(clip_to_rect(r, *boxes[k]))
+    return out

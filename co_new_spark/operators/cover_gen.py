@@ -36,20 +36,24 @@ def polygon_cover(spark: SparkSession, ring: np.ndarray,
     full-cell areas + border-cell clipped areas equals the polygon area; any
     point inside the polygon has an ancestor among the emitted cells.
     """
+    if (max_depth - base_depth) % 2 or max_depth < base_depth:
+        raise ValueError(
+            f"max_depth - base_depth must be a non-negative multiple of 2, "
+            f"got {base_depth}..{max_depth}")
     area = clip_area_udf(ring)
-    cell_area = (1.0 * 2 ** 19) ** 2  # recomputed per depth below
 
     def classify(cells: DataFrame, depth: int) -> DataFrame:
         r = depth - 4
-        side = 524_288.0 / (1 << (r // 2))
+        side_x = 524_288.0 / (1 << (r // 2))
         side_y = 524_288.0 / (1 << ((r + 1) // 2))
-        full_area = side * side_y
+        full_area = side_x * side_y
         return cells.withColumn("clip", area(F.col("cell"))) \
                     .withColumn("__full", F.col("clip") >= full_area * (1 - 1e-12))
 
-    del cell_area
+    # localCheckpoint each frontier: the per-level union branches otherwise
+    # re-evaluate every ancestor level's clip UDF chain once per deeper level
     frontier = classify(_cells_at_depth(spark, base_depth), base_depth) \
-        .filter(F.col("clip") > 0)
+        .filter(F.col("clip") > 0).localCheckpoint(eager=True)
     emitted = []
     depth = base_depth
     while depth < max_depth:
@@ -59,7 +63,8 @@ def polygon_cover(spark: SparkSession, ring: np.ndarray,
         depth += 2
         children = partial.select(
             F.explode(cells_sql.cell_children(F.col("cell"), 2)).alias("cell"))
-        frontier = classify(children, depth).filter(F.col("clip") > 0)
+        frontier = classify(children, depth).filter(F.col("clip") > 0) \
+            .localCheckpoint(eager=True)
     emitted.append(frontier.select(
         "cell",
         F.when(F.col("__full"), "full").otherwise("border").alias("kind"),

@@ -22,15 +22,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salt: int = 16, salt_col: str = "__salt") -> DataFrame:
+def with_salt(df: DataFrame, n_salt: int = 16, salt_col: str = "__salt",
+              cols: list[str] | None = None) -> DataFrame:
     """Deterministic row salt in [0, n_salt) — spreads hot keys over reducers.
 
-    Salt derives from a hash of the whole row id space via
-    monotonically_increasing_id's partition bits XOR a per-row counter, so it
-    is uniform within every key without needing a user id column.
+    Salt derives from a hash of ROW CONTENT (``cols``, default all columns) —
+    never from monotonically_increasing_id/rand, which change under task
+    retry/speculation and silently corrupt shuffle outputs (SPARK-23207
+    pattern: recomputed map tasks re-salt rows differently while reducers
+    keep already-fetched data).  Fully duplicate rows share a salt; that
+    only matters for pathological all-identical-row keys.
     """
+    cols = cols or df.columns
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt))
     )
 
 

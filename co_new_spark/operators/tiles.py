@@ -39,8 +39,14 @@ def tile_id(x: Column, y: Column, z: int) -> Column:
 def _grid_b_global_ji(cell: Column, depth: int) -> tuple[Column, Column]:
     """Grid B cell (depth = 4+r, even r) -> (gy, gx) global lattice coords,
     entirely native: digit -> (j, i) via literal arrays, refinement bits
-    de-interleaved with shifts (y-first Morton, MSB first)."""
+    de-interleaved with shifts (y-first Morton, MSB first).
+
+    Even refinement only (square cells); half-bit (odd-r) cells would need
+    the rectangular n_first/n_second split — fail loud rather than mis-tile.
+    """
     r = depth - 4
+    if r < 0 or r % 2:
+        raise ValueError(f"cell_to_tile/tile_to_cells need even refinement, got depth={depth}")
     ny = nx = r // 2
     bits = F.shiftright(cell, 6)
     digit = F.shiftright(bits, r)
@@ -87,10 +93,14 @@ def tile_to_cells(tile: Column, z: int, depth: int) -> Column:
     x1 = x0 + F.lit(X_EXTENT / n)
     y1 = F.lit(Y0 + Y_EXTENT) - ty.cast("double") * F.lit(Y_EXTENT / n)
     y0 = y1 - F.lit(Y_EXTENT / n)
+    # windows matching tile_x/tile_y EXACTLY so an edge-aligned cell center
+    # lands in precisely one tile:
+    #   x: tile_x = floor((cx-X0)/tw)  -> cx in [lo, hi)   (low incl, high strict)
+    #   y: tile_y = floor((TOP-cy)/th) -> cy in (lo, hi]   (low strict, high incl)
     gx0 = F.greatest(F.ceil((x0 - F.lit(X0)) / F.lit(side) - 0.5), F.lit(0)).cast("long")
-    gx1 = F.least(F.floor((x1 - F.lit(X0)) / F.lit(side) - 0.5),
+    gx1 = F.least(F.ceil((x1 - F.lit(X0)) / F.lit(side) - 0.5) - 1,
                   F.lit(grids.L0_NI * (1 << nx) - 1)).cast("long")
-    gy0 = F.greatest(F.ceil((y0 - F.lit(Y0)) / F.lit(side) - 0.5), F.lit(0)).cast("long")
+    gy0 = F.greatest(F.floor((y0 - F.lit(Y0)) / F.lit(side) - 0.5) + 1, F.lit(0)).cast("long")
     gy1 = F.least(F.floor((y1 - F.lit(Y0)) / F.lit(side) - 0.5),
                   F.lit(grids.L0_NJ * (1 << ny) - 1)).cast("long")
     digit_arr = F.array(*[F.lit(int(v)) for row in grids.L0_DIGIT_BY_JI
@@ -112,9 +122,13 @@ def tile_to_cells(tile: Column, z: int, depth: int) -> Column:
         bits = F.shiftleft(digit.cast("long"), r).bitwiseOR(ref)
         return F.when(digit >= 0, F.shiftleft(bits, 6).bitwiseOR(F.lit(depth)))
 
+    # F.sequence DESCENDS when start > stop — an empty window must yield an
+    # empty array, not a reversed walk off the lattice
+    empty = F.array().cast("array<bigint>")
+    seq_y = F.when(gy0 <= gy1, F.sequence(gy0, gy1)).otherwise(empty)
+    seq_x = F.when(gx0 <= gx1, F.sequence(gx0, gx1)).otherwise(empty)
     pairs = F.flatten(F.transform(
-        F.sequence(gy0, gy1),
-        lambda gy: F.transform(F.sequence(gx0, gx1), lambda gx: _cell(gy, gx)),
+        seq_y, lambda gy: F.transform(seq_x, lambda gx: _cell(gy, gx)),
     ))
     return F.filter(pairs, lambda c: c.isNotNull())
 

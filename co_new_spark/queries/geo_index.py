@@ -138,8 +138,8 @@ ext AS (
 ), rng AS (
   SELECT tile,
          greatest(CAST(ceil(x0 / {_d(side)} - 0.5) AS BIGINT), 0) AS gx0,
-         least(CAST(floor(x1 / {_d(side)} - 0.5) AS BIGINT), {grids.L0_NI * 4 - 1}) AS gx1,
-         greatest(CAST(ceil(y0 / {_d(side)} - 0.5) AS BIGINT), 0) AS gy0,
+         least(CAST(ceil(x1 / {_d(side)} - 0.5) AS BIGINT) - 1, {grids.L0_NI * 4 - 1}) AS gx1,
+         greatest(CAST(floor(y0 / {_d(side)} - 0.5) AS BIGINT) + 1, 0) AS gy0,
          least(CAST(floor(y1 / {_d(side)} - 0.5) AS BIGINT), {grids.L0_NJ * 4 - 1}) AS gy1
   FROM box
 ), latt AS (

@@ -122,3 +122,44 @@ def test_decode_geojson_matches_reference_grid(spark):
                        for o in ours), (code, pt, ours)
         n_checked += 1
     assert n_checked == 16
+
+
+def test_tile_cell_edge_alignment_no_double_assignment(spark):
+    """z=5/depth=8: tile edges align with cell centers — each cell must
+    appear in EXACTLY one tile (half-open windows matching tile_x/tile_y)."""
+    t = spark.range(1 << 10).select(F.col("id").alias("tile"))
+    ex = t.select("tile", F.explode(tiles.tile_to_cells(F.col("tile"), 5, 8)).alias("cell"))
+    dup = ex.groupBy("cell").count().filter(F.col("count") != 1).count()
+    assert dup == 0
+    assert ex.count() == 256
+    # and the assignment agrees with cell_to_tile
+    df = spark.range(256).select((F.col("id") * 64 + 8).alias("cell"))
+    df = df.withColumn("tile", tiles.cell_to_tile(F.col("cell"), 8, 5))
+    j = df.join(ex.withColumnRenamed("tile", "tile2"), "cell")
+    assert j.filter(F.col("tile") != F.col("tile2")).count() == 0
+
+
+def test_tiles_reject_odd_refinement():
+    import pytest as _pt
+    from pyspark.sql import functions as FF
+
+    with _pt.raises(ValueError, match="even refinement"):
+        tiles.cell_to_tile(FF.lit(0), 9, 3)
+
+
+def test_global_invalid_cell_guards(spark):
+    df = spark.createDataFrame([(-1,), (170,)], ["cell"])  # -1 invalid
+    lat, lon = global_grid.cell_to_latlng(F.col("cell"), 2)
+    got = df.select(lat.alias("lat"), lon.alias("lon"),
+                    F.size(global_grid.grid_disk(F.col("cell"), 2, 1)).alias("nd")).collect()
+    assert got[0].lat is None and got[0].lon is None and got[0].nd == 0
+    assert got[1].lat is not None and got[1].nd > 0
+
+
+def test_grid_disk_distinct_when_wrap_folds(spark):
+    # level 1 (n=2): the 3x3 window folds onto itself in longitude
+    df = spark.createDataFrame([(0.0, 0.0)], ["lat", "lon"]) \
+        .withColumn("cell", global_grid.latlng_to_cell(F.col("lat"), F.col("lon"), 1)) \
+        .withColumn("disk", global_grid.grid_disk(F.col("cell"), 1, 1))
+    d = df.select("disk").first().disk
+    assert len(d) == len(set(d))  # distinct set, no folded duplicates
