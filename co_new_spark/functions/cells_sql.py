@@ -97,6 +97,36 @@ def cell_children(cell: Column, k: int = 2) -> Column:
     )
 
 
+def interleave_yx_cols(iy: Column, ix: Column, ny: int, nx: int) -> Column:
+    """y-first MSB Morton interleave of (iy: ny bits, ix: nx bits) as native
+    shifts — the ONE column-level implementation (mirrors grid/morton.py;
+    shared by global_grid and the tile lattice algebra)."""
+    r = ny + nx
+    out = F.lit(0).cast("long")
+    for t in range(r):
+        if t % 2 == 0:
+            src, k = iy, ny - 1 - t // 2
+        else:
+            src, k = ix, nx - 1 - t // 2
+        b = F.shiftrightunsigned(src, k).bitwiseAND(F.lit(1)).cast("long")
+        out = out.bitwiseOR(F.shiftleft(b, r - 1 - t))
+    return out
+
+
+def deinterleave_yx_cols(bits: Column, ny: int, nx: int) -> tuple[Column, Column]:
+    """Inverse of interleave_yx_cols: stream bits -> (iy, ix)."""
+    r = ny + nx
+    iy = F.lit(0).cast("long")
+    ix = F.lit(0).cast("long")
+    for t in range(r):
+        b = F.shiftrightunsigned(bits, r - 1 - t).bitwiseAND(F.lit(1)).cast("long")
+        if t % 2 == 0:
+            iy = iy.bitwiseOR(F.shiftleft(b, ny - 1 - t // 2))
+        else:
+            ix = ix.bitwiseOR(F.shiftleft(b, nx - 1 - t // 2))
+    return iy, ix
+
+
 def cell_l0_digit(cell: Column) -> Column:
     """Grid B: the leading 4 bits = L0 digit value (0..15); -1 if too shallow."""
     nb = cell_depth(cell)

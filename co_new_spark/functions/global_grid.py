@@ -25,21 +25,8 @@ MAX_LEVEL = 26  # 2*26+6 pack bits < 63
 
 
 def _interleave_yx(iy: Column, ix: Column, level: int) -> Column:
-    """y-first MSB Morton of two level-bit integers, as native shifts."""
-    out = F.lit(0).cast("long")
-    for k in range(level - 1, -1, -1):
-        out = (
-            out.bitwiseOR(
-                cells_sql._shiftleft(  # noqa: SLF001
-                    F.shiftrightunsigned(iy, k).bitwiseAND(F.lit(1)).cast("long"),
-                    2 * k + 1)
-            ).bitwiseOR(
-                cells_sql._shiftleft(  # noqa: SLF001
-                    F.shiftrightunsigned(ix, k).bitwiseAND(F.lit(1)).cast("long"),
-                    2 * k)
-            )
-        )
-    return out
+    """y-first MSB Morton of two level-bit integers (shared helper)."""
+    return cells_sql.interleave_yx_cols(iy, ix, level, level)
 
 
 def latlng_to_cell(lat: Column, lon: Column, level: int) -> Column:
@@ -59,15 +46,7 @@ def latlng_to_cell(lat: Column, lon: Column, level: int) -> Column:
 
 
 def _deinterleave(cell: Column, level: int) -> tuple[Column, Column]:
-    bits = cells_sql.cell_bits(cell)
-    iy = F.lit(0).cast("long")
-    ix = F.lit(0).cast("long")
-    for k in range(level):
-        iy = iy.bitwiseOR(cells_sql._shiftleft(  # noqa: SLF001
-            F.shiftrightunsigned(bits, 2 * k + 1).bitwiseAND(F.lit(1)).cast("long"), k))
-        ix = ix.bitwiseOR(cells_sql._shiftleft(  # noqa: SLF001
-            F.shiftrightunsigned(bits, 2 * k).bitwiseAND(F.lit(1)).cast("long"), k))
-    return iy, ix
+    return cells_sql.deinterleave_yx_cols(cells_sql.cell_bits(cell), level, level)
 
 
 def cell_to_latlng(cell: Column, level: int) -> tuple[Column, Column]:

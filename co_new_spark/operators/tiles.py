@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions import cells_sql
 from ..grid import grids
 
 X0 = grids.L0_ORIGIN_X
@@ -55,14 +56,7 @@ def _grid_b_global_ji(cell: Column, depth: int) -> tuple[Column, Column]:
     iarr = F.array(*[F.lit(int(v)) for v in grids.L0_I_BY_DIGIT])
     j = F.element_at(jarr, (digit + 1).cast("int"))
     i = F.element_at(iarr, (digit + 1).cast("int"))
-    iy = F.lit(0).cast("long")
-    ix = F.lit(0).cast("long")
-    for t in range(r):  # stream bit t (0 = MSB): even -> y, odd -> x
-        b = F.shiftrightunsigned(ref, r - 1 - t).bitwiseAND(F.lit(1)).cast("long")
-        if t % 2 == 0:
-            iy = iy.bitwiseOR(F.shiftleft(b, ny - 1 - t // 2))
-        else:
-            ix = ix.bitwiseOR(F.shiftleft(b, nx - 1 - t // 2))
+    iy, ix = cells_sql.deinterleave_yx_cols(ref, ny, nx)
     return j * (1 << ny) + iy, i * (1 << nx) + ix
 
 
@@ -112,13 +106,7 @@ def tile_to_cells(tile: Column, z: int, depth: int) -> Column:
         iy = gy.bitwiseAND(F.lit((1 << ny) - 1))
         ix = gx.bitwiseAND(F.lit((1 << nx) - 1))
         digit = F.element_at(digit_arr, (j * grids.L0_NI + i + 1).cast("int"))
-        ref = F.lit(0).cast("long")
-        for t in range(r):
-            src = iy if t % 2 == 0 else ix
-            k = (ny - 1 - t // 2) if t % 2 == 0 else (nx - 1 - t // 2)
-            ref = ref.bitwiseOR(F.shiftleft(
-                F.shiftrightunsigned(src, k).bitwiseAND(F.lit(1)).cast("long"),
-                r - 1 - t))
+        ref = cells_sql.interleave_yx_cols(iy, ix, ny, nx)
         bits = F.shiftleft(digit.cast("long"), r).bitwiseOR(ref)
         return F.when(digit >= 0, F.shiftleft(bits, 6).bitwiseOR(F.lit(depth)))
 
