@@ -118,7 +118,7 @@ WITH {_sql_cells_cte(8)},
 leaf AS (SELECT cell, count(*) AS n FROM cells WHERE cell >= 0 GROUP BY cell)
 SELECT ((cell >> 6) >> 8) * 64 + 4 AS cell_l0,
        ((cell >> 6) >> 4) * 64 + 8 AS cell_l1,
-       sum(n) AS n_points, count(*) AS n_leaf_cells
+       CAST(sum(n) AS BIGINT) AS n_points, count(*) AS n_leaf_cells
 FROM leaf GROUP BY 1, 2
 """
 
@@ -382,7 +382,7 @@ def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.pages import pages
     from ..sources.reference_data import load_citycover, load_synonym
 
-    pg = pages(spark, 10_000)
+    pg = pages(spark, 4_000)
     pts = pg.select(
         "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
     ).filter(F.col("cell") >= 0)

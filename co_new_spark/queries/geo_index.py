@@ -236,7 +236,7 @@ def g_pip_colombia(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.reference_data import load_admin_polygons
 
     rings = [r for f in load_admin_polygons() for r in f["rings"]]
-    pg = pages(spark, 5_000, with_truth=True)
+    pg = pages(spark, 2_500, with_truth=True)
     pts = pg.select(
         "url", geo.latlon_to_xy_cell(F.col("true_lat"), F.col("true_lon"), 4).alias("s"))
     pts = pts.select("url", F.col("s.x").alias("x"), F.col("s.y").alias("y"),

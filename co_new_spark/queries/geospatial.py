@@ -15,6 +15,8 @@ bit-exactness is gated by tests/test_grid_golden.py instead.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -126,7 +128,11 @@ FROM t GROUP BY 1, 2
 # Pages-based pipelines (rows-only driver check; bit-exactness via pytest)
 # ---------------------------------------------------------------------------
 
-_PAGES_N = 20_000
+# Correctness-path default is deliberately small: the driver runs all 72
+# registry entries under one budget at sf0.01, so each pages-based entry
+# only needs enough rows to exercise every code path.  bench.py measures
+# throughput with its own BENCH_PAGES-sized input.
+_PAGES_N = int(os.environ.get("CO_Q_PAGES", "6000"))
 
 
 def g_pages_l0_histogram(spark: SparkSession, sf: str) -> DataFrame:

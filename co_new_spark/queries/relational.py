@@ -353,13 +353,31 @@ SELECT o_custkey AS custkey FROM orders
 
 
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """B13: HLL++ approximate distinct (rows-only: HLL sketches differ across
-    engines; accuracy vs exact is gated in tests/test_geo_algebra.py)."""
+    """B13: HLL++ approximate distinct, driver-oracle-checkable.
+
+    HLL sketch values differ across engines, so the oracle-stable output is
+    the exact count plus a deterministic accuracy bit: Spark's HLL++ estimate
+    must land within 5% of the exact count (it is deterministic for a given
+    input, so the bit is stable run-to-run).  The oracle emits TRUE — a
+    hash-green row proves the HLL path ran AND was accurate.
+    """
     ev = load(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
+        F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+    ok = (F.abs(F.col("n_approx") - F.col("n_users"))
+          <= 0.05 * F.col("n_users"))
+    return agg.select("event_type", "n_users", "n_events",
+                      ok.alias("approx_within_5pct"))
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
 
 
 
@@ -384,6 +402,39 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """B12/B16 scale path: approx_percentile (t-digest-style sketch, mergeable
+    partial agg — no per-group sort) vs the exact holistic percentile.
+
+    At 100 TB the exact sort-based percentile is a full per-group sort; this
+    is the production variant.  Oracle-stable output: exact p50 plus a
+    deterministic accuracy bit (Spark's approx_percentile with accuracy 10^4
+    is deterministic for a given input); the oracle emits TRUE.
+    """
+    li = load(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("ap50"),
+        F.expr("percentile(l_quantity, 0.5)").alias("ep50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("ap90"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("ep90"),
+    )
+    ok50 = F.abs(F.col("ap50") - F.col("ep50")) <= 0.02 * (F.abs(F.col("ep50")) + 1.0)
+    ok90 = F.abs(F.col("ap90") - F.col("ep90")) <= 0.02 * (F.abs(F.col("ep90")) + 1.0)
+    return agg.select(
+        "l_returnflag", F.round("ep50", 6).alias("p50_exact"),
+        F.round("ep90", 6).alias("price_p90_exact"),
+        ok50.alias("approx_p50_ok"), ok90.alias("approx_p90_ok"))
+
+
+SQL_PERCENTILES_APPROX = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90_exact,
+       TRUE AS approx_p50_ok, TRUE AS approx_p90_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_cube(spark: SparkSession, sf: str) -> DataFrame:
     """B15: CUBE over two dims (all grouping-set combinations)."""
     ev = load(spark, sf, "events")
@@ -401,8 +452,9 @@ FROM events GROUP BY CUBE (1, 2)
 
 QUERIES = {
     "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
+    "rel_percentiles_approx": (q_percentiles_approx, SQL_PERCENTILES_APPROX),
     "rel_cube": (q_cube, SQL_CUBE),
-    "rel_approx_distinct": (q_approx_distinct, None),
+    "rel_approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "rel_topk_revenue": (q_topk_revenue, SQL_TOPK),
     "rel_region_rollup": (q_region_rollup, SQL_ROLLUP),

@@ -61,7 +61,7 @@ def t_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DEDUP_STATS = """
 SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
-       sum(n_chars) AS sum_chars
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source
 """
 

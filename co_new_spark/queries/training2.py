@@ -8,6 +8,8 @@ reference-CSV dims aren't visible to the oracle's pre-registered views).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -83,6 +85,10 @@ FROM fps
 # ---------------------------------------------------------------------------
 
 NEARDUP_SIM = 0.35
+# Exact all-pairs is the small-input ground truth; cap the input so the
+# correctness run stays O(NEARDUP_CAP^2) regardless of sf (LSH/IVF are the
+# scale paths — see t_knn_lsh / t_knn_ivf).
+NEARDUP_CAP = 300
 
 
 def _cosine(a, b):
@@ -103,7 +109,7 @@ def t_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     At scale this runs AFTER LSH bucketing (train_knn_lsh path); the exact
     pair scan is the correctness oracle and the small-input default.
     """
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < NEARDUP_CAP)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -121,7 +127,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
              6) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+WHERE a.vec_id < {NEARDUP_CAP} AND b.vec_id < {NEARDUP_CAP}
+  AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
             6) >= {NEARDUP_SIM}
@@ -132,7 +139,7 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 # Multimodal plumbing over the pages binary payloads (rows-only)
 # ---------------------------------------------------------------------------
 
-_PAGES_N = 5_000
+_PAGES_N = int(os.environ.get("CO_Q_PAGES_MM", "2500"))
 
 
 def t_media_meta(spark: SparkSession, sf: str) -> DataFrame:

@@ -76,6 +76,8 @@ def test_approx_distinct_accuracy(spark):
 
     sf = "/root/testdata/sf0.01"
     exact = {r.event_type: r.n_users for r in q_distinct_users(spark, sf).collect()}
-    approx = {r.event_type: r.n_users_approx for r in q_approx_distinct(spark, sf).collect()}
+    rows = q_approx_distinct(spark, sf).collect()
+    got = {r.event_type: r for r in rows}
     for k, v in exact.items():
-        assert abs(approx[k] - v) / max(v, 1) < 0.1, (k, v, approx[k])
+        assert got[k].n_users == v, (k, v, got[k])
+        assert got[k].approx_within_5pct, (k, got[k])
