@@ -119,9 +119,17 @@ def run() -> dict:
             for c in (1, 4):
                 r = subprocess.run([sys.executable, worker, str(c), str(scale_pages)],
                                    capture_output=True, text=True, env=env)
+                if r.returncode != 0 or not r.stdout.strip():
+                    print(f"scaling worker (cores={c}) failed rc={r.returncode}: "
+                          f"{r.stderr[-2000:]}", file=sys.stderr)
+                    continue
                 got = json.loads(r.stdout.strip().splitlines()[-1])
                 if c not in sc_res or got["pages_per_sec"] > sc_res[c]["pages_per_sec"]:
                     sc_res[c] = got
+        if not (1 in sc_res and 4 in sc_res):
+            raise RuntimeError(
+                f"scaling trials incomplete (levels done: {sorted(sc_res)}); "
+                "see worker stderr above")
         eff = sc_res[4]["pages_per_sec"] / sc_res[1]["pages_per_sec"] / 4.0
         out["scaling"] = {
             "pages": scale_pages,

@@ -78,6 +78,8 @@ def tile_to_cells(tile: Column, z: int, depth: int) -> Column:
     sequence -> re-interleave.  Callers explode the array for tile joins.
     """
     r = depth - 4
+    if r < 0 or r % 2:
+        raise ValueError(f"cell_to_tile/tile_to_cells need even refinement, got depth={depth}")
     ny = nx = r // 2
     side = grids.L0_SIDE / (1 << ny)
     n = 1 << z

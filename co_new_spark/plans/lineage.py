@@ -37,11 +37,19 @@ def _ledger_path(base: str) -> str:
 
 
 def read_ledger(spark: SparkSession, base: str) -> DataFrame:
+    """Missing ledger == empty ledger (first run); any OTHER read error
+    (permissions, corrupt files) propagates — silently treating it as empty
+    would make dataset() return zero rows and resumable_write re-commit
+    every bucket."""
+    from pyspark.errors import AnalysisException
+
     p = _ledger_path(base)
     try:
         return spark.read.schema(LEDGER_SCHEMA).parquet(p)
-    except Exception:
-        return spark.createDataFrame([], LEDGER_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], LEDGER_SCHEMA)
+        raise
 
 
 def completed_buckets(spark: SparkSession, base: str) -> set[int]:

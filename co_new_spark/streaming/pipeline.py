@@ -147,6 +147,11 @@ def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
 
     Returns the sink as a batch DataFrame.  ``output_mode``: 'complete' for
     full aggregations, 'append' for row streams (joins, dedup).
+
+    LIFETIME: the returned DataFrame reads a temp view that is evicted once
+    8 newer sinks have drained (bounded driver memory).  Callers holding a
+    result across many subsequent drains must materialize first (collect,
+    cache+count, or write); afterwards the view may be unresolvable.
     """
     spark = result.sparkSession
     name = f"co_stream_sink_{next(_SINK_IDS)}"
