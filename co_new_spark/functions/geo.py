@@ -285,6 +285,24 @@ def b16h_string(bits: pd.Series, nbits: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def b32nvu_string(bits: pd.Series, nbits: pd.Series) -> pd.Series:
+    """Generic (bits, nbits) -> base32nvu string (logistic codes, A23).
+
+    Grammar per /root/reference/conf.yaml:33 (``log_base: 32nvu``): 5 bits
+    per character, MSB first — so ``nbits`` must be a multiple of 5; NULL
+    where it is not (or negative), never a silently truncated code.
+    """
+    from ..grid.codec import b32nvu_encode
+
+    b = bits.to_numpy(dtype=np.uint64, na_value=0)
+    nb = nbits.to_numpy(dtype=np.int64, na_value=-1)
+    bad = (nb < 0) | (nb % 5 != 0)
+    out = pd.Series(b32nvu_encode(b, np.where(bad, 0, nb)), dtype="object")
+    out[bad] = None
+    return out
+
+
+@F.pandas_udf(StringType())
 def encode_a_from_uri(uri: pd.Series) -> pd.Series:
     """'geo:LAT,LON' -> 9-digit Grid A code in ONE Arrow crossing (A8 fused).
 

@@ -6,13 +6,13 @@ Consumed by __spark_entry__.py (driver contract) and bench.py.
 from __future__ import annotations
 
 from . import (
-    geo_algebra, geo_index, geospatial, pipeline_q, relational, streaming_q,
-    training, training2,
+    geo_algebra, geo_cover_sql, geo_index, geospatial, pipeline_q, relational,
+    streaming_q, training, training2,
 )
 
 REGISTRY: dict = {}
-for _mod in (relational, training, geospatial, geo_algebra, geo_index,
-             training2, streaming_q, pipeline_q):
+for _mod in (relational, training, geospatial, geo_algebra, geo_cover_sql,
+             geo_index, training2, streaming_q, pipeline_q):
     REGISTRY.update(_mod.QUERIES)
 
 

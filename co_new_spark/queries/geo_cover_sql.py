@@ -1,0 +1,308 @@
+"""Driver-oracle-checked cover lookup + short codes over the REAL reference
+dims (A21/A22/A23), closing the rows-only gap for the cover/abbrev family.
+
+The pages-based cover entries (geospatial.g_cover_lookup, geo_algebra.
+g_shortcode) stay rows-only because synthetic pages aren't visible to the
+oracle.  Here the points derive from ``events`` with power-of-two-exact
+arithmetic (same trick as geo_algebra), and the oracle restates EVERYTHING
+in DuckDB SQL — including parsing /root/reference/data/citycover.csv and
+synonym.csv via read_csv and re-deriving the base16h / base32nvu string
+grammar — so the cover prefix-join, the abbreviation dim and both shortcode
+codecs are value-checked end to end against an independent implementation.
+
+Short-code semantics (/root/reference/README.md "Códigos abreviados",
+conf.yaml:29-34): the jurisdiction's cover cell is the context prefix; the
+code is ``abbrev <sep> suffix`` where suffix re-encodes the point cell's
+bits below the prefix.  Two registered forms:
+
+* scientific — ``sci_sep '+'``, base16h suffix (conf.yaml:29-30);
+* logistic  — ``log_sep '-'``, base32nvu suffix (conf.yaml:33-34).  base32
+  carries 5 bits/char, so the point cell is truncated to the deepest
+  ancestor whose suffix length is a multiple of 5 (deterministic, and the
+  code round-trips exactly to that aligned cell — pytest-gated in
+  tests/test_geo_algebra.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells_sql, geo
+from ..operators.cover import cover_join_candidates, cover_lookup_best
+from ..sources.reference_data import load_citycover, load_synonym, load_synonym_ref
+from .geo_algebra import _sql_cells_cte
+
+_PT_R = 26            # refinement bits -> point depth 30 (> max cover depth 22)
+_PT_DEPTH = 4 + _PT_R
+
+_REF_DATA = "/root/reference/data"
+
+# -- DuckDB-side decode of citycover.csv codes (base16h -> bits/depth) -------
+
+_SQL_COV = f"""
+covraw AS (
+  SELECT isolabel_ext, unnest(string_split(cover, ' ')) AS code
+  FROM read_csv('{_REF_DATA}/citycover.csv', header=true, all_varchar=true)
+),
+covc AS (SELECT isolabel_ext, code FROM covraw WHERE code <> '' AND code <> 'NULL'),
+covdec AS (
+  SELECT isolabel_ext, code,
+    CASE WHEN contains('GQ', right(code, 1)) THEN 1
+         WHEN contains('HMRV', right(code, 1)) THEN 2
+         WHEN contains('JKNPSTYZ', right(code, 1)) THEN 3 ELSE 0 END AS snb,
+    CASE right(code, 1) WHEN 'G' THEN 0 WHEN 'Q' THEN 1
+         WHEN 'H' THEN 0 WHEN 'M' THEN 1 WHEN 'R' THEN 2 WHEN 'V' THEN 3
+         WHEN 'J' THEN 0 WHEN 'K' THEN 1 WHEN 'N' THEN 2 WHEN 'P' THEN 3
+         WHEN 'S' THEN 4 WHEN 'T' THEN 5 WHEN 'Y' THEN 6 WHEN 'Z' THEN 7
+         ELSE 0 END AS sval
+  FROM covc
+),
+covbits AS (
+  SELECT isolabel_ext,
+    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(
+         string_split(substring(code, 1, length(code)
+                                - CASE WHEN snb > 0 THEN 1 ELSE 0 END), ''),
+         ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))),
+       (a, b) -> a * 16 + b) << snb) | sval AS cbits,
+    (length(code) - CASE WHEN snb > 0 THEN 1 ELSE 0 END) * 4 + snb AS cdepth
+  FROM covdec
+),
+cov AS (
+  -- cover_idx: rank by packed cell id within the jurisdiction (the role of
+  -- the CSV's unpopulated cover_order column); mirrors _cover_index_dim
+  SELECT isolabel_ext, cbits, cdepth,
+         row_number() OVER (PARTITION BY isolabel_ext
+                            ORDER BY cbits * 64 + cdepth) - 1 AS cidx
+  FROM covbits
+),
+pcell AS (SELECT event_id, cell >> 6 AS pbits FROM cells WHERE cell >= 0),
+deps AS (SELECT DISTINCT cdepth FROM cov),
+panc AS (
+  SELECT event_id, pbits, cdepth,
+         pbits >> ({_PT_DEPTH} - cdepth) AS anc
+  FROM pcell CROSS JOIN deps
+),
+hits AS (
+  SELECT p.event_id, p.pbits, c.isolabel_ext, c.cdepth, c.cidx
+  FROM panc p JOIN cov c ON p.cdepth = c.cdepth AND p.anc = c.cbits
+)
+"""
+
+# default abbreviation dim: exactly one default row per isolabel (verified:
+# 1,116 = 1,116 distinct), with its provenance id
+_SQL_SYN = f"""
+syn AS (
+  SELECT isolabel_ext, abbrev, CAST(abbrevref_id AS BIGINT) AS abbrevref_id
+  FROM read_csv('{_REF_DATA}/synonym.csv', header=true, all_varchar=true)
+  WHERE default_abbrev = 't'
+),
+synref AS (
+  SELECT CAST(abbrevref_id AS BIGINT) AS abbrevref_id, name AS ref_name
+  FROM read_csv('{_REF_DATA}/synonym_ref.csv', header=true, all_varchar=true)
+)
+"""
+
+
+def _points_cells(spark: SparkSession, sf: str) -> DataFrame:
+    from .geospatial import _event_points
+
+    pts = _event_points(spark, sf)
+    return pts.withColumn(
+        "cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _PT_R)
+    ).filter(F.col("cell") >= 0)
+
+
+def _default_syn(spark: SparkSession) -> DataFrame:
+    syn = load_synonym(spark).filter(F.col("default_abbrev"))
+    ref = load_synonym_ref(spark).select("abbrevref_id",
+                                         F.col("name").alias("ref_name"))
+    return (syn.select("isolabel_ext", "abbrev", "abbrevref_id")
+            .join(F.broadcast(ref), "abbrevref_id", "left"))
+
+
+# ---------------------------------------------------------------------------
+# geo_cover_lookup_events — A21 with a full SQL oracle (CSV decoded in SQL)
+# ---------------------------------------------------------------------------
+
+
+def g_cover_lookup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-municipality point counts via the per-depth broadcast cover join,
+    value-checked against the SQL restatement of the same prefix algebra."""
+    cells = _points_cells(spark, sf)
+    hit = cover_lookup_best(cells, load_citycover(spark), keep=["event_id"],
+                            dedup=False)
+    return hit.groupBy("isolabel_ext").agg(
+        F.count("*").alias("n_points"), F.min("event_id").alias("min_ev"))
+
+
+SQL_COVER_LOOKUP_EVENTS = f"""
+WITH {_sql_cells_cte(_PT_R)},
+{_SQL_COV},
+best AS (
+  SELECT event_id, min(isolabel_ext) AS isolabel_ext FROM hits GROUP BY event_id
+)
+SELECT isolabel_ext, count(*) AS n_points, min(event_id) AS min_ev
+FROM best GROUP BY isolabel_ext
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_shortcode_sci — A23 scientific form ('+', base16h), SQL-oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def _best_cover(cells: DataFrame, spark: SparkSession) -> DataFrame:
+    """Deepest cover cell per point (tie-break min isolabel) + abbrev dim."""
+    cand = cover_join_candidates(cells.select("event_id", "cell"),
+                                 load_citycover(spark))
+    w = Window.partitionBy("event_id").orderBy(
+        (F.col("cover_cell").bitwiseAND(F.lit(63))).desc(), F.col("isolabel_ext"))
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.join(F.broadcast(_default_syn(spark)), "isolabel_ext", "left")
+
+
+def g_shortcode_sci(spark: SparkSession, sf: str) -> DataFrame:
+    best = _best_cover(_points_cells(spark, sf), spark)
+    cdepth = F.col("cover_cell").bitwiseAND(F.lit(63))
+    nsfx = (F.lit(_PT_DEPTH) - cdepth).cast("int")
+    sfx_bits = cells_sql.cell_bits(F.col("cell")).bitwiseAND(
+        cells_sql._shiftleft(F.lit(1).cast("long"), nsfx) - 1)  # noqa: SLF001
+    code = F.concat(F.coalesce(F.col("abbrev"), F.col("isolabel_ext")),
+                    F.lit("+"), geo.b16h_string(sfx_bits, nsfx))
+    return best.select("event_id", "isolabel_ext", code.alias("shortcode"))
+
+
+# DuckDB base16h encode of `sfx` over `nsfx` bits (variable per row):
+# hex digits for the top 4-bit groups, suffix letter for the 1-3 leftovers
+_SQL_B16H = """
+array_to_string(list_transform(range(nsfx // 4),
+    i -> substring('0123456789abcdef',
+                   CAST(((sfx >> ((nsfx % 4) + 4 * (nsfx // 4 - 1 - i))) & 15)
+                        AS INT) + 1, 1)), '')
+|| CASE nsfx % 4 WHEN 0 THEN ''
+     WHEN 1 THEN substring('GQ', CAST((sfx & 1) AS INT) + 1, 1)
+     WHEN 2 THEN substring('HMRV', CAST((sfx & 3) AS INT) + 1, 1)
+     ELSE substring('JKNPSTYZ', CAST((sfx & 7) AS INT) + 1, 1) END
+"""
+
+_SQL_BEST_COVER = f"""
+best AS (
+  SELECT event_id, pbits, isolabel_ext, cdepth, cidx FROM (
+    SELECT event_id, pbits, isolabel_ext, cdepth, cidx,
+           row_number() OVER (PARTITION BY event_id
+                              ORDER BY cdepth DESC, isolabel_ext) AS rn
+    FROM hits) WHERE rn = 1
+),
+withsyn AS (
+  SELECT b.*, s.abbrev, s.abbrevref_id FROM best b
+  LEFT JOIN syn s ON b.isolabel_ext = s.isolabel_ext
+)
+"""
+
+SQL_SHORTCODE_SCI = f"""
+WITH {_sql_cells_cte(_PT_R)},
+{_SQL_COV},
+{_SQL_SYN},
+{_SQL_BEST_COVER},
+sfxd AS (
+  SELECT event_id, isolabel_ext, coalesce(abbrev, isolabel_ext) AS ab,
+         {_PT_DEPTH} - cdepth AS nsfx,
+         pbits & ((CAST(1 AS BIGINT) << ({_PT_DEPTH} - cdepth)) - 1) AS sfx
+  FROM withsyn)
+SELECT event_id, isolabel_ext, ab || '+' || ({_SQL_B16H}) AS shortcode
+FROM sfxd
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_shortcode_log — A23 logistic form ('-', base32nvu), SQL-oracle-checked
+# ---------------------------------------------------------------------------
+
+
+B32NVU = "0123456789BCDFGHJKLMNPQRSTUVWXYZ"
+
+
+def _cover_index_dim(spark: SparkSession) -> DataFrame:
+    """(isolabel_ext, cover_cell) -> cover_idx: the cell's rank (0-based, by
+    cell id) within its jurisdiction's cover list.
+
+    citycover.csv carries a ``cover_order`` column for exactly this
+    disambiguation role but ships it unpopulated, so the order is derived
+    deterministically; max cover size in the fixture is 30 < 32, so one
+    base32nvu digit addresses any cover cell.
+    """
+    cov = load_citycover(spark).filter(F.col("kind") == "cover")
+    w = Window.partitionBy("isolabel_ext").orderBy("cell")
+    return cov.select(
+        "isolabel_ext", F.col("cell").alias("cover_cell"),
+        (F.row_number().over(w) - 1).alias("cover_idx"))
+
+
+def g_shortcode_log(spark: SparkSession, sf: str) -> DataFrame:
+    """Logistic short code ``abbrev-<idx><suffix>``: one base32nvu digit
+    indexing WHICH cover cell is the prefix (suffix bits alone are ambiguous
+    across a jurisdiction's 2..30 cover cells), then the point truncated to
+    the deepest 5-bit-aligned suffix depth above that prefix, in base32nvu.
+    Emits the aligned cell so the oracle (and the round-trip pytest) pin the
+    exact cell the code decodes back to, plus the abbreviation provenance
+    (synonym_ref.csv) the scientific form doesn't exercise."""
+    best = _best_cover(_points_cells(spark, sf), spark)
+    best = best.join(F.broadcast(_cover_index_dim(spark)),
+                     ["isolabel_ext", "cover_cell"])
+    cdepth = F.col("cover_cell").bitwiseAND(F.lit(63))
+    nsfx5 = ((F.lit(_PT_DEPTH) - cdepth) - F.pmod(F.lit(_PT_DEPTH) - cdepth,
+                                                  F.lit(5))).cast("int")
+    dpa = (cdepth + nsfx5).cast("int")
+    cell_a = cells_sql.cell_ancestor_at(F.col("cell"), dpa)
+    sfx_bits = cells_sql.cell_bits(cell_a).bitwiseAND(
+        cells_sql._shiftleft(F.lit(1).cast("long"), nsfx5) - 1)  # noqa: SLF001
+    idx_char = F.substring(F.lit(B32NVU), F.col("cover_idx").cast("int") + 1, 1)
+    code = F.concat(F.coalesce(F.col("abbrev"), F.col("isolabel_ext")),
+                    F.lit("-"), idx_char, geo.b32nvu_string(sfx_bits, nsfx5))
+    return best.select(
+        "event_id", "isolabel_ext", code.alias("shortcode"),
+        cell_a.alias("cell_aligned"),
+        F.coalesce(F.col("ref_name"), F.lit("")).alias("abbrev_source"))
+
+
+_SQL_B32 = """
+array_to_string(list_transform(range(nsfx // 5),
+    i -> substring('0123456789BCDFGHJKLMNPQRSTUVWXYZ',
+                   CAST(((sfx >> (5 * (nsfx // 5 - 1 - i))) & 31) AS INT) + 1,
+                   1)), '')
+"""
+
+SQL_SHORTCODE_LOG = f"""
+WITH {_sql_cells_cte(_PT_R)},
+{_SQL_COV},
+{_SQL_SYN},
+{_SQL_BEST_COVER},
+aligned AS (
+  SELECT event_id, isolabel_ext, coalesce(abbrev, isolabel_ext) AS ab,
+         coalesce(r.ref_name, '') AS abbrev_source, cidx,
+         ({_PT_DEPTH} - cdepth) - (({_PT_DEPTH} - cdepth) % 5) AS nsfx,
+         cdepth + ({_PT_DEPTH} - cdepth) - (({_PT_DEPTH} - cdepth) % 5) AS dpa,
+         pbits FROM withsyn LEFT JOIN synref r USING (abbrevref_id)),
+sfxd AS (
+  SELECT event_id, isolabel_ext, ab, abbrev_source, nsfx, cidx,
+         (pbits >> ({_PT_DEPTH} - dpa)) AS abits, dpa,
+         (pbits >> ({_PT_DEPTH} - dpa))
+           & ((CAST(1 AS BIGINT) << nsfx) - 1) AS sfx
+  FROM aligned)
+SELECT event_id, isolabel_ext,
+       ab || '-'
+          || substring('0123456789BCDFGHJKLMNPQRSTUVWXYZ',
+                       CAST(cidx AS INT) + 1, 1)
+          || ({_SQL_B32}) AS shortcode,
+       abits * 64 + dpa AS cell_aligned, abbrev_source
+FROM sfxd
+"""
+
+
+QUERIES = {
+    "geo_cover_lookup_events": (g_cover_lookup_events, SQL_COVER_LOOKUP_EVENTS),
+    "geo_shortcode_sci": (g_shortcode_sci, SQL_SHORTCODE_SCI),
+    "geo_shortcode_log": (g_shortcode_log, SQL_SHORTCODE_LOG),
+}

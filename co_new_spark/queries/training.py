@@ -71,6 +71,12 @@ FROM documents GROUP BY source
 
 JACCARD_NGRAM = 3
 JACCARD_THRESHOLD = 0.25
+# Document-frequency cutoff: shingles present in more than this fraction of
+# docs are stop-shingles (boilerplate) — excluded from BOTH the pair join and
+# the per-doc set sizes, on both engines.  Without it one ubiquitous shingle
+# makes the self-join quadratic in corpus size; with it the join key is
+# guaranteed rare.  Jaccard is therefore defined over informative shingles.
+JACCARD_MAX_DF = 0.5
 
 
 def _shingles(col):
@@ -86,15 +92,21 @@ def _shingles(col):
 
 
 def t_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Doc pairs with word-3-gram Jaccard >= threshold (exact computation).
+    """Doc pairs with word-3-gram Jaccard >= threshold over informative
+    (DF-capped) shingles — exact computation.
 
-    Plan: explode distinct shingles -> self equi-join on shingle (hash join;
-    at scale the shingle key is salted/min-hashed first) -> pair intersection
-    counts -> join per-doc shingle counts -> Jaccard.
+    Plan: explode distinct shingles -> drop stop-shingles (document frequency
+    > JACCARD_MAX_DF of the corpus: one agg + broadcast anti-join, keeping
+    the self-join key provably rare) -> self equi-join on shingle -> pair
+    intersection counts -> join per-doc shingle counts -> Jaccard.
     """
     docs = load(spark, sf, "documents").select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
-    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    n_docs = docs.count()
+    ex_all = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    hot = (ex_all.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > JACCARD_MAX_DF * n_docs).select("shingle"))
+    ex = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -115,12 +127,17 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_JACCARD = f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, unnest(list_distinct(sl)) AS shingle FROM (
     SELECT doc_id, string_split(text, ' ') AS w,
            [array_to_string(w[i:i+{JACCARD_NGRAM - 1}], ' ')
             FOR i IN range(1, greatest(len(w) - {JACCARD_NGRAM - 2}, 1))] AS sl
     FROM documents)
+), hot AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) > {JACCARD_MAX_DF} * (SELECT count(*) FROM documents)
+), sh AS (
+  SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
@@ -141,6 +158,21 @@ WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
 
 MINHASH_K = 32
 LSH_BANDS = 8  # 4 rows per band
+
+# Per-(band, hash) bucket-size cap applied BEFORE the candidate self-join.
+# A degenerate bucket of B docs (boilerplate-heavy shingle sets hashing
+# identically) would emit B^2/2 pairs; capping bounds the worst case while
+# leaving real near-dup buckets (small by construction) untouched.  The
+# window count partitions by the same (band, bh) key the join shuffles on,
+# so AQE reuses one exchange for both.
+LSH_BUCKET_CAP = 200
+
+
+def _cap_buckets(ex: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Drop (band, bh) buckets larger than ``cap`` rows before self-joining."""
+    w = Window.partitionBy("band", "bh")
+    return (ex.withColumn("__bn", F.count("*").over(w))
+              .filter(F.col("__bn") <= cap).drop("__bn"))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -172,6 +204,7 @@ def t_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     ])
     ex = sig.select("doc_id", F.explode(bands).alias("bb")) \
             .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ex = _cap_buckets(ex)
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -219,6 +252,7 @@ def t_simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
     ex = sh.select("doc_id", "simhash", F.explode(bands).alias("bb")) \
            .select("doc_id", "simhash", F.col("bb.band").alias("band"),
                    F.col("bb.bh").alias("bh"))
+    ex = _cap_buckets(ex)
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))

@@ -67,6 +67,20 @@ def load_synonym(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def load_synonym_ref(spark: SparkSession) -> DataFrame:
+    """synonym_ref.csv — abbreviation-provenance dim (5 rows): who registered
+    each abbreviation family, with a JSON ``info`` column parsed via
+    from_json (the reference's only JSON-in-CSV fixture).
+    Source: /root/reference/data/synonym_ref.csv:1.
+    """
+    pdf = pd.read_csv(os.path.join(REF_DIR, "data", "synonym_ref.csv"),
+                      dtype=str, keep_default_na=False)
+    pdf["abbrevref_id"] = pdf["abbrevref_id"].astype(int)
+    df = spark.createDataFrame(pdf)
+    return df.withColumn(
+        "info_map", F.from_json(F.col("info"), "map<string,string>"))
+
+
 def load_admin_polygons() -> list[dict]:
     """grid256L0coverage features with rings pre-projected to EPSG:9377.
 

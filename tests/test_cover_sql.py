@@ -1,0 +1,128 @@
+"""Tests for the SQL-oracle cover/shortcode surface (geo_cover_sql), the
+logistic base32nvu short-code round-trip, the synonym_ref provenance dim,
+and the montañitas real-fixture ring (/root/reference/data/montañitas.geojson
+— the closed LineString through the four gridLib assert points)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_synonym_ref_parse(spark):
+    from co_new_spark.sources.reference_data import load_synonym, load_synonym_ref
+
+    ref = load_synonym_ref(spark)
+    rows = ref.collect()
+    assert len(rows) == 5
+    assert {r.abbrevref_id for r in rows} == {1, 2, 3, 4, 5}
+    # JSON info column parses (all '{}' in the fixture -> empty maps, not NULL)
+    assert all(r.info_map == {} for r in rows)
+    # provenance join: every default abbreviation resolves to a named source
+    syn = load_synonym(spark).filter(F.col("default_abbrev"))
+    joined = syn.join(F.broadcast(ref), "abbrevref_id", "left")
+    n_syn = syn.count()
+    assert joined.filter(F.col("name").isNotNull()).count() == n_syn
+
+
+def test_shortcode_log_roundtrip(spark):
+    """Every logistic code decodes back to exactly its aligned cell, O(1).
+
+    Decode = abbrev -> isolabel (default-abbrev dim is 1:1); the suffix's
+    first base32nvu digit indexes the cover cell within the jurisdiction's
+    (deterministically ordered) cover list; the remaining digits are the
+    bits below that prefix.  No search, no ambiguity.
+    """
+    from co_new_spark.grid.codec import b32nvu_decode
+    from co_new_spark.queries.geo_cover_sql import B32NVU, _PT_DEPTH, g_shortcode_log
+    from co_new_spark.sources.reference_data import _cover_pdf, load_synonym
+
+    rows = g_shortcode_log(spark, SF).collect()
+    assert len(rows) > 500
+
+    cov = _cover_pdf()
+    cov = cov[cov.kind == "cover"]
+    covers: dict[str, list[tuple[int, int]]] = {}
+    for iso, cell in zip(cov["isolabel_ext"], cov["cell"]):
+        covers.setdefault(iso, []).append((int(cell) >> 6, int(cell) & 63))
+    # decode order = encode order: rank by packed cell id
+    for iso in covers:
+        covers[iso].sort(key=lambda t: t[0] * 64 + t[1])
+
+    syn = load_synonym(spark).filter(F.col("default_abbrev")) \
+        .select("abbrev", "isolabel_ext").collect()
+    abbrev_to_iso = {r.abbrev: r.isolabel_ext for r in syn}
+    assert len(abbrev_to_iso) == len(syn)  # default abbrevs are unique
+
+    for r in rows:
+        ab, sfx_code = r.shortcode.rsplit("-", 1)
+        iso = abbrev_to_iso.get(ab, ab)
+        assert iso == r.isolabel_ext, r
+        idx = B32NVU.index(sfx_code[0])
+        cb, cd = covers[iso][idx]
+        sbits, snb = b32nvu_decode(np.array([sfx_code[1:]], dtype=object))
+        sbits, snb = int(sbits[0]), int(snb[0])
+        assert snb > 0 and snb % 5 == 0, r
+        assert snb == ((_PT_DEPTH - cd) // 5) * 5, r  # alignment rule
+        decoded_cell = ((cb << snb) | sbits) * 64 + (cd + snb)
+        assert decoded_cell == r.cell_aligned, (r, decoded_cell)
+
+
+def test_shortcode_log_provenance(spark):
+    from co_new_spark.queries.geo_cover_sql import g_shortcode_log
+
+    df = g_shortcode_log(spark, SF)
+    src = {r.abbrev_source for r in df.select("abbrev_source").distinct().collect()}
+    # every matched jurisdiction has a default abbrev in the fixture, and all
+    # defaults trace to a synonym_ref row (names, never the '' fallback)
+    assert src and "" not in src
+    assert src <= {"Alex", "optim", "oficialuy", "registrobr", "A4a"}
+
+
+@pytest.fixture(scope="module")
+def montanitas_ring():
+    from co_new_spark.grid import proj
+
+    with open("/root/reference/data/montañitas.geojson", encoding="utf-8") as f:
+        gj = json.load(f)
+    coords = np.asarray(gj["features"][0]["geometry"]["coordinates"], dtype=np.float64)
+    assert np.allclose(coords[0], coords[-1])  # already closed
+    x, y = proj.forward(coords[:, 1], coords[:, 0])
+    return np.stack([x, y], axis=1)
+
+
+def test_montanitas_cover_and_pip(spark, montanitas_ring):
+    """The reference's montañitas ring as a real fixture: polygon_cover area
+    partition holds, interior points PIP-match, and each inset corner point's
+    deep cell descends from an emitted cover cell."""
+    from co_new_spark.grid import grids
+    from co_new_spark.grid.geometry import shoelace_area
+    from co_new_spark.operators.cover_gen import polygon_cover
+    from co_new_spark.operators.pip import point_in_rings
+
+    ring = montanitas_ring
+    cover = polygon_cover(spark, ring, base_depth=8, max_depth=28).collect()
+    assert cover, "empty cover for a real ring"
+    total = sum(r.area_m2 for r in cover)
+    want = abs(shoelace_area(ring))
+    assert want > 0
+    assert abs(total - want) / want < 1e-6, (total, want)
+
+    # inset corner points (25% toward centroid) are inside the ring and land
+    # in cells covered by (descending from) the produced cover
+    centroid = ring[:-1].mean(axis=0)
+    inset = ring[:-1] * 0.75 + centroid * 0.25
+    inside = point_in_rings(inset[:, 0], inset[:, 1], [ring])
+    assert inside.all()
+
+    bits, valid = grids.grid_b_encode_xy(inset[:, 0], inset[:, 1], 26)
+    assert valid.all()
+    cover_set = {(int(r.cell) >> 6, int(r.cell) & 63) for r in cover}
+    for b in bits:  # depth 30 = 4 + 26 by construction
+        assert any(cd <= 30 and (int(b) >> (30 - cd)) == cb
+                   for cb, cd in cover_set), "corner cell outside cover"

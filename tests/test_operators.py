@@ -95,6 +95,42 @@ def test_minhash_recall_vs_exact(spark):
     assert len(cand) < 5000
 
 
+def test_lsh_bucket_cap_preserves_recall(spark):
+    """The (band, bh) bucket-size cap must not change fixture candidates:
+    real near-dup buckets are small, so the capped and uncapped candidate
+    sets are identical here — the cap only bounds degenerate-bucket blowup."""
+    from pyspark.sql import functions as F
+
+    from co_new_spark.queries import training as tr
+
+    capped = {(r.doc_a, r.doc_b)
+              for r in tr.t_minhash_lsh_candidates(spark, SF).collect()}
+    # uncapped reference: rebuild the band explode without _cap_buckets
+    docs = tr.load(spark, SF, "documents")
+    sig = tr.minhash_signatures(docs)
+    rpb = tr.MINHASH_K // tr.LSH_BANDS
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"mh{b * rpb + r}") for r in range(rpb)])
+                 .alias("bh"))
+        for b in range(tr.LSH_BANDS)])
+    ex = sig.select("doc_id", F.explode(bands).alias("bb")) \
+            .select("doc_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bh").alias("bh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    uncapped = {(r.doc_a, r.doc_b) for r in (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")).distinct().collect())}
+    assert capped == uncapped
+    # and the cap DOES drop pairs when a degenerate bucket exceeds it
+    ex2 = ex.withColumn("bh", F.lit(0)).withColumn("band", F.lit(0))
+    n_all = ex2.count()
+    assert tr._cap_buckets(ex2, cap=n_all - 1).count() == 0
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
