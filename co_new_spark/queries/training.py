@@ -79,6 +79,23 @@ JACCARD_THRESHOLD = 0.25
 JACCARD_MAX_DF = 0.5
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition a doc table by ``key`` BEFORE shingle/token explosion
+    when it arrives in fewer splits than the cluster has slots.
+
+    A small parquet lands in one split, serializing the whole
+    explode->hash->agg chain onto one core; repartitioning the compact doc
+    rows (not the exploded shingles) costs a tiny shuffle and lets the
+    downstream groupBy(key) reuse the partitioning — measured 5x on the
+    sf0.1 MinHash/SimHash passes.  At 100 TB the input has >= slots splits
+    and this is a no-op.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, key)
+    return df
+
+
 def _shingles(col):
     """Distinct word 3-gram shingles of a space-separated text column."""
     w = F.split(col, " ")
@@ -100,7 +117,8 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the self-join key provably rare) -> self equi-join on shingle -> pair
     intersection counts -> join per-doc shingle counts -> Jaccard.
     """
-    docs = load(spark, sf, "documents").select("doc_id", _shingles(F.col("text")).alias("sh"))
+    docs = _spread(load(spark, sf, "documents")) \
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
     n_docs = docs.count()
     ex_all = docs.select("doc_id", F.explode("sh").alias("shingle"))
     hot = (ex_all.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -183,6 +201,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     for the K seeds — partial (map-side) min-combines make this a single
     shuffle of K longs per doc regardless of document size.
     """
+    docs = _spread(docs, id_col)
     ex = docs.select(id_col, F.explode(_shingles(F.col(text_col))).alias("shingle"))
     aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
             for i in range(MINHASH_K)]
@@ -223,6 +242,7 @@ SIMHASH_BITS = 64
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """doc -> 64-bit SimHash, computed JVM-side (explode + 64 signed sums)."""
+    docs = _spread(docs, id_col)
     ex = docs.select(id_col, F.explode(tx.word_tokens(F.col(text_col))).alias("tok"))
     ex = ex.withColumn("h", F.xxhash64("tok"))
     aggs = [
