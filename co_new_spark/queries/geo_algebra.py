@@ -243,6 +243,8 @@ def _sql_code(r: int) -> str:
 
 
 def g_cell_codec(spark: SparkSession, sf: str) -> DataFrame:
+    # depths 13/14/15 -> leftover bits 1/2/3, so code_g/code_h/code_j cover
+    # ALL THREE suffix-letter families (G/Q, H/M/R/V, J..Z) in one oracle
     pts = _event_points(spark, sf)
     out = pts
     for r in (9, 10, 11):
@@ -436,8 +438,9 @@ def g_polygon_cover(spark: SparkSession, sf: str) -> DataFrame:
 def g_cover_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """B18 over the reference dims: per-municipality cover/overlay set
     algebra (sizes, intersections) — array_intersect on collected cell sets.
-    Rows-only (reference CSVs aren't oracle views); parser counts are
-    pytest-gated in test_operators.test_citycover_parse."""
+    Oracle-checked via geo_cover_sql.SQL_COVER_SET_OPS (which re-decodes the
+    raw CSV in SQL); parser counts additionally pytest-gated in
+    test_operators.test_citycover_parse."""
     from ..sources.reference_data import load_citycover
 
     cov = load_citycover(spark)
@@ -535,7 +538,7 @@ QUERIES = {
     "geo_gridlib_asserts": (g_gridlib_asserts, None),
     "geo_pip_holes": (g_pip_holes, SQL_PIP_HOLES),
     "geo_seat_cells": (g_seat_cells, None),
-    "geo_cover_set_ops": (g_cover_set_ops, None),
+    # geo_cover_set_ops registers in geo_cover_sql (with its SQL oracle)
     "geo_polygon_cover": (g_polygon_cover, None),
     "geo_coverage_clip": (g_coverage_clip, None),
     "geo_shortcode": (g_shortcode, None),

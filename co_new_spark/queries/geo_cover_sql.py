@@ -40,13 +40,20 @@ _REF_DATA = "/root/reference/data"
 
 # -- DuckDB-side decode of citycover.csv codes (base16h -> bits/depth) -------
 
-_SQL_COV = f"""
-covraw AS (
-  SELECT isolabel_ext, unnest(string_split(cover, ' ')) AS code
+
+def _sql_csv_decode(col: str, alias: str) -> str:
+    """CTE chain decoding citycover.csv column ``col`` ('cover'|'overlay')
+    into ``alias``(isolabel_ext, cbits, cdepth) — the full base16h grammar
+    incl. all three suffix-letter families and the literal NULL token of
+    citycover.csv:325."""
+    return f"""
+{alias}raw AS (
+  SELECT isolabel_ext, unnest(string_split({col}, ' ')) AS code
   FROM read_csv('{_REF_DATA}/citycover.csv', header=true, all_varchar=true)
 ),
-covc AS (SELECT isolabel_ext, code FROM covraw WHERE code <> '' AND code <> 'NULL'),
-covdec AS (
+{alias}c AS (SELECT isolabel_ext, code FROM {alias}raw
+             WHERE code <> '' AND code <> 'NULL'),
+{alias}dec AS (
   SELECT isolabel_ext, code,
     CASE WHEN contains('GQ', right(code, 1)) THEN 1
          WHEN contains('HMRV', right(code, 1)) THEN 2
@@ -56,9 +63,9 @@ covdec AS (
          WHEN 'J' THEN 0 WHEN 'K' THEN 1 WHEN 'N' THEN 2 WHEN 'P' THEN 3
          WHEN 'S' THEN 4 WHEN 'T' THEN 5 WHEN 'Y' THEN 6 WHEN 'Z' THEN 7
          ELSE 0 END AS sval
-  FROM covc
+  FROM {alias}c
 ),
-covbits AS (
+{alias} AS (
   SELECT isolabel_ext,
     (list_reduce(list_prepend(CAST(0 AS BIGINT),
        list_transform(
@@ -67,8 +74,12 @@ covbits AS (
          ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))),
        (a, b) -> a * 16 + b) << snb) | sval AS cbits,
     (length(code) - CASE WHEN snb > 0 THEN 1 ELSE 0 END) * 4 + snb AS cdepth
-  FROM covdec
-),
+  FROM {alias}dec
+)"""
+
+
+_SQL_COV = f"""
+{_sql_csv_decode("cover", "covbits")},
 cov AS (
   -- cover_idx: rank by packed cell id within the jurisdiction (the role of
   -- the CSV's unpopulated cover_order column); mirrors _cover_index_dim
@@ -330,8 +341,51 @@ FROM sfxd
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_cover_set_ops — B18 over the reference dims, now SQL-oracle-checked:
+# the oracle re-derives both cell sets from the raw CSV and restates the
+# per-municipality counts + intersection (the Spark fn lives in geo_algebra;
+# registering it HERE upgrades its driver check from rows-only to hash).
+# ---------------------------------------------------------------------------
+
+SQL_COVER_SET_OPS = f"""
+WITH {_sql_csv_decode("cover", "covd")},
+{_sql_csv_decode("overlay", "ovd")},
+isos AS (
+  SELECT DISTINCT isolabel_ext FROM (
+    SELECT isolabel_ext FROM covd UNION ALL SELECT isolabel_ext FROM ovd)
+),
+c AS (SELECT isolabel_ext, count(DISTINCT cbits * 64 + cdepth) AS n_cover
+      FROM covd GROUP BY 1),
+o AS (SELECT isolabel_ext, count(DISTINCT cbits * 64 + cdepth) AS n_overlay
+      FROM ovd GROUP BY 1),
+s AS (SELECT a.isolabel_ext,
+             count(DISTINCT a.cbits * 64 + a.cdepth) AS n_shared
+      FROM covd a JOIN ovd b
+        ON a.isolabel_ext = b.isolabel_ext
+       AND a.cbits = b.cbits AND a.cdepth = b.cdepth
+      GROUP BY 1)
+SELECT i.isolabel_ext,
+       CAST(coalesce(c.n_cover, 0) AS INT) AS n_cover,
+       CAST(coalesce(o.n_overlay, 0) AS INT) AS n_overlay,
+       CAST(coalesce(s.n_shared, 0) AS INT) AS n_shared
+FROM isos i
+LEFT JOIN c USING (isolabel_ext)
+LEFT JOIN o USING (isolabel_ext)
+LEFT JOIN s USING (isolabel_ext)
+ORDER BY n_cover DESC, i.isolabel_ext LIMIT 100
+"""
+
+
+def _g_cover_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    from .geo_algebra import g_cover_set_ops
+
+    return g_cover_set_ops(spark, sf)
+
+
 QUERIES = {
     "geo_cover_lookup_events": (g_cover_lookup_events, SQL_COVER_LOOKUP_EVENTS),
     "geo_shortcode_sci": (g_shortcode_sci, SQL_SHORTCODE_SCI),
     "geo_shortcode_log": (g_shortcode_log, SQL_SHORTCODE_LOG),
+    "geo_cover_set_ops": (_g_cover_set_ops, SQL_COVER_SET_OPS),
 }

@@ -307,7 +307,7 @@ def _cosine(a, b):
 
 def t_knn_cosine_brute(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast query set x full candidate scan."""
-    emb = load(spark, sf, "embeddings")
+    emb = _spread(load(spark, sf, "embeddings"), "vec_id")
     q = emb.filter(F.col("vec_id") < KNN_NQUERY).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
@@ -362,7 +362,7 @@ def embedding_buckets(emb: DataFrame, nplanes: int = LSH_PLANES) -> DataFrame:
 
 def t_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN: equi-join on bucket id, exact cosine re-rank in-bucket."""
-    emb = embedding_buckets(load(spark, sf, "embeddings"))
+    emb = embedding_buckets(_spread(load(spark, sf, "embeddings"), "vec_id"))
     q = emb.filter(F.col("vec_id") < KNN_NQUERY).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket")
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket")

@@ -109,7 +109,10 @@ def t_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     At scale this runs AFTER LSH bucketing (train_knn_lsh path); the exact
     pair scan is the correctness oracle and the small-input default.
     """
-    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < NEARDUP_CAP)
+    from .training import _spread
+
+    emb = _spread(load(spark, sf, "embeddings"), "vec_id") \
+        .filter(F.col("vec_id") < NEARDUP_CAP)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
