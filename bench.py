@@ -142,7 +142,9 @@ def run() -> dict:
                         "wall_s": best[1]["wall_s"], "cores": 1},
             "4n_cores": {"throughput": best[4]["pages_per_sec"],
                          "wall_s": best[4]["wall_s"], "cores": 4},
-            "efficiency": round(best["eff"], 3),
+            # >1.0 (superlinear) only happens when residual host noise slowed
+            # the pair's 1-core run; clamp — raw values stay in per_trial
+            "efficiency": round(min(best["eff"], 1.0), 3),
             "efficiency_per_trial": [round(p["eff"], 3) for p in pairs],
             "partition_skew": best[4]["partition_skew"],
             "hot_municipality_share": best[4]["hot_share"],
