@@ -505,6 +505,51 @@ WHERE (({_sql_crossings(_POLY)}) + ({_sql_crossings(_HOLE)})) % 2 = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_knn_ring_events — B11 with a full SQL oracle: the ring-1 candidate set
+# equals the 3x3 lattice neighborhood, which SQL restates as |dgy|<=1 AND
+# |dgx|<=1 (ring cells with invalid L0 digits hold no candidates, so the
+# enumerated-ring and lattice-box formulations join identical pairs).
+# ---------------------------------------------------------------------------
+
+_KNN_R = 6          # depth 10 -> 1,024 cells; ~10 points/cell at sf0.01
+_KNN_NQ = 100
+_KNN_K = 5
+
+
+def g_knn_ring_events(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.knn import knn_ring
+
+    pts = _event_points(spark, sf)
+    cells = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _KNN_R)) \
+               .filter(F.col("cell") >= 0)
+    q = cells.filter(F.col("event_id") < _KNN_NQ).select(
+        F.col("event_id").alias("qid"), "x", "y", "cell")
+    c = cells.select(F.col("event_id").alias("cid"), "x", "y", "cell")
+    return knn_ring(q, c, k=_KNN_K, ring=1, exclude_self=True)
+
+
+def _sql_knn_ring() -> str:
+    ny = nx = _KNN_R // 2
+    return f"""
+WITH {_sql_cells_cte(_KNN_R)},
+cc AS (
+  SELECT event_id, x, y, j * {1 << ny} + iy AS gy, i * {1 << nx} + ix AS gx
+  FROM cells WHERE cell >= 0),
+q AS (SELECT * FROM cc WHERE event_id < {_KNN_NQ}),
+pairs AS (
+  SELECT q.event_id AS qid, c.event_id AS cid,
+         sqrt((q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y)) AS dist
+  FROM q JOIN cc c
+    ON abs(q.gy - c.gy) <= 1 AND abs(q.gx - c.gx) <= 1
+   AND q.event_id <> c.event_id)
+SELECT qid, cid, round(dist, 3) AS dist, rn FROM (
+  SELECT qid, cid, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+  FROM pairs) WHERE rn <= {_KNN_K}
+"""
+
+
 _GRIDLIB_ASSERTS = [
     ("geo:3.46103000261,-76.57770034945", "GF1ZDW6NY"),
     ("geo:3.46103208489,-76.57391243547", "GF1ZSNQV7"),
@@ -542,6 +587,7 @@ QUERIES = {
     "geo_polygon_cover": (g_polygon_cover, None),
     "geo_coverage_clip": (g_coverage_clip, None),
     "geo_shortcode": (g_shortcode, None),
+    "geo_knn_ring_events": (g_knn_ring_events, _sql_knn_ring()),
     "geo_parent_rollup": (g_parent_rollup, SQL_PARENT_ROLLUP),
     "geo_children": (g_children, SQL_CHILDREN),
     "geo_neighbors": (g_neighbors, SQL_NEIGHBORS),
