@@ -48,6 +48,46 @@ def cover_join_candidates(points: DataFrame, cover: DataFrame,
     return exploded.join(F.broadcast(dim), "__anc").drop("__anc")
 
 
+def cover_best_with_cell(points: DataFrame, cover: DataFrame,
+                         cell_col: str = "cell") -> DataFrame:
+    """points + (isolabel_ext, cover_cell): the DEEPEST cover cell containing
+    each point (tie-break min isolabel), with zero fact-table shuffle.
+
+    A point's ancestor at any depth is unique, so "deepest match, then min
+    isolabel" decomposes row-locally: per-(cell, depth) min-isolabel dim
+    (driver-tiny) -> one broadcast LEFT join per distinct cover depth -> a
+    depth-DESCENDING coalesce picking the first (deepest) hit.  Same plan
+    shape as cover_lookup_best, but carries WHICH cover cell won — the
+    prefix the short-code suffix is computed against (A23).
+    """
+    spark = points.sparkSession
+    cov = cover.filter(F.col("kind") == "cover") if "kind" in cover.columns else cover
+    dim_pdf = (cov.groupBy("cell", "depth")
+               .agg(F.min("isolabel_ext").alias("__iso")).toPandas())
+    depths = sorted((int(d) for d in dim_pdf["depth"].unique()), reverse=True)
+    if not depths:
+        return (points.withColumn("isolabel_ext", F.lit(None).cast("string"))
+                .withColumn("cover_cell", F.lit(None).cast("long")).limit(0))
+    out = points
+    structs = []
+    for d in depths:
+        pdf_d = dim_pdf[dim_pdf.depth == d][["cell", "__iso"]].rename(
+            columns={"cell": f"__a{d}", "__iso": f"__i{d}"})
+        out = (out.withColumn(f"__a{d}",
+                              cells_sql.cell_ancestor_at(F.col(cell_col), d))
+               .join(F.broadcast(spark.createDataFrame(pdf_d)), f"__a{d}", "left"))
+        structs.append(F.when(
+            F.col(f"__i{d}").isNotNull(),
+            F.struct(F.col(f"__i{d}").alias("iso"),
+                     F.col(f"__a{d}").alias("cc"))))
+    best = F.coalesce(*structs) if len(structs) > 1 else structs[0]
+    return (out.withColumn("__best", best)
+            .filter(F.col("__best").isNotNull())
+            .withColumn("isolabel_ext", F.col("__best.iso"))
+            .withColumn("cover_cell", F.col("__best.cc"))
+            .drop("__best", *[c for d in depths for c in (f"__a{d}", f"__i{d}")]))
+
+
 def cover_lookup_best(points: DataFrame, cover: DataFrame,
                       cell_col: str = "cell", keep: list[str] | None = None,
                       dedup: bool = True) -> DataFrame:

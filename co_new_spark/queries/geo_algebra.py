@@ -378,9 +378,7 @@ WHERE ({_sql_crossings(_POLY)}) % 2 = 1
 
 
 def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..operators.cover import cover_join_candidates
+    from ..operators.cover import cover_best_with_cell
     from ..sources.pages import pages
     from ..sources.reference_data import load_citycover, load_synonym
 
@@ -388,12 +386,8 @@ def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
     pts = pg.select(
         "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
     ).filter(F.col("cell") >= 0)
-    cover = load_citycover(spark).filter(F.col("kind") == "cover")
-    cand = cover_join_candidates(pts.select("url", "cell"), cover)
-    # deepest cover cell wins; deterministic tie-break by isolabel
-    w = Window.partitionBy("url").orderBy(
-        (F.col("cover_cell").bitwiseAND(F.lit(63))).desc(), F.col("isolabel_ext"))
-    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # deepest cover cell wins (tie-break min isolabel) — shuffle-free
+    best = cover_best_with_cell(pts.select("url", "cell"), load_citycover(spark))
     d = F.col("cover_cell").bitwiseAND(F.lit(63))
     nsfx = (F.col("cell").bitwiseAND(F.lit(63)) - d).cast("int")
     sfx_bits = cells_sql.cell_bits(F.col("cell")).bitwiseAND(

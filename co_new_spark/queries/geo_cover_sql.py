@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import cells_sql, geo
-from ..operators.cover import cover_lookup_best
+from ..operators.cover import cover_best_with_cell, cover_lookup_best
 from ..sources.reference_data import load_citycover, load_synonym, load_synonym_ref
 from .geo_algebra import _sql_cells_cte
 
@@ -166,40 +166,9 @@ FROM best GROUP BY isolabel_ext
 
 def _best_cover(cells: DataFrame, spark: SparkSession,
                 cell_col: str = "cell") -> DataFrame:
-    """Deepest cover cell per point (tie-break min isolabel) + abbrev dim.
-
-    ZERO shuffle of the fact table: a point's ancestor at any depth is
-    unique, so "deepest match, then min isolabel" decomposes into (a) a
-    per-(cell, depth) min-isolabel dim (driver-tiny), (b) one broadcast LEFT
-    join per distinct cover depth, (c) a depth-DESCENDING coalesce picking
-    the first (deepest) hit — row-local, no window, no groupBy.  Exactly the
-    plan shape cover_lookup_best uses, extended to carry WHICH cover cell
-    won so the short-code suffix can be derived.
-    """
-    cov = load_citycover(spark)
-    if "kind" in cov.columns:
-        cov = cov.filter(F.col("kind") == "cover")
-    dim_pdf = (cov.groupBy("cell", "depth")
-               .agg(F.min("isolabel_ext").alias("__iso")).toPandas())
-    depths = sorted((int(d) for d in dim_pdf["depth"].unique()), reverse=True)
-    out = cells
-    structs = []
-    for d in depths:
-        pdf_d = dim_pdf[dim_pdf.depth == d][["cell", "__iso"]].rename(
-            columns={"cell": f"__a{d}", "__iso": f"__i{d}"})
-        out = (out.withColumn(f"__a{d}",
-                              cells_sql.cell_ancestor_at(F.col(cell_col), d))
-               .join(F.broadcast(spark.createDataFrame(pdf_d)), f"__a{d}", "left"))
-        structs.append(F.when(
-            F.col(f"__i{d}").isNotNull(),
-            F.struct(F.col(f"__i{d}").alias("iso"),
-                     F.col(f"__a{d}").alias("cc"))))
-    best = F.coalesce(*structs) if len(structs) > 1 else structs[0]
-    out = (out.withColumn("__best", best)
-           .filter(F.col("__best").isNotNull())
-           .withColumn("isolabel_ext", F.col("__best.iso"))
-           .withColumn("cover_cell", F.col("__best.cc"))
-           .drop("__best", *[c for d in depths for c in (f"__a{d}", f"__i{d}")]))
+    """Deepest cover cell per point + abbrev/provenance dims — the
+    shuffle-free operators.cover.cover_best_with_cell plan."""
+    out = cover_best_with_cell(cells, load_citycover(spark), cell_col)
     return out.join(F.broadcast(_default_syn(spark)), "isolabel_ext", "left")
 
 
