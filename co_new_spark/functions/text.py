@@ -150,6 +150,45 @@ FP_MOD = 1_000_000_007
 FP_BASE = 131
 
 
+def multi_probe_scan_udf(probes: list[str]):
+    """Multi-pattern contamination scan that scales past a handful of probes:
+    text -> array<int> per-probe hit flags, one Arrow crossing.
+
+    Two-phase inside the batch: (1) ONE RE2 alternation pass
+    (pyarrow match_substring_regex — RE2 compiles the alternation to a DFA,
+    the same linear-scan property an Aho–Corasick automaton gives), then
+    (2) per-probe exact checks only over the rows the prefilter hit
+    (contaminated rows are rare by assumption, so phase 2 touches few rows).
+    The 4-probe train_contamination entry uses native JVM ``contains``; this
+    is the 10k-probe production path, parity-gated against it in pytest.
+    """
+    import re
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    pat = "|".join(re.escape(p) for p in probes)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def scan(text: pd.Series) -> pd.Series:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        s = text.fillna("")
+        any_hit = pc.match_substring_regex(
+            pa.Array.from_pandas(s), pat).to_numpy(zero_copy_only=False)
+        flags = np.zeros((len(s), len(probes)), dtype=np.int32)
+        idx = np.nonzero(any_hit)[0]
+        if len(idx):
+            sub = s.iloc[idx]
+            for j, p in enumerate(probes):
+                flags[idx, j] = sub.str.contains(p, regex=False) \
+                                   .to_numpy(dtype=np.int32)
+        return pd.Series(list(flags))
+
+    return scan
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Polynomial rolling hash of normalized text (document fingerprinting).
 

@@ -241,6 +241,59 @@ WHERE {" OR ".join(f"contains(text, '{p}')" for p in _PROBES)}
 """
 
 
+def t_contamination_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    """The contamination scan's production shape (RE2-alternation prefilter +
+    narrow exact pass in one Arrow crossing — tx.multi_probe_scan_udf),
+    producing EXACTLY train_contamination's output so the same SQL oracle
+    hash-checks both implementations against each other."""
+    docs = load(spark, sf, "documents")
+    hit = docs.withColumn("__flags", tx.multi_probe_scan_udf(_PROBES)(F.col("text")))
+    out = hit.filter(
+        F.exists(F.col("__flags"), lambda f: f == 1))
+    return out.select(
+        "doc_id",
+        *[F.element_at(F.col("__flags"), i + 1).alias(f"hit_{i}")
+          for i in range(len(_PROBES))])
+
+
+def t_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-ratio quality metrics (the boilerplate/loop filter every
+    web-text pipeline runs): per-doc duplicate fraction of word unigrams and
+    bigrams, fully native (split + list algebra, no explode, no shuffle)."""
+    docs = load(spark, sf, "documents")
+    toks = tx.word_tokens(F.col("text"))
+    n1 = F.size(toks)
+    rep1 = F.when(n1 > 0, F.round(
+        1.0 - F.size(F.array_distinct(toks)) / n1, 6)).otherwise(F.lit(0.0))
+    bi = F.transform(
+        F.sequence(F.lit(1), F.greatest(n1 - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    n2 = F.size(bi)
+    rep2 = F.when(n2 > 0, F.round(
+        1.0 - F.size(F.array_distinct(bi)) / n2, 6)).otherwise(F.lit(0.0))
+    return docs.select("doc_id", rep1.alias("rep_unigram"), rep2.alias("rep_bigram"))
+
+
+SQL_REPETITION = """
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+            THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+            ELSE 0.0 END AS rep_unigram,
+       CASE WHEN len(toks) > 1
+            THEN round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6)
+            ELSE 0.0 END AS rep_bigram
+FROM (
+  SELECT doc_id, toks,
+         [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))] AS bi
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                       x -> x <> '') AS toks
+    FROM documents))
+"""
+
+
 def t_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Reproducible stratified sampling: keep docs whose content-hash falls
     in a fixed bucket range (1/8 rate), counted per source stratum.
@@ -303,6 +356,8 @@ def _mm_knn(emb: DataFrame) -> DataFrame:
 QUERIES = {
     "mm_embed_knn": (t_mm_embed_knn, None),
     "train_contamination": (t_contamination, SQL_CONTAMINATION),
+    "train_contamination_scaled": (t_contamination_scaled, SQL_CONTAMINATION),
+    "train_repetition": (t_repetition, SQL_REPETITION),
     "train_hash_sample": (t_hash_sample, SQL_HASH_SAMPLE),
     "train_knn_ivf": (t_knn_ivf, None),
     "train_quality_score": (t_quality_score, SQL_QUALITY),

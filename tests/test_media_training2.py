@@ -83,3 +83,22 @@ def test_fake_embed_unit_norm(spark):
     norms = emb.embedding.map(lambda v: float(np.linalg.norm(v)))
     assert ((norms - 1.0).abs() < 1e-3).all()
     assert emb.embedding.map(len).eq(16).all()
+
+
+def test_multi_probe_scan_parity_with_native_contains(spark):
+    """The RE2-prefilter multi-probe scan must flag exactly what per-probe
+    JVM contains flags, including probes that never match and probes that
+    are substrings of each other."""
+    from co_new_spark.sources.tables import load
+
+    probes = ["query plan", "shuffle join", "broadcast hash", "window agg",
+              "no such probe anywhere", "plan", "a"]
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    scanned = docs.withColumn("f", tx.multi_probe_scan_udf(probes)(F.col("text")))
+    got = {r.doc_id: list(r.f) for r in scanned.collect()}
+    native = docs.select(
+        "doc_id", *[F.col("text").contains(p).cast("int").alias(f"h{i}")
+                    for i, p in enumerate(probes)])
+    want = {r.doc_id: [r[f"h{i}"] for i in range(len(probes))]
+            for r in native.collect()}
+    assert got == want
