@@ -53,6 +53,35 @@ _RECTS = [_cell_wgs84_rect(d) for d in range(16)]
 _BOGOTA = (4.711111, -74.072222)
 
 
+def materialize_pages(spark: SparkSession, n: int, path: str | None = None,
+                      partitions: int | None = None) -> str:
+    """Write the deterministic pages table to parquet once and return the path.
+
+    The input contract (BASELINE.json input_hint) is a STORED table of web
+    pages — benchmarks should time scan -> geocode -> join, not the synthetic
+    fixture's codegen generation (measured: generating 1M pages costs more
+    than geocoding + cover-joining them).  Idempotent via a row-count marker,
+    so repeated bench/scaling runs over the same n reuse the files.
+    """
+    import json
+    import os
+    import tempfile
+
+    path = path or os.path.join(tempfile.gettempdir(), f"co_pages_{n}")
+    marker = os.path.join(path, "_co_pages_meta.json")
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh).get("n") == n:
+                    return path
+        except (OSError, ValueError):
+            pass
+    pages(spark, n, partitions=partitions).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as fh:
+        json.dump({"n": n}, fh)
+    return path
+
+
 def _u(col, salt: int):
     """Deterministic uniform in [0, 1) from a column + salt (pure JVM)."""
     return (F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(1_000_000)).cast("double")

@@ -219,3 +219,25 @@ def test_geoparse_grammar_parity_native_vs_fused(spark):
     assert n == f, (n, f)
     assert n[0] >= 0 and n[1] >= 0 and n[2] >= 0
     assert n[3] == -1 and n[4] == -1 and n[5] == -1
+
+
+def test_materialize_pages_roundtrip(spark, tmp_path):
+    """Stored pages == generated pages (same rows), and re-materializing is
+    an idempotent no-op (marker short-circuit)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from co_new_spark.sources.pages import materialize_pages, pages
+
+    p = str(tmp_path / "pages_rt")
+    path = materialize_pages(spark, 1_000, path=p, partitions=4)
+    stored = spark.read.parquet(path)
+    gen = pages(spark, 1_000, partitions=4)
+    assert stored.count() == 1_000
+    # order-insensitive equality on the full row set
+    h = lambda df: df.select(F.expr("bit_xor(xxhash64(url, text, lang))")).collect()[0][0]
+    assert h(stored) == h(gen)
+    mtime = os.path.getmtime(os.path.join(path, "_co_pages_meta.json"))
+    assert materialize_pages(spark, 1_000, path=p) == path
+    assert os.path.getmtime(os.path.join(path, "_co_pages_meta.json")) == mtime

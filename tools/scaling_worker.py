@@ -27,34 +27,51 @@ def main(cpus: int, n_pages: int) -> dict:
     from co_new_spark.functions import geo
     from co_new_spark.operators.cover import cover_lookup_best
     from co_new_spark.plans.session import get_spark
-    from co_new_spark.sources.pages import pages
+
     from co_new_spark.sources.reference_data import load_citycover
 
     spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
     cover = load_citycover(spark)
+    parts = int(os.environ.get("SCALING_PARTS", cpus * 4))
+    # stored-table input (north rule): parent materializes once, every level
+    # scans the same parquet bytes; generate only if launched standalone
+    src_path = os.environ.get("SCALING_PAGES_PARQUET")
+    if not src_path:
+        from co_new_spark.sources.pages import materialize_pages
 
-    def flagship(n, parts):
-        pg = pages(spark, n, partitions=parts)
-        pts = pg.select(
+        src_path = materialize_pages(spark, n_pages, partitions=parts)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+
+    def flagship(src):
+        pts = src.select(
             "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
         ).filter(F.col("cell") >= 0)
         hit = cover_lookup_best(pts, cover, keep=["url", "cell"], dedup=False)
         return hit.groupBy("isolabel_ext").agg(F.count("*").alias("n"))
 
-    flagship(20_000, cpus).agg(F.sum("n")).collect()  # steady-state warmup
+    # steady-state warmup (untimed): execute the SAME plan shape once —
+    # plan analysis + whole-stage codegen + python-worker imports are
+    # per-process costs a long-running job amortizes to zero, and they are
+    # asymmetric across parallelism levels (same ~2 s JVM-side at N and 4N),
+    # which would bias the efficiency ratio if charged to the timed run.
+    # The timed run REBUILDS the DataFrame: re-collecting the same object
+    # would skip the heavy shuffle-map stage (its output files persist) and
+    # time only the reduce.
+    flagship(spark.read.parquet(src_path)).collect()
 
-    parts = int(os.environ.get("SCALING_PARTS", cpus * 4))
+    agg = flagship(spark.read.parquet(src_path))
     t0 = time.time()
-    agg = flagship(n_pages, parts)
+    t0_utc = time.gmtime(t0)
     rows = agg.collect()
     wall = time.time() - t0
     n_geo = sum(r.n for r in rows)
     hot_share = max(r.n for r in rows) / n_geo
 
-    # input-partition balance of the Arrow-UDF stage (skew diagnostic)
-    pg = pages(spark, n_pages, partitions=parts)
+    # input-partition balance of the scan feeding the Arrow-UDF stage
+    pg = spark.read.parquet(src_path)
     sizes = [r.n for r in pg.groupBy(F.spark_partition_id().alias("p"))
              .agg(F.count("*").alias("n")).collect()]
     skew = max(sizes) / statistics.median(sizes)
@@ -71,7 +88,12 @@ def main(cpus: int, n_pages: int) -> dict:
         app_id = apps[0]["id"]
         stages = _json.load(urllib.request.urlopen(
             f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=5))
-        heavy = max(stages, key=lambda s: s.get("executorRunTime", 0))
+        # only the TIMED run's stages: warmup stages ran codegen-cold and
+        # would dominate both executorRunTime and the straggler ratio
+        cutoff = time.strftime("%Y-%m-%dT%H:%M:%S", t0_utc)
+        timed = [s for s in stages
+                 if s.get("submissionTime", "") >= cutoff]
+        heavy = max(timed or stages, key=lambda s: s.get("executorRunTime", 0))
         q = _json.load(urllib.request.urlopen(
             f"{ui}/api/v1/applications/{app_id}/stages/{heavy['stageId']}/"
             f"{heavy['attemptId']}/taskSummary?quantiles=0.5,1.0", timeout=5))
