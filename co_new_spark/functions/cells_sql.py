@@ -127,6 +127,43 @@ def deinterleave_yx_cols(bits: Column, ny: int, nx: int) -> tuple[Column, Column
     return iy, ix
 
 
+def with_hilbert_index(df, gy: Column, gx: Column, order: int,
+                       out: str = "hd"):
+    """Append the Hilbert index of lattice coords on the 2^order grid as
+    column ``out`` — native arithmetic only (whole-stage codegen), one
+    narrow projection per curve level (a single Column expression would
+    nest the rot-swap recurrence exponentially: each level references the
+    previous x AND y twice, so per-level aliased projections keep the plan
+    linear in ``order``).
+
+    The engine's answer to the reference's open decision #6 (Morton vs
+    Hilbert, README.md "Decisiones abiertas"): Morton stays the adopted
+    default; this lets a Hilbert ordering be computed/ordered on without
+    leaving the JVM.  Bit-exact vs grid/hilbert.py (numpy) — gated in
+    tests/test_cover_sql.py.
+    """
+    n = 1 << order
+    df = df.withColumn("__hx", gx.cast("long")) \
+           .withColumn("__hy", gy.cast("long")) \
+           .withColumn(out, F.lit(0).cast("long"))
+    s = n >> 1
+    while s > 0:
+        x, y = F.col("__hx"), F.col("__hy")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0).cast("long")
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0).cast("long")
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = F.when(flip, F.lit(n - 1) - x).otherwise(x)
+        y_f = F.when(flip, F.lit(n - 1) - y).otherwise(y)
+        df = df.withColumns({
+            out: F.col(out) + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry),
+            "__hx": F.when(swap, y_f).otherwise(x_f),
+            "__hy": F.when(swap, x_f).otherwise(y_f),
+        })
+        s >>= 1
+    return df.drop("__hx", "__hy")
+
+
 def cell_l0_digit(cell: Column) -> Column:
     """Grid B: the leading 4 bits = L0 digit value (0..15); -1 if too shallow."""
     nb = cell_depth(cell)

@@ -24,6 +24,10 @@ from __future__ import annotations
 import numpy as np
 
 B32NVU_ALPHABET = "0123456789BCDFGHJKLMNPQRSTUVWXYZ"
+# classic lowercase Geohash alphabet — the reference's open decision #5
+# (README.md "Decisiones abiertas": NVU uppercase vs Geohash lowercase);
+# NVU is the adopted default, this one is offered as an engine option
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 _B32_CHARS = np.array(list(B32NVU_ALPHABET), dtype="<U1")
 _B32_VALUES = np.full(256, -1, dtype=np.int64)
 for _i, _c in enumerate(B32NVU_ALPHABET):

@@ -500,6 +500,100 @@ WHERE (({_sql_crossings(_POLY)}) + ({_sql_crossings(_HOLE)})) % 2 = 1
 
 
 # ---------------------------------------------------------------------------
+# geo_cell_codec_b32 — both base32 alphabets (NVU adopted; lowercase Geohash
+# = the reference's open decision #5) over depth-10 cells: 10 bits = exactly
+# two base32 digits, so encode is two native substring lookups per alphabet.
+# ---------------------------------------------------------------------------
+
+
+def _b32_digit(alphabet: str, v):
+    return F.substring(F.lit(alphabet), v.cast("int") + 1, 1)
+
+
+def g_cell_codec_b32(spark: SparkSession, sf: str) -> DataFrame:
+    from ..grid.codec import B32NVU_ALPHABET, GEOHASH_ALPHABET
+
+    pts = _event_points(spark, sf)
+    out = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 6)) \
+             .filter(F.col("cell") >= 0)
+    bits = cells_sql.cell_bits(F.col("cell"))
+    hi = F.shiftright(bits, 5).bitwiseAND(F.lit(31))
+    lo = bits.bitwiseAND(F.lit(31))
+    return out.select(
+        "event_id", "cell",
+        F.concat(_b32_digit(B32NVU_ALPHABET, hi),
+                 _b32_digit(B32NVU_ALPHABET, lo)).alias("code_nvu"),
+        F.concat(_b32_digit(GEOHASH_ALPHABET, hi),
+                 _b32_digit(GEOHASH_ALPHABET, lo)).alias("code_ghl"),
+    )
+
+
+def _sql_codec_b32() -> str:
+    from ..grid.codec import B32NVU_ALPHABET, GEOHASH_ALPHABET
+
+    return f"""
+WITH {_sql_cells_cte(6)}
+SELECT event_id, cell,
+       substring('{B32NVU_ALPHABET}', CAST(((cell >> 6) >> 5) & 31 AS INT) + 1, 1)
+       || substring('{B32NVU_ALPHABET}', CAST((cell >> 6) & 31 AS INT) + 1, 1) AS code_nvu,
+       substring('{GEOHASH_ALPHABET}', CAST(((cell >> 6) >> 5) & 31 AS INT) + 1, 1)
+       || substring('{GEOHASH_ALPHABET}', CAST((cell >> 6) & 31 AS INT) + 1, 1) AS code_ghl
+FROM cells WHERE cell >= 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_hilbert_index — the reference's open decision #6 (Morton vs Hilbert)
+# as an engine capability: Hilbert index over the depth-12 lattice, native
+# Column unrolled rot-swap loop vs an independently-unrolled SQL oracle.
+# ---------------------------------------------------------------------------
+
+_HILBERT_R = 8       # depth 12 -> lattice 64 x 80, embedded in 2^7 = 128
+_HILBERT_ORDER = 7
+
+
+def g_hilbert_index(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.tiles import _grid_b_global_ji
+
+    pts = _event_points(spark, sf)
+    cells = pts.withColumn(
+        "cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _HILBERT_R)
+    ).filter(F.col("cell") >= 0)
+    gy, gx = _grid_b_global_ji(F.col("cell"), 4 + _HILBERT_R)
+    out = cells_sql.with_hilbert_index(cells, gy, gx, _HILBERT_ORDER)
+    return out.select("event_id", "cell", "hd")
+
+
+def _sql_hilbert() -> str:
+    ny = nx = _HILBERT_R // 2
+    n = 1 << _HILBERT_ORDER
+    ctes = [f"""it0 AS (
+  SELECT event_id, cell, i * {1 << nx} + ix AS hx, j * {1 << ny} + iy AS hy,
+         CAST(0 AS BIGINT) AS hd
+  FROM cells WHERE cell >= 0)"""]
+    k = 0
+    s = n >> 1
+    while s > 0:
+        k += 1
+        ctes.append(f"""it{k}a AS (
+  SELECT event_id, cell, hx, hy, hd,
+         CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+         CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+  FROM it{k - 1})""")
+        ctes.append(f"""it{k} AS (
+  SELECT event_id, cell,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hy ELSE hy END)
+              ELSE hx END AS hx,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hx ELSE hx END)
+              ELSE hy END AS hy,
+         hd + {s * s} * xor(3 * rx, ry) AS hd
+  FROM it{k}a)""")
+        s >>= 1
+    return (f"WITH {_sql_cells_cte(_HILBERT_R)},\n" + ",\n".join(ctes)
+            + f"\nSELECT event_id, cell, hd FROM it{k}")
+
+
+# ---------------------------------------------------------------------------
 # geo_knn_ring_events — B11 with a full SQL oracle: the ring-1 candidate set
 # equals the 3x3 lattice neighborhood, which SQL restates as |dgy|<=1 AND
 # |dgx|<=1 (ring cells with invalid L0 digits hold no candidates, so the
@@ -582,6 +676,8 @@ QUERIES = {
     "geo_coverage_clip": (g_coverage_clip, None),
     "geo_shortcode": (g_shortcode, None),
     "geo_knn_ring_events": (g_knn_ring_events, _sql_knn_ring()),
+    "geo_hilbert_index": (g_hilbert_index, _sql_hilbert()),
+    "geo_cell_codec_b32": (g_cell_codec_b32, _sql_codec_b32()),
     "geo_parent_rollup": (g_parent_rollup, SQL_PARENT_ROLLUP),
     "geo_children": (g_children, SQL_CHILDREN),
     "geo_neighbors": (g_neighbors, SQL_NEIGHBORS),

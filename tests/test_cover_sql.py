@@ -126,3 +126,36 @@ def test_montanitas_cover_and_pip(spark, montanitas_ring):
     for b in bits:  # depth 30 = 4 + 26 by construction
         assert any(cd <= 30 and (int(b) >> (30 - cd)) == cb
                    for cb, cd in cover_set), "corner cell outside cover"
+
+
+def test_hilbert_properties_and_column_parity(spark):
+    """grid/hilbert.py: bijective + unit-step adjacent on full lattices;
+    the native Column unroll (with_hilbert_index) is bit-exact vs numpy."""
+    from co_new_spark.functions import cells_sql
+    from co_new_spark.grid import hilbert
+
+    for order in (1, 2, 4, 6):
+        n = 1 << order
+        xs, ys = np.meshgrid(np.arange(n, dtype=np.uint64),
+                             np.arange(n, dtype=np.uint64))
+        xs, ys = xs.ravel(), ys.ravel()
+        d = hilbert.xy_to_d(xs, ys, order)
+        assert sorted(d.tolist()) == list(range(n * n))
+        x2, y2 = hilbert.d_to_xy(d, order)
+        assert (x2 == xs).all() and (y2 == ys).all()
+        idx = np.argsort(d)
+        ox, oy = xs[idx].astype(np.int64), ys[idx].astype(np.int64)
+        assert (np.abs(np.diff(ox)) + np.abs(np.diff(oy)) == 1).all()
+
+    order = 7
+    rng = np.random.default_rng(7)
+    gx = rng.integers(0, 1 << order, 500)
+    gy = rng.integers(0, 1 << order, 500)
+    want = hilbert.xy_to_d(gx.astype(np.uint64), gy.astype(np.uint64), order)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(gx, gy)], "gx long, gy long")
+    got = cells_sql.with_hilbert_index(df, F.col("gy"), F.col("gx"), order) \
+        .select("gx", "gy", "hd").collect()
+    lut = {(r.gx, r.gy): r.hd for r in got}
+    for a, b, w in zip(gx, gy, want):
+        assert lut[(int(a), int(b))] == int(w)
