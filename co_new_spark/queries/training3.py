@@ -1,0 +1,176 @@
+"""Training-pipeline surface, part 3: near-dup clustering (connected
+components), dedup keep-best-representative, greedy sequence packing, and
+log-free TF-IDF term ranking — each driver-oracle-checked (the component
+oracle is a DuckDB recursive-CTE transitive closure; packing is a recursive
+running-total; both recompute the exact same edge/score inputs in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators.components import connected_components
+from ..operators.packing import pack_greedy
+from ..sources.tables import load
+from .training import SQL_JACCARD, t_ngram_jaccard_pairs
+from .training2 import SQL_QUALITY
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs -> connected components
+# ---------------------------------------------------------------------------
+
+
+def _doc_components(spark: SparkSession, sf: str) -> DataFrame:
+    edges = t_ngram_jaccard_pairs(spark, sf).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    docs = load(spark, sf, "documents").select("doc_id")
+    return connected_components(edges, nodes=docs).select(
+        F.col("node").alias("doc_id"), "component")
+
+
+def t_neardup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Every doc labelled with its duplicate-cluster id (= min doc_id
+    reachable over the exact-Jaccard pair graph); singletons label
+    themselves.  Spark side: alternating large-star/small-star
+    (operators/components.py); oracle: recursive-CTE transitive closure."""
+    return _doc_components(spark, sf)
+
+
+SQL_COMPONENTS = f"""
+WITH RECURSIVE
+j AS (SELECT doc_a AS u, doc_b AS v FROM ({SQL_JACCARD})),
+ed AS (SELECT u, v FROM j UNION SELECT v AS u, u AS v FROM j),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN ed e ON e.u = r.dst
+)
+SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+"""
+
+
+def t_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """The full dedup flow: cluster near-dups, then keep ONE canonical doc
+    per cluster — highest quality score, doc_id as the deterministic
+    tie-break.  This is the row-level outcome a 100 TB pipeline materializes
+    (components + quality are both shuffles on already-reduced keys)."""
+    comp = _doc_components(spark, sf)
+    docs = load(spark, sf, "documents")
+    q = docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("component")
+    wo = w.orderBy(F.col("quality").desc(), "doc_id")
+    return (j.withColumn("n_members", F.count("*").over(w))
+             .withColumn("rn", F.row_number().over(wo))
+             .filter(F.col("rn") == 1)
+             .select("component", F.col("doc_id").alias("canonical_doc"),
+                     "n_members", F.col("quality").alias("best_quality")))
+
+
+SQL_KEEP_BEST = f"""
+SELECT component, doc_id AS canonical_doc, n_members, quality AS best_quality
+FROM (
+  SELECT c.component, q.doc_id, q.quality,
+         count(*) OVER (PARTITION BY c.component) AS n_members,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, q.doc_id) AS rn
+  FROM ({SQL_COMPONENTS}) c JOIN ({SQL_QUALITY}) q ON q.doc_id = c.doc_id
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (context-window bin assignment)
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 128
+
+
+def t_seq_pack(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    return pack_greedy(docs, "source", "doc_id", "n_tok", PACK_CAPACITY)
+
+
+SQL_SEQ_PACK = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), r(source, doc_id, n_tok, rn, bin_id, acc) AS (
+  SELECT source, doc_id, n_tok, rn, CAST(0 AS BIGINT), n_tok
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+         CASE WHEN r.acc + t.n_tok > {PACK_CAPACITY}
+              THEN r.bin_id + 1 ELSE r.bin_id END,
+         CASE WHEN r.acc + t.n_tok > {PACK_CAPACITY}
+              THEN t.n_tok ELSE r.acc + t.n_tok END
+  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+)
+SELECT source, doc_id, n_tok, bin_id FROM r
+"""
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source (log-free scoring for cross-engine bit-parity)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+def t_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top distinctive terms per source by tf * (n_sources / source_df).
+
+    The classical idf log() is replaced by the raw inverse-document-frequency
+    ratio: identical RANKING for fixed tf (log is monotone), but the score
+    stays in +,*,/ — IEEE-identical across engines, so the driver's value
+    hash can gate it (libm log differs in ulps between JVM and DuckDB).
+    """
+    docs = load(spark, sf, "documents")
+    toks = (docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+                .filter(F.col("term") != ""))
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("source").cast("long").alias("df"))
+    n_src = docs.agg(F.countDistinct("source").cast("double").alias("n_src"))
+    scored = (tf.join(df_, "term").crossJoin(F.broadcast(n_src))
+                .withColumn("score", F.round(
+                    F.col("tf") * F.col("n_src") / F.col("df"), 6)))
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= TFIDF_TOPK)
+                  .select("source", "term", F.col("tf").cast("long").alias("tf"),
+                          "df", "score", "rn"))
+
+
+SQL_TFIDF = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), tk AS (
+  SELECT * FROM toks WHERE term <> ''
+), tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2
+), dfx AS (
+  SELECT term, CAST(count(DISTINCT source) AS BIGINT) AS df FROM tk GROUP BY 1
+), ns AS (
+  SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_src FROM documents
+)
+SELECT source, term, tf, df, score, rn FROM (
+  SELECT tf.source, tf.term, tf.tf, dfx.df,
+         round(tf.tf * ns.n_src / dfx.df, 6) AS score,
+         row_number() OVER (PARTITION BY tf.source
+                            ORDER BY round(tf.tf * ns.n_src / dfx.df, 6) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN dfx USING (term) CROSS JOIN ns
+) WHERE rn <= {TFIDF_TOPK}
+"""
+
+
+QUERIES = {
+    "train_neardup_components": (t_neardup_components, SQL_COMPONENTS),
+    "train_dedup_keep_best": (t_dedup_keep_best, SQL_KEEP_BEST),
+    "train_seq_pack": (t_seq_pack, SQL_SEQ_PACK),
+    "train_tfidf_topk": (t_tfidf_topk, SQL_TFIDF),
+}
