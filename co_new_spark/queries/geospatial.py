@@ -181,9 +181,75 @@ def g_knn_ring(spark: SparkSession, sf: str) -> DataFrame:
     return knn_ring(q, c, k=5, ring=1, exclude_self=True)
 
 
+# ---------------------------------------------------------------------------
+# Cover compaction: fixed-depth point cells -> minimal mixed-depth cover
+# ---------------------------------------------------------------------------
+
+_COMPACT_RBITS = 8  # refinement bits -> nbits 12 cells, 4 merge levels to L0
+
+
+def g_cover_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine kernel encode at depth 12 -> operators.compact.compact_cover;
+    oracle re-states the encode from the grid spec and unrolls the four
+    quad-merge levels as window-count CTEs."""
+    from ..operators.compact import compact_cover
+
+    pts = _event_points(spark, sf)
+    cells = pts.select(
+        geo.xy_to_cell_b(F.col("x"), F.col("y"), _COMPACT_RBITS).alias("cell"))
+    return compact_cover(cells, min_depth=4)
+
+
+def _sql_morton_yx(iy: str, ix: str, nbits: int) -> str:
+    """y-first MSB Morton interleave of two nbits-wide SQL ints."""
+    return " + ".join(
+        f"((({iy} >> {k}) & 1) * {1 << (2 * k + 1)})"
+        f" + ((({ix} >> {k}) & 1) * {1 << (2 * k)})"
+        for k in range(nbits))
+
+
+def _sql_merge_level(prev: str) -> str:
+    """One simultaneous quad-merge pass over a distinct cell set."""
+    return f"""
+  SELECT DISTINCT CASE WHEN mrg THEN par ELSE cell END AS cell FROM (
+    SELECT cell, par,
+           par IS NOT NULL AND count(*) OVER (PARTITION BY par) = 4 AS mrg
+    FROM (SELECT cell,
+                 CASE WHEN cell % 64 >= 6
+                      THEN ((cell // 64) // 4) * 64 + (cell % 64 - 2) END AS par
+          FROM {prev})
+  )"""
+
+
+SQL_COVER_COMPACT = f"""
+WITH pts AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), c AS (
+  SELECT CAST(floor((x - 3678500.0) / 524288.0) AS BIGINT) AS i,
+         CAST(floor((y - 970000.0) / 524288.0) AS BIGINT) AS j,
+         (x - 3678500.0) / 524288.0 - floor((x - 3678500.0) / 524288.0) AS u,
+         (y - 970000.0) / 524288.0 - floor((y - 970000.0) / 524288.0) AS v
+  FROM pts
+), d AS (
+  SELECT {_L0_CASE} AS digit,
+         CAST(floor(u * 16) AS BIGINT) AS ix, CAST(floor(v * 16) AS BIGINT) AS iy
+  FROM c
+), l0 AS (
+  SELECT DISTINCT (digit * 256 + {_sql_morton_yx('iy', 'ix', 4)}) * 64 + 12 AS cell
+  FROM d WHERE digit >= 0
+), l1 AS ({_sql_merge_level('l0')}
+), l2 AS ({_sql_merge_level('l1')}
+), l3 AS ({_sql_merge_level('l2')}
+), l4 AS ({_sql_merge_level('l3')}
+)
+SELECT cell, cell % 64 AS depth FROM l4
+"""
+
+
 QUERIES = {
     "geo_cell_assign": (g_cell_assign_parity, SQL_CELL_ASSIGN),
     "geo_tile_assign": (g_tile_assign, SQL_TILE),
+    "geo_cover_compact": (g_cover_compact, SQL_COVER_COMPACT),
     "geo_pages_l0_histogram": (g_pages_l0_histogram, None),
     "geo_cover_lookup": (g_cover_lookup, None),
     "geo_knn_ring": (g_knn_ring, None),
