@@ -1,0 +1,77 @@
+"""Semantic invariants of the fixture-backed web-text entries
+(queries/webtext_q.py) — the oracle proves Spark==DuckDB; these prove the
+ops do what they claim."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_fixture_exists_and_matches_generator_shape():
+    from co_new_spark.queries.webtext_q import FIXTURE_PAGES
+
+    assert os.path.exists(FIXTURE_PAGES)
+
+
+def test_extract_parity_all_urls_byte_identical(spark):
+    from co_new_spark.queries.webtext_q import w_extract_parity
+
+    for r in w_extract_parity(spark, "").collect():
+        assert r["n_bytes_identical"] == r["n_urls"], r
+
+
+def test_url_canon_roundtrips_every_page(spark):
+    from co_new_spark.queries.webtext_q import w_url_canon
+
+    rows = w_url_canon(spark, "").collect()
+    assert sum(r["n_pages"] for r in rows) == 2000
+    for r in rows:
+        assert r["n_roundtrip_ok"] == r["n_pages"], r
+    # the md5 gates actually mutate a large share — the test isn't vacuous
+    assert sum(r["n_mutated"] for r in rows) > 1000
+
+
+def test_canonicalize_url_unit_cases(spark):
+    from co_new_spark.queries.webtext_q import canonicalize_url
+
+    cases = [
+        ("HTTPS://Site1.Example.CO/pageX?utm_source=a&keep=1#f",
+         "https://site1.example.co/pageX?keep=1"),
+        ("https://h/p?utm_a=1&utm_b=2", "https://h/p"),
+        ("https://h/p", "https://h/p"),
+        ("https://h/p#only-frag", "https://h/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_coord_scrub_truncates_to_two_decimals(spark):
+    from co_new_spark.queries.webtext_q import _COORD_PAT, w_coord_scrub
+    from co_new_spark.queries.webtext_q import _fixture
+
+    agg = w_coord_scrub(spark, "").agg(
+        F.sum("n_coords").alias("nc"), F.sum("chars_removed").alias("cr"),
+        F.sum("n_scrubbed_docs").alias("nd"), F.sum("n_docs").alias("n")).first()
+    assert agg["nc"] > 1000          # ~90% of 2000 pages carry a coord pair
+    assert agg["cr"] == agg["nc"] * 5  # %.7f -> exactly 5 digits dropped each
+    assert 0 < agg["nd"] < agg["n"]  # the 10%-no-coords pages stay untouched
+    # and no >2-decimal coordinate survives anywhere
+    left = _fixture(spark).select(
+        F.regexp_count(F.regexp_replace("text", _COORD_PAT, "$1"),
+                       F.lit(_COORD_PAT)).alias("k"))
+    assert left.agg(F.sum("k")).first()[0] == 0
+
+
+def test_geoparse_fixture_rates(spark):
+    from co_new_spark.queries.webtext_q import w_geoparse
+
+    out = w_geoparse(spark, "")
+    n = out.count()
+    n_hit = out.filter(F.col("lat").isNotNull()).count()
+    assert n == 2000
+    # anchor mix: 90% of pages carry coordinates (70% geo: + 20% plain pair)
+    assert 0.85 < n_hit / n < 0.95
+    bad = out.filter((F.abs(F.col("lat")) > 90) | (F.abs(F.col("lon")) > 180))
+    assert bad.count() == 0
