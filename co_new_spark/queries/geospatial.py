@@ -246,10 +246,61 @@ SELECT cell, cell % 64 AS depth FROM l4
 """
 
 
+# ---------------------------------------------------------------------------
+# Segment -> cell trace (route coverage, operators/trace.py)
+# ---------------------------------------------------------------------------
+
+_TRACE_N_SEG = 100
+
+
+def g_segment_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Trajectory segments (event point k -> point k+1) rasterized to the
+    distinct depth-12 cells they touch; engine = densify + pandas-UDF encode,
+    oracle = the same bit-exact lerp + grid-spec restatement."""
+    from ..operators.trace import segment_cells
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < _TRACE_N_SEG)
+    x1 = F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152
+    y1 = F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440
+    x2 = F.lit(grids.L0_ORIGIN_X) + ((F.col("event_id") + 1) * 2654435761) % 2097152
+    y2 = F.lit(grids.L0_ORIGIN_Y) + ((F.col("event_id") + 1) * 40503) % 2621440
+    return segment_cells(ev, x1, y1, x2, y2, rbits=8, keep=["event_id"])
+
+
+SQL_SEGMENT_CELLS = f"""
+WITH seg AS (
+  SELECT event_id, {_XENG} AS x1, {_YENG} AS y1,
+         3678500.0 + ((event_id + 1) * 2654435761) % 2097152 AS x2,
+         970000.0 + ((event_id + 1) * 40503) % 2621440 AS y2
+  FROM events WHERE event_id < {_TRACE_N_SEG}
+), samp AS (
+  SELECT event_id,
+         x1 + (x2 - x1) * (CAST(t AS DOUBLE) / 64.0) AS x,
+         y1 + (y2 - y1) * (CAST(t AS DOUBLE) / 64.0) AS y
+  FROM seg, generate_series(0, 64) AS g(t)
+), c AS (
+  SELECT event_id,
+         CAST(floor((x - 3678500.0) / 524288.0) AS BIGINT) AS i,
+         CAST(floor((y - 970000.0) / 524288.0) AS BIGINT) AS j,
+         (x - 3678500.0) / 524288.0 - floor((x - 3678500.0) / 524288.0) AS u,
+         (y - 970000.0) / 524288.0 - floor((y - 970000.0) / 524288.0) AS v
+  FROM samp
+), d AS (
+  SELECT event_id, {_L0_CASE} AS digit,
+         CAST(floor(u * 16) AS BIGINT) AS ix, CAST(floor(v * 16) AS BIGINT) AS iy
+  FROM c
+)
+SELECT DISTINCT event_id,
+       (digit * 256 + {_sql_morton_yx('iy', 'ix', 4)}) * 64 + 12 AS cell
+FROM d WHERE digit >= 0
+"""
+
+
 QUERIES = {
     "geo_cell_assign": (g_cell_assign_parity, SQL_CELL_ASSIGN),
     "geo_tile_assign": (g_tile_assign, SQL_TILE),
     "geo_cover_compact": (g_cover_compact, SQL_COVER_COMPACT),
+    "geo_segment_cells": (g_segment_cells, SQL_SEGMENT_CELLS),
     "geo_pages_l0_histogram": (g_pages_l0_histogram, None),
     "geo_cover_lookup": (g_cover_lookup, None),
     "geo_knn_ring": (g_knn_ring, None),
