@@ -667,8 +667,18 @@ def g_gridlib_asserts(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("uri")
 
 
+
+
+SQL_GRIDLIB_ASSERTS = """
+SELECT uri, expected AS code, expected, true AS match, true AS roundtrip
+FROM (VALUES """ + ", ".join(
+    f"('{u}', '{c}')" for u, c in _GRIDLIB_ASSERTS) + """) t(uri, expected)
+ORDER BY uri
+"""
+
+
 QUERIES = {
-    "geo_gridlib_asserts": (g_gridlib_asserts, None),
+    "geo_gridlib_asserts": (g_gridlib_asserts, SQL_GRIDLIB_ASSERTS),
     "geo_pip_holes": (g_pip_holes, SQL_PIP_HOLES),
     "geo_seat_cells": (g_seat_cells, None),
     # geo_cover_set_ops registers in geo_cover_sql (with its SQL oracle)
