@@ -160,6 +160,88 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B9b: true event-time AS-OF JOIN — each 'view' event picks up the value
+    of the latest 'purchase' by the same user at or before its timestamp.
+
+    Spark has no asof-join operator; the scalable rewrite is
+    **union + forward-fill**: interleave both streams, one window
+    partitioned by user ordered by (ts, kind) with ``last(value,
+    ignorenulls)`` over the preceding frame.  ONE shuffle of each stream on
+    user_id, no range/theta join, no per-key driver loop — at 100 TB this is
+    the standard event-time enrichment shape (purchases sort before views on
+    equal ts, matching the oracle's inclusive ``v.ts >= p.ts``).  Oracle:
+    DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = load(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("pv"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+        F.col("value").alias("pv"))
+    u = views.unionByName(purch)
+    w = (Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    filled = u.withColumn("last_purchase",
+                          F.round(F.last("pv", ignorenulls=True).over(w), 6))
+    return (filled.filter(F.col("kind") == 1)
+                  .select("event_id", "user_id", "last_purchase"))
+
+
+SQL_ASOF_JOIN = """
+SELECT v.event_id, v.user_id, round(p.value, 6) AS last_purchase
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """B16b: batch sessionization — split each user's event stream at
+    >30-min gaps, one row per session (the batch twin of the streaming
+    session-window entry; lag + running-sum over one user-partitioned
+    window, no self-join)."""
+    ev = load(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(wo)
+    # interval arithmetic: TIMESTAMP_NTZ has no integer cast under ANSI
+    gap_over = (F.col("ts") - prev) > F.expr(f"INTERVAL '{SESSION_GAP_S}' SECOND")
+    new_s = F.when(prev.isNull() | gap_over, 1).otherwise(0)
+    run = ev.withColumn("sid", F.sum(new_s).over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)))
+    return (run.groupBy("user_id", "sid").agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"))
+               .select("user_id", F.col("sid").cast("long").alias("sid"),
+                       "session_start", "session_end", "n_events",
+                       "total_value"))
+
+
+SQL_SESSIONIZE = f"""
+SELECT user_id, CAST(sid AS BIGINT) AS sid,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           epoch(ts) - lag(epoch(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events)
+) GROUP BY user_id, sid
+"""
+
+
 def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
     """B16: ranking window — top-3 orders per customer by price."""
     orders = load(spark, sf, "orders")
@@ -468,6 +550,8 @@ QUERIES = {
     "rel_date_trunc": (q_date_trunc, SQL_DATE),
     "rel_string_tokens": (q_string_tokens, SQL_STRING),
     "rel_nation_segments": (q_nation_segments, SQL_SEGMENTS),
+    "rel_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rel_interval_prefix_join": (q_interval_prefix_join, SQL_INTERVAL),
     "rel_set_intersect": (q_set_intersect, SQL_INTERSECT),
     "rel_set_except": (q_set_except, SQL_EXCEPT),

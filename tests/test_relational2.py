@@ -1,0 +1,50 @@
+"""Semantic gates for the round-2 relational additions (as-of join via
+union+forward-fill, batch sessionization)."""
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def test_asof_join_matches_bruteforce_per_user(spark):
+    from co_new_spark.queries.relational import q_asof_join
+    from co_new_spark.sources.tables import load
+
+    got = {r["event_id"]: r["last_purchase"]
+           for r in q_asof_join(spark, SF_DIR).collect()}
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value").collect()
+    purch = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+    n_checked = 0
+    for r in ev:
+        if r["event_type"] != "view":
+            continue
+        cand = [(t, v) for t, v in purch.get(r["user_id"], []) if t <= r["ts"]]
+        want = round(max(cand)[1], 6) if cand else None
+        assert got[r["event_id"]] == want, (r["event_id"], got[r["event_id"]], want)
+        n_checked += 1
+    assert n_checked == len(got) and n_checked > 50
+
+
+def test_sessionize_invariants(spark):
+    from co_new_spark.queries.relational import SESSION_GAP_S, q_sessionize
+    from co_new_spark.sources.tables import load
+
+    out = q_sessionize(spark, SF_DIR).collect()
+    n_events = load(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in out) == n_events
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r["sid"])
+        assert [r["sid"] for r in sess] == list(range(1, len(sess) + 1))
+        for a, b in zip(sess, sess[1:]):
+            # consecutive sessions are separated by more than the gap
+            delta = (b["session_start"] - a["session_end"]).total_seconds()
+            assert delta > SESSION_GAP_S
+        for r in sess:
+            assert r["session_start"] <= r["session_end"]
