@@ -92,6 +92,10 @@ def run() -> dict:
         "train_knn_brute", "train_knn_lsh", "train_fingerprint",
         "geo_cell_assign", "geo_tile_assign", "geo_knn_ring",
         "geo_global_cell", "geo_parent_rollup", "stream_window_counts",
+        # round-2 operators
+        "train_neardup_components", "train_seq_pack", "train_tfidf_topk",
+        "geo_cover_compact", "geo_segment_cells", "rel_asof_join",
+        "rel_sessionize", "web_extract_parity",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]
