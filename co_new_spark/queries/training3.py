@@ -168,8 +168,92 @@ SELECT source, term, tf, df, score, rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (content-hash gated, re-runnable)
+# ---------------------------------------------------------------------------
+
+
+def t_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """80/10/10 split keyed on the content hash (first md5 byte): the split a
+    doc lands in never depends on partitioning, row order, or RNG seeds —
+    the property a 100 TB pipeline needs so re-runs and backfills agree."""
+    docs = load(spark, sf, "documents")
+    b = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast("int")
+    split = (F.when(b < 204, "train").when(b < 230, "val").otherwise("test"))
+    return (docs.withColumn("split", split)
+                .groupBy("source", "split")
+                .agg(F.count("*").alias("n_docs"),
+                     F.min("doc_id").alias("first_doc")))
+
+
+SQL_SPLIT = """
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM (
+  SELECT source, doc_id,
+         CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT source, doc_id,
+               (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS b
+        FROM documents)
+) GROUP BY source, split
+"""
+
+# ---------------------------------------------------------------------------
+# Token-rarity scoring (integer-exact statistical quality filter)
+# ---------------------------------------------------------------------------
+
+
+def t_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc average corpus frequency of its tokens — the log-free stand-in
+    for unigram-LM perplexity filtering.  All aggregation stays in BIGINT
+    (token counts), with ONE double division at the end, so the result is
+    bit-stable across engines and partitionings (float sums are not
+    order-associative; integer sums are)."""
+    docs = load(spark, sf, "documents")
+    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+                .filter(F.col("term") != ""))
+    cnt = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    per_doc = (toks.join(cnt, "term")
+                   .groupBy("doc_id")
+                   .agg(F.sum("cnt").alias("sum_freq"),
+                        F.count("*").cast("long").alias("n_tok")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+                        F.coalesce("sum_freq", F.lit(0)).alias("sum_freq"),
+                        F.round(F.when(F.coalesce("n_tok", F.lit(0)) > 0,
+                                       F.col("sum_freq").cast("double")
+                                       / F.col("n_tok")).otherwise(0.0), 6)
+                        .alias("avg_freq")))
+
+
+SQL_RARITY = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tk AS (
+  SELECT * FROM toks WHERE term <> ''
+), cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY term
+), per_doc AS (
+  SELECT doc_id, CAST(sum(cnt.cnt) AS BIGINT) AS sum_freq,
+         CAST(count(*) AS BIGINT) AS n_tok
+  FROM tk JOIN cnt USING (term) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_tok, 0) AS n_tok,
+       coalesce(p.sum_freq, 0) AS sum_freq,
+       round(CASE WHEN coalesce(p.n_tok, 0) > 0
+                  THEN CAST(p.sum_freq AS DOUBLE) / p.n_tok
+                  ELSE 0.0 END, 6) AS avg_freq
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "train_neardup_components": (t_neardup_components, SQL_COMPONENTS),
+    "train_split_assign": (t_split_assign, SQL_SPLIT),
+    "train_rarity_score": (t_rarity_score, SQL_RARITY),
     "train_dedup_keep_best": (t_dedup_keep_best, SQL_KEEP_BEST),
     "train_seq_pack": (t_seq_pack, SQL_SEQ_PACK),
     "train_tfidf_topk": (t_tfidf_topk, SQL_TFIDF),

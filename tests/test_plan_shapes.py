@@ -135,3 +135,24 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = _plan(j)
     assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
     assert j.count() == 10_000 / 16 * 4
+
+
+def test_asof_join_is_joinless_single_shuffle(spark):
+    """The union+forward-fill as-of rewrite must contain NO join operator and
+    exactly ONE exchange (both streams hash to user_id once)."""
+    from co_new_spark.queries.relational import q_asof_join
+
+    plan = _plan(q_asof_join(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_single_shuffle(spark):
+    """lag-window, running-sum window and the session aggregate must all ride
+    the one user_id partitioning (subset-key exchange reuse)."""
+    from co_new_spark.queries.relational import q_sessionize
+
+    plan = _plan(q_sessionize(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+    assert "partial_min" in plan  # map-side combine on the session agg
