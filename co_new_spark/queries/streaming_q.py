@@ -97,8 +97,30 @@ GROUP BY c_mktsegment
 """
 
 
+def s_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) drained to its final
+    state: per-event-type running totals + last-seen timestamp carried in
+    GroupState across micro-batches.  The sink holds one UPDATE row per key
+    per batch; the final state is the max per key — which the oracle can
+    state as a plain aggregate over the whole input."""
+    ev = _events_stream(spark, sf)
+    st = sp.stateful_running_counts(ev, "event_type", "ts")
+    sink = sp.run_available_now(st, "update")
+    return sink.groupBy("event_type").agg(
+        F.max("n_total").alias("n_total"),
+        F.max("last_ts_us").alias("last_ts_us"))
+
+
+SQL_STATEFUL_COUNTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       max(epoch_us(ts)) AS last_ts_us
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_window_counts": (s_window_counts, SQL_WINDOW_COUNTS),
+    "stream_stateful_counts": (s_stateful_counts, SQL_STATEFUL_COUNTS),
     "stream_session_windows": (s_session_windows, SQL_SESSION_WINDOWS),
     "stream_dedup_counts": (s_dedup_counts, SQL_DEDUP_COUNTS),
     "stream_static_join": (s_static_join, SQL_STATIC_JOIN),
