@@ -296,11 +296,95 @@ FROM d WHERE digit >= 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Spatial range (bbox) query: cell-index prefilter + exact predicate
+# ---------------------------------------------------------------------------
+
+_BBOX = (4_200_000.0, 1_800_000.0, 4_900_000.0, 2_600_000.0)  # xmin ymin xmax ymax
+
+
+def _bbox_cover_cells(xmin: float, ymin: float, xmax: float, ymax: float,
+                      rbits: int = 8) -> list[int]:
+    """All depth-(4+rbits) cells overlapping the bbox — driver-side lattice
+    enumeration (tiny: bbox_area / cell_area entries), the list an indexed
+    scan prunes with.  Half-open box semantics [min, max)."""
+    n = 1 << (rbits // 2)
+    w = grids.L0_SIDE / n
+    eps = 1e-9
+    out = []
+    for gy in range(int((ymin - grids.L0_ORIGIN_Y) // w),
+                    int((ymax - eps - grids.L0_ORIGIN_Y) // w) + 1):
+        for gx in range(int((xmin - grids.L0_ORIGIN_X) // w),
+                        int((xmax - eps - grids.L0_ORIGIN_X) // w) + 1):
+            j, iy = divmod(gy, n)
+            i, ix = divmod(gx, n)
+            if not (0 <= j < grids.L0_NJ and 0 <= i < grids.L0_NI):
+                continue
+            digit = int(grids.L0_DIGIT_BY_JI[j, i])
+            if digit < 0:
+                continue
+            m = 0
+            for k in range(rbits // 2):
+                m |= ((iy >> k) & 1) << (2 * k + 1)
+                m |= ((ix >> k) & 1) << (2 * k)
+            out.append(((digit << rbits) | m) << 6 | (4 + rbits))
+    return out
+
+
+def g_bbox_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Range query the scale way: enumerate the bbox's cover cells on the
+    driver (~500 for this box), prune the indexed cell column with IN, then
+    apply the exact coordinate predicate — candidate set is bbox-area-bound
+    instead of table-size-bound.  The oracle states the plain x/y WHERE, so
+    any point the prefilter wrongly drops fails the hash."""
+    cand_cells = _bbox_cover_cells(*_BBOX)
+    xmin, ymin, xmax, ymax = _BBOX
+    pts = _event_points(spark, sf).withColumn(
+        "cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 8))
+    hit = (pts.filter(F.col("cell").isin(cand_cells))
+              .filter((F.col("x") >= xmin) & (F.col("x") < xmax)
+                      & (F.col("y") >= ymin) & (F.col("y") < ymax)))
+    return hit.agg(F.count("*").alias("n_points"),
+                   F.min("event_id").alias("min_ev"),
+                   F.max("event_id").alias("max_ev"),
+                   F.countDistinct("cell").cast("long").alias("n_cells"))
+
+
+SQL_BBOX_QUERY = f"""
+WITH pts AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), c AS (
+  SELECT event_id, x, y,
+         CAST(floor((x - 3678500.0) / 524288.0) AS BIGINT) AS i,
+         CAST(floor((y - 970000.0) / 524288.0) AS BIGINT) AS j,
+         (x - 3678500.0) / 524288.0 - floor((x - 3678500.0) / 524288.0) AS u,
+         (y - 970000.0) / 524288.0 - floor((y - 970000.0) / 524288.0) AS v
+  FROM pts
+), cells AS (
+  SELECT event_id, x, y,
+         (({_L0_CASE} * 256
+           + {_sql_morton_yx('CAST(floor(v * 16) AS BIGINT)',
+                             'CAST(floor(u * 16) AS BIGINT)', 4)}) * 64 + 12)
+           AS cell,
+         {_L0_CASE} AS digit
+  FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points, min(event_id) AS min_ev,
+       max(event_id) AS max_ev,
+       CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+FROM cells
+WHERE digit >= 0
+  AND x >= {_BBOX[0]!r} AND x < {_BBOX[2]!r}
+  AND y >= {_BBOX[1]!r} AND y < {_BBOX[3]!r}
+"""
+
+
 QUERIES = {
     "geo_cell_assign": (g_cell_assign_parity, SQL_CELL_ASSIGN),
     "geo_tile_assign": (g_tile_assign, SQL_TILE),
     "geo_cover_compact": (g_cover_compact, SQL_COVER_COMPACT),
     "geo_segment_cells": (g_segment_cells, SQL_SEGMENT_CELLS),
+    "geo_bbox_query": (g_bbox_query, SQL_BBOX_QUERY),
     "geo_pages_l0_histogram": (g_pages_l0_histogram, None),
     "geo_cover_lookup": (g_cover_lookup, None),
     "geo_knn_ring": (g_knn_ring, None),

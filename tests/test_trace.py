@@ -45,3 +45,29 @@ def test_power_of_two_guard():
 
     with pytest.raises(ValueError):
         segment_cells(None, None, None, None, None, rbits=8, n_samples=60)
+
+
+def test_bbox_prefilter_is_lossless(spark):
+    """Cell-IN prefilter + exact predicate == plain exact predicate."""
+    from co_new_spark.queries.geospatial import _BBOX, _event_points, g_bbox_query
+
+    xmin, ymin, xmax, ymax = _BBOX
+    got = g_bbox_query(spark, SF_DIR).first()
+    plain = _event_points(spark, SF_DIR).filter(
+        (F.col("x") >= xmin) & (F.col("x") < xmax)
+        & (F.col("y") >= ymin) & (F.col("y") < ymax))
+    assert got["n_points"] == plain.count() > 0
+
+
+def test_bbox_cover_cells_bound_and_valid(spark):
+    from co_new_spark.functions import cells_sql
+    from co_new_spark.queries.geospatial import _BBOX, _bbox_cover_cells
+
+    cells = _bbox_cover_cells(*_BBOX)
+    # bbox area / cell area bounds the enumeration (plus one boundary row/col)
+    w = 524288.0 / 16
+    nx = int((_BBOX[2] - _BBOX[0]) / w) + 2
+    ny = int((_BBOX[3] - _BBOX[1]) / w) + 2
+    assert 0 < len(cells) <= nx * ny
+    assert len(set(cells)) == len(cells)
+    assert all(c & 63 == 12 for c in cells)
