@@ -638,6 +638,46 @@ SELECT qid, cid, round(dist, 3) AS dist, rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_cover_dilate — morphological dilation of a cell cover (ring-1 shell)
+# ---------------------------------------------------------------------------
+
+
+def g_cover_dilate(spark: SparkSession, sf: str) -> DataFrame:
+    """Cover dilation: the cell set union its ring-1 neighbors — the buffer/
+    search-region expansion that pairs with operators.compact (erosion-side).
+    Output rows carry ``is_core`` so the added shell is visible; the grid
+    edge is honest (off-grid lattice slots are NOT emitted)."""
+    pts = _event_points(spark, sf)
+    core = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4)) \
+              .filter(F.col("cell") >= 0).select("cell").distinct()
+    dil = core.select(
+        F.explode(ring_cells_udf(1)(F.col("cell"))).alias("cell")).distinct()
+    return (dil.join(core.withColumn("is_core", F.lit(True)), "cell", "left")
+               .select("cell", F.coalesce("is_core", F.lit(False)).alias("is_core")))
+
+
+SQL_COVER_DILATE = f"""
+WITH {_sql_cells_cte(4)},
+cc AS (SELECT DISTINCT cell, j * 4 + iy AS gy, i * 4 + ix AS gx
+       FROM cells WHERE cell >= 0),
+cand AS (
+  SELECT gy + dy AS gy, gx + dx AS gx
+  FROM cc CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+), nb AS (
+  SELECT DISTINCT gy // 4 AS j, gx // 4 AS i, gy % 4 AS iy, gx % 4 AS ix
+  FROM cand WHERE gx BETWEEN 0 AND {grids.L0_NI * 4 - 1}
+              AND gy BETWEEN 0 AND {grids.L0_NJ * 4 - 1}
+), dil AS (
+  SELECT DISTINCT ((digit * 16 + ref) * 64 + 8) AS cell FROM (
+    SELECT {_l0_case()} AS digit, {_sql_ref(4)} AS ref FROM nb) WHERE digit >= 0
+)
+SELECT d.cell, (o.cell IS NOT NULL) AS is_core
+FROM dil d LEFT JOIN (SELECT DISTINCT cell FROM cc) o ON d.cell = o.cell
+"""
+
+
 _GRIDLIB_ASSERTS = [
     ("geo:3.46103000261,-76.57770034945", "GF1ZDW6NY"),
     ("geo:3.46103208489,-76.57391243547", "GF1ZSNQV7"),
@@ -691,6 +731,7 @@ QUERIES = {
     "geo_parent_rollup": (g_parent_rollup, SQL_PARENT_ROLLUP),
     "geo_children": (g_children, SQL_CHILDREN),
     "geo_neighbors": (g_neighbors, SQL_NEIGHBORS),
+    "geo_cover_dilate": (g_cover_dilate, SQL_COVER_DILATE),
     "geo_cell_box": (g_cell_box, SQL_CELL_BOX),
     "geo_cell_codec": (g_cell_codec, SQL_CELL_CODEC),
     "geo_grid_generate": (g_grid_generate, SQL_GRID_GENERATE),

@@ -67,3 +67,19 @@ def test_leaf_count_preserved_on_events(spark):
         assert got == n_leaves
         if must_merge:  # at rbits=4 the 1k-event set saturates its quads
             assert out.count() < n_leaves
+
+
+def test_dilate_adds_shell_and_keeps_core(spark):
+    from co_new_spark.queries.geo_algebra import g_cover_dilate
+    from co_new_spark.queries.geospatial import _event_points
+    from co_new_spark.functions import geo
+
+    out = {r["cell"]: r["is_core"] for r in g_cover_dilate(spark, SF_DIR).collect()}
+    core = {r["cell"] for r in
+            _event_points(spark, SF_DIR)
+            .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4))
+            .filter(F.col("cell") >= 0).select("cell").distinct().collect()}
+    assert core <= set(out)                       # dilation is a superset
+    assert all(out[c] for c in core)              # core flagged
+    shell = {c for c, k in out.items() if not k}
+    assert shell and shell.isdisjoint(core)       # a real shell was added
