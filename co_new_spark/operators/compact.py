@@ -29,8 +29,12 @@ def compact_cover(cells: DataFrame, cell_col: str = "cell",
     DataFrame(cell, depth): the equivalent cover where no complete sibling
     quad survives above ``min_depth``.  Invalid cells (< 0) are dropped.
     """
+    # checkpoint the distinct input ONCE so the (possibly expensive) upstream
+    # — e.g. a pandas-UDF encode — is not re-executed by the max-depth probe
+    # AND the first merge pass
     cur = (cells.select(F.col(cell_col).alias("cell"))
-                .filter(F.col("cell") >= 0).distinct())
+                .filter(F.col("cell") >= 0).distinct()
+                .localCheckpoint(eager=True))
     max_d = cur.agg(F.max(cells_sql.cell_depth(F.col("cell")))).first()[0]
     if max_d is None:
         return cur.select("cell", cells_sql.cell_depth(F.col("cell")).alias("depth"))
@@ -41,7 +45,10 @@ def compact_cover(cells: DataFrame, cell_col: str = "cell",
                    cells_sql.cell_parent(F.col("cell"), 2)))
         quads = (stat.filter(F.col("__p").isNotNull())
                      .groupBy("__p").agg(F.count("*").alias("__n"))
-                     .filter(F.col("__n") == 4).select("__p"))
+                     .filter(F.col("__n") == 4).select("__p")
+                     .localCheckpoint(eager=True))
+        if quads.count() == 0:  # fixpoint: nothing merged, stop early
+            break
         cur = (stat.join(quads, "__p", "left_anti").select("cell")
                    .union(quads.select(F.col("__p").alias("cell")))
                    .localCheckpoint(eager=True))

@@ -32,7 +32,7 @@ def segment_cells(df: DataFrame, x1: Column, y1: Column, x2: Column, y2: Column,
     """One row per (kept columns, distinct cell) the segment touches;
     off-grid samples (cell < 0) are dropped.  ``n_samples`` must be a power
     of two (bit-exact lerp contract)."""
-    if n_samples & (n_samples - 1):
+    if n_samples <= 0 or n_samples & (n_samples - 1):
         raise ValueError(f"n_samples must be a power of two, got {n_samples}")
     keep = keep or []
     t = F.explode(F.sequence(F.lit(0), F.lit(n_samples))).alias("__t")

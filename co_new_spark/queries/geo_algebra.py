@@ -32,12 +32,7 @@ def _d(v: float) -> str:
     return f"CAST({v!r} AS DOUBLE)"
 
 
-def _l0_case(j: str = "j", i: str = "i") -> str:
-    """SQL CASE for the configured ji -> base16h digit map (conf.yaml:24-26)."""
-    return "CASE " + " ".join(
-        f"WHEN {j} = {jj} AND {i} = {ii} THEN {d}"
-        for (jj, ii), d in sorted(grids._L0_JI_TO_DIGIT.items())  # noqa: SLF001
-    ) + " ELSE -1 END"
+from .sql_grid import l0_case as _l0_case  # single-source grid-spec SQL
 
 
 def _digit_to_j_case(d: str = "digit") -> str:
@@ -54,18 +49,7 @@ def _digit_to_i_case(d: str = "digit") -> str:
     ) + " ELSE -1 END"
 
 
-def _sql_ref(r: int, iy: str = "iy", ix: str = "ix") -> str:
-    """Morton interleave (y-first, MSB first) of iy/ix as a SQL expression."""
-    if r == 0:
-        return "0"
-    ny, nx = (r + 1) // 2, r // 2
-    terms = []
-    for t in range(r):
-        if t % 2 == 0:
-            terms.append(f"((({iy} >> {ny - 1 - t // 2}) & 1) << {r - 1 - t})")
-        else:
-            terms.append(f"((({ix} >> {nx - 1 - t // 2}) & 1) << {r - 1 - t})")
-    return "(" + " + ".join(terms) + ")"
+from .sql_grid import morton_ref as _sql_ref  # single-source Morton SQL
 
 
 def _sql_cells_cte(r: int) -> str:

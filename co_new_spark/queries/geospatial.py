@@ -54,10 +54,10 @@ def g_cell_assign_parity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_L0_CASE = "CASE " + " ".join(
-    f"WHEN j = {j} AND i = {i} THEN {d}"
-    for (j, i), d in sorted(grids._L0_JI_TO_DIGIT.items())  # noqa: SLF001
-) + " ELSE -1 END"
+from .sql_grid import l0_case as _sql_l0_case  # noqa: E402
+from .sql_grid import morton_ref as _sql_morton_ref  # noqa: E402
+
+_L0_CASE = _sql_l0_case()
 
 SQL_CELL_ASSIGN = f"""
 WITH pts AS (
@@ -201,11 +201,9 @@ def g_cover_compact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_morton_yx(iy: str, ix: str, nbits: int) -> str:
-    """y-first MSB Morton interleave of two nbits-wide SQL ints."""
-    return " + ".join(
-        f"((({iy} >> {k}) & 1) * {1 << (2 * k + 1)})"
-        f" + ((({ix} >> {k}) & 1) * {1 << (2 * k)})"
-        for k in range(nbits))
+    """y-first MSB Morton interleave of two nbits-wide SQL ints (thin wrapper
+    over the single-source sql_grid.morton_ref)."""
+    return _sql_morton_ref(2 * nbits, iy, ix)
 
 
 def _sql_merge_level(prev: str) -> str:
@@ -305,30 +303,31 @@ _BBOX = (4_200_000.0, 1_800_000.0, 4_900_000.0, 2_600_000.0)  # xmin ymin xmax y
 
 def _bbox_cover_cells(xmin: float, ymin: float, xmax: float, ymax: float,
                       rbits: int = 8) -> list[int]:
-    """All depth-(4+rbits) cells overlapping the bbox — driver-side lattice
-    enumeration (tiny: bbox_area / cell_area entries), the list an indexed
-    scan prunes with.  Half-open box semantics [min, max)."""
+    """All depth-(4+rbits) cells overlapping the half-open box [min, max) —
+    driver-side lattice enumeration (tiny: bbox_area / cell_area entries),
+    the list an indexed scan prunes with.
+
+    The inclusive max lattice index is ceil(max/w) - 1: a box edge exactly on
+    a cell boundary excludes that boundary's cell, an edge any amount above
+    it includes it — no epsilon.  Cell ids come from the ONE canonical
+    encode (grids.grid_b_encode_xy on cell centers), not a re-derivation.
+    """
+    import math
+
+    import numpy as np
+
     n = 1 << (rbits // 2)
     w = grids.L0_SIDE / n
-    eps = 1e-9
-    out = []
-    for gy in range(int((ymin - grids.L0_ORIGIN_Y) // w),
-                    int((ymax - eps - grids.L0_ORIGIN_Y) // w) + 1):
-        for gx in range(int((xmin - grids.L0_ORIGIN_X) // w),
-                        int((xmax - eps - grids.L0_ORIGIN_X) // w) + 1):
-            j, iy = divmod(gy, n)
-            i, ix = divmod(gx, n)
-            if not (0 <= j < grids.L0_NJ and 0 <= i < grids.L0_NI):
-                continue
-            digit = int(grids.L0_DIGIT_BY_JI[j, i])
-            if digit < 0:
-                continue
-            m = 0
-            for k in range(rbits // 2):
-                m |= ((iy >> k) & 1) << (2 * k + 1)
-                m |= ((ix >> k) & 1) << (2 * k)
-            out.append(((digit << rbits) | m) << 6 | (4 + rbits))
-    return out
+    gx0 = math.floor((xmin - grids.L0_ORIGIN_X) / w)
+    gx1 = math.ceil((xmax - grids.L0_ORIGIN_X) / w) - 1
+    gy0 = math.floor((ymin - grids.L0_ORIGIN_Y) / w)
+    gy1 = math.ceil((ymax - grids.L0_ORIGIN_Y) / w) - 1
+    gx, gy = np.meshgrid(np.arange(gx0, gx1 + 1), np.arange(gy0, gy1 + 1))
+    cx = grids.L0_ORIGIN_X + (gx.ravel() + 0.5) * w
+    cy = grids.L0_ORIGIN_Y + (gy.ravel() + 0.5) * w
+    bits, valid = grids.grid_b_encode_xy(cx, cy, rbits)
+    cells = (bits[valid] << 6) | (4 + rbits)
+    return [int(c) for c in cells]
 
 
 def g_bbox_query(spark: SparkSession, sf: str) -> DataFrame:

@@ -177,9 +177,15 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id", F.lit(1).alias("kind"),
         F.lit(None).cast("double").alias("pv"))
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
-        F.col("value").alias("pv"))
+    # pre-reduce purchases to one row per (user, ts): NULL-valued rows are
+    # dropped and same-ts duplicates resolve to the max-event_id row on BOTH
+    # engines (ignorenulls + ASOF tie order would otherwise be unspecified)
+    purch = (ev.filter((F.col("event_type") == "purchase")
+                       & F.col("value").isNotNull())
+               .groupBy("user_id", "ts")
+               .agg(F.max_by("value", "event_id").alias("pv"),
+                    F.max("event_id").alias("event_id"))
+               .select("user_id", "ts", "event_id", F.lit(0).alias("kind"), "pv"))
     u = views.unionByName(purch)
     w = (Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
                .rowsBetween(Window.unboundedPreceding, 0))
@@ -192,8 +198,11 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 SQL_ASOF_JOIN = """
 SELECT v.event_id, v.user_id, round(p.value, 6) AS last_purchase
 FROM (SELECT * FROM events WHERE event_type = 'view') v
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-  ON v.user_id = p.user_id AND v.ts >= p.ts
+ASOF LEFT JOIN (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id, ts
+) p ON v.user_id = p.user_id AND v.ts >= p.ts
 """
 
 

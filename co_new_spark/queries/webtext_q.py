@@ -43,14 +43,30 @@ def w_extract_parity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_extract_expr(src: str) -> str:
+    """The FULL pinned extraction spec (functions/text.extract_text) as one
+    DuckDB expression, entity list generated from the same _ENTITIES table —
+    so a regression in ANY spec stage (script/style strip, tag strip, every
+    entity, ws collapse) diverges from the oracle, not only the stages the
+    fixture happens to exercise.  RE2 has no backreferences, so the one
+    script|style alternation becomes two sequential passes (equivalent for
+    non-cross-nested blocks)."""
+    e = (f"regexp_replace(regexp_replace({src},"
+         f" '(?is)<script\\b.*?</script\\s*>', ' ', 'g'),"
+         f" '(?is)<style\\b.*?</style\\s*>', ' ', 'g')")
+    e = f"regexp_replace({e}, '<[^>]*>', '', 'g')"
+    for ent, ch in tx._ENTITIES:  # noqa: SLF001
+        e = f"replace({e}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
 SQL_EXTRACT_PARITY = f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_urls,
        CAST(sum(CASE WHEN extracted = text THEN 1 ELSE 0 END) AS BIGINT)
          AS n_bytes_identical
 FROM (
   SELECT lang, text,
-         trim(regexp_replace(replace(regexp_replace(decode(html),
-              '<[^>]*>', '', 'g'), '&amp;', '&'), '\\s+', ' ', 'g')) AS extracted,
+         {_sql_extract_expr('decode(html)')} AS extracted,
          row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
   FROM read_parquet('{FIXTURE_PAGES}')
 ) WHERE rn = 1 GROUP BY lang

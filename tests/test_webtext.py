@@ -75,3 +75,28 @@ def test_geoparse_fixture_rates(spark):
     assert 0.85 < n_hit / n < 0.95
     bad = out.filter((F.abs(F.col("lat")) > 90) | (F.abs(F.col("lon")) > 180))
     assert bad.count() == 0
+
+
+def test_extract_spec_cross_engine_on_adversarial_html(spark):
+    """The unexercised spec stages (script/style strip, every entity) agree
+    between the pandas kernel and the SQL restatement on hand-built html."""
+    import duckdb
+
+    from co_new_spark.functions import text as tx
+    from co_new_spark.queries.webtext_q import _sql_extract_expr
+
+    cases = [
+        "<html><script type='x'>var a = '<p>no</p>';</script><p>kept</p></html>",
+        "<div><style media=all>.x{color:red}</style>a &lt;b&gt; &quot;c&quot;</div>",
+        "x &#39;q&#39; y&nbsp;z &amp;amp; w",
+        "<p>multi\n  line\t text</p>",
+        "<SCRIPT>upper?</SCRIPT>ok",  # (?i) must catch the uppercase tag
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "h string")
+    got = [r["e"] for r in
+           df.select(tx.extract_text(F.col("h")).alias("e")).collect()]
+    con = duckdb.connect()
+    for c, g in zip(cases, got):
+        want = con.execute("SELECT " + _sql_extract_expr("?"), [c]).fetchone()[0]
+        assert g == want, (c, g, want)
