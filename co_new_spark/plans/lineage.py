@@ -153,3 +153,56 @@ def dataset_at(spark: SparkSession, base: str, as_of_run: str,
     return data.join(F.broadcast(vis),
                      data[bucket_col].cast("bigint") == F.col("__b"),
                      "left_semi")
+
+
+def upsert_latest(new_df: DataFrame, base: str, key: str, ts_col: str,
+                  bucket_col: str = "bucket") -> dict:
+    """MERGE ``new_df`` into the ledgered dataset: latest row per ``key``
+    (by ``ts_col``, then ``key`` order stays deterministic because keys are
+    unique after the window) wins; ONLY the buckets that carry new keys are
+    rewritten — untouched buckets' files are never opened.
+
+    This is the Iceberg MERGE-INTO verb restated on the bucket ledger: read
+    the affected buckets' committed state, union the new rows, keep the
+    max-``ts_col`` version per key, dynamic-overwrite those buckets, append
+    a new-run ledger entry (so snapshots() shows the merge commit).  Like an
+    Iceberg rewrite without file retention, the PREVIOUS contents of the
+    rewritten buckets are not kept — dataset_at() time travel remains exact
+    only for buckets no later upsert touched (documented contract).
+
+    Returns {written: [...buckets...], n_rows: int, run_id: str}.
+    """
+    spark = new_df.sparkSession
+    buckets = [r[0] for r in new_df.select(bucket_col).distinct().collect()]
+    if any(b is None for b in buckets):
+        raise ValueError(f"upsert_latest: {bucket_col!r} contains NULL")
+    if not buckets:
+        return {"written": [], "n_rows": 0, "run_id": None}
+    from pyspark.sql import Window
+
+    existing = dataset(spark, base, bucket_col) \
+        .filter(F.col(bucket_col).isin(buckets))
+    merged = existing.unionByName(new_df)
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    latest = (merged.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+
+    t0 = time.time()
+    (latest.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(bucket_col)
+     .parquet(os.path.join(base, "data")))
+    wall = time.time() - t0
+
+    counts = (spark.read.parquet(os.path.join(base, "data"))
+              .filter(F.col(bucket_col).isin(buckets))
+              .groupBy(bucket_col).agg(F.count("*").alias("n_rows"))).collect()
+    run_id = uuid.uuid4().hex[:12]
+    rows = [(int(r[bucket_col]), int(r["n_rows"]), round(wall, 3), run_id)
+            for r in counts]
+    entries = spark.createDataFrame(
+        rows, "bucket BIGINT, n_rows BIGINT, run_wall_s DOUBLE, run_id STRING"
+    ).withColumn("finished_at", F.current_timestamp())
+    entries.write.mode("append").parquet(_ledger_path(base))
+    return {"written": sorted(int(b) for b in buckets),
+            "n_rows": sum(r[1] for r in rows), "run_id": run_id}

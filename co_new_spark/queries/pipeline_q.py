@@ -73,7 +73,45 @@ def p_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
     return example_sql_pipeline(spark)
 
 
+def p_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE-INTO over the ledgered store: write a url-keyed dataset, then
+    upsert late re-crawls (same urls, newer warc_ts, different lang tag) +
+    brand-new urls; return per-bucket counts with the commit count.
+
+    Rows-only (side-effecting, tempdir-stateful); the merge semantics are
+    pytest-gated (tests/test_lineage_salt.py upsert cases).  Driver-visible
+    invariants: row count == initial urls + inserts (exactly-once per key),
+    n_commits == 2.
+    """
+    base = os.path.join(tempfile.gettempdir(), "co_upsert_ledger")
+    shutil.rmtree(base, ignore_errors=True)
+
+    pts = geocoded_pages(spark, 2_000).withColumn(
+        "ts", F.lit(1).cast("long"))
+    rows = pts.select("url", "lang", "cell", "l0", "ts").dropDuplicates(["url"])
+    lineage.resumable_write(rows, base, "l0")
+
+    recrawl = (rows.filter(F.col("l0").isin([3, 12]))
+                   .limit(200)
+                   .withColumn("lang", F.lit("und"))
+                   .withColumn("ts", F.lit(2).cast("long")))
+    fresh = rows.limit(10).select(
+        F.concat(F.col("url"), F.lit("?v=2")).alias("url"),
+        "lang", "cell", "l0", F.lit(2).cast("long").alias("ts"))
+    lineage.upsert_latest(recrawl.unionByName(fresh), base, "url", "ts", "l0")
+
+    ds = lineage.dataset(spark, base, "l0")
+    n_commits = lineage.snapshots(spark, base).count()
+    return (ds.groupBy("l0").agg(
+                F.count("*").alias("n_urls"),
+                F.sum(F.when(F.col("lang") == "und", 1).otherwise(0))
+                .alias("n_updated"))
+              .withColumn("n_commits", F.lit(n_commits))
+              .orderBy("l0"))
+
+
 QUERIES = {
     "pipeline_resumable_flagship": (p_resumable_flagship, None),
     "pipeline_sql_surface": (p_sql_surface, None),
+    "pipeline_upsert_merge": (p_upsert_merge, None),
 }

@@ -127,3 +127,47 @@ def test_resumable_write_rejects_null_buckets(spark, tmp_path):
         F.col("id"), F.when(F.col("id") < 5, F.col("id") % 2).alias("bucket"))
     with _pt.raises(ValueError, match="NULL"):
         lineage.resumable_write(df, str(tmp_path / "nb"), "bucket")
+
+
+def test_upsert_latest_merges_and_commits(spark, tmp_path):
+    base = str(tmp_path / "ups")
+    df = _fact(spark, 2_000).withColumn("ts", F.lit(1).cast("long"))
+    lineage.resumable_write(df, base, "bucket")
+    before_runs = lineage.snapshots(spark, base).count()
+
+    # new versions for 100 existing keys (2 buckets) + 10 brand-new keys
+    upd = (df.filter(F.col("bucket").isin([3, 5]) & (F.col("id") < 200))
+             .limit(100)
+             .withColumn("v", F.lit(-1).cast("long"))
+             .withColumn("ts", F.lit(2).cast("long")))
+    new = spark.range(1_000_000, 1_000_010).select(
+        "id", F.lit(3).cast("long").alias("bucket"),
+        F.lit(7).cast("long").alias("v"), F.lit(2).cast("long").alias("ts"))
+    res = lineage.upsert_latest(upd.unionByName(new), base, "id", "ts")
+    assert set(res["written"]) <= {0, 1, 2, 3, 4, 5, 6, 7}
+
+    got = lineage.dataset(spark, base)
+    # updated keys now carry v=-1
+    upd_ids = [r["id"] for r in upd.select("id").collect()]
+    assert got.filter(F.col("id").isin(upd_ids)) \
+              .filter(F.col("v") != -1).count() == 0
+    # exactly-once per key, inserts landed, untouched rows intact
+    assert got.count() == df.count() + 10
+    assert got.groupBy("id").count().filter("count > 1").count() == 0
+    assert got.filter(F.col("id") >= 1_000_000).count() == 10
+    untouched = got.filter(~F.col("bucket").isin(res["written"]))
+    base_untouched = df.filter(~F.col("bucket").isin(res["written"]))
+    assert untouched.count() == base_untouched.count()
+    # the merge shows up as a new commit in the snapshot log
+    assert lineage.snapshots(spark, base).count() == before_runs + 1
+
+
+def test_upsert_latest_null_bucket_fails_loud(spark, tmp_path):
+    import pytest
+
+    base = str(tmp_path / "upsnull")
+    df = _fact(spark, 100).withColumn("ts", F.lit(1).cast("long"))
+    lineage.resumable_write(df, base, "bucket")
+    bad = df.limit(5).withColumn("bucket", F.lit(None).cast("long"))
+    with pytest.raises(ValueError):
+        lineage.upsert_latest(bad, base, "id", "ts")
