@@ -7,12 +7,12 @@ from __future__ import annotations
 
 from . import (
     geo_algebra, geo_cover_sql, geo_index, geospatial, pipeline_q, relational,
-    streaming_q, training, training2, training3, webtext_q,
+    e2e_q, streaming_q, training, training2, training3, webtext_q,
 )
 
 REGISTRY: dict = {}
 for _mod in (relational, training, geospatial, geo_algebra, geo_cover_sql,
-             geo_index, training2, training3, webtext_q, streaming_q, pipeline_q):
+             geo_index, training2, training3, webtext_q, e2e_q, streaming_q, pipeline_q):
     REGISTRY.update(_mod.QUERIES)
 
 

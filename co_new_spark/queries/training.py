@@ -108,16 +108,21 @@ def _shingles(col):
     )
 
 
-def t_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def jaccard_pairs(src: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Doc pairs with word-3-gram Jaccard >= threshold over informative
-    (DF-capped) shingles — exact computation.
+    (DF-capped) shingles — exact computation, any id/text columns (ids may
+    be strings, e.g. urls: comparisons stay byte-lexicographic on both
+    engines).
 
     Plan: explode distinct shingles -> drop stop-shingles (document frequency
     > JACCARD_MAX_DF of the corpus: one agg + broadcast anti-join, keeping
     the self-join key provably rare) -> self equi-join on shingle -> pair
     intersection counts -> join per-doc shingle counts -> Jaccard.
     """
-    docs = _spread(load(spark, sf, "documents")) \
+    docs = _spread(src.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("text"))) \
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
     n_docs = docs.count()
     ex_all = docs.select("doc_id", F.explode("sh").alias("shingle"))
@@ -139,9 +144,14 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.round(
             F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def t_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The registered documents-table instance of ``jaccard_pairs``."""
+    return jaccard_pairs(load(spark, sf, "documents"))
 
 
 SQL_JACCARD = f"""
