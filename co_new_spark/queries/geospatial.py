@@ -378,12 +378,67 @@ WHERE digit >= 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-resolution pyramid rollup (tile-pyramid build from leaf aggregates)
+# ---------------------------------------------------------------------------
+
+_PYRAMID_DEPTHS = (4, 6, 8, 10, 12)
+
+
+def g_pyramid_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Counts at EVERY pyramid level from one leaf aggregation: aggregate
+    depth-12 leaves once, then each coarser level re-aggregates the previous
+    level with a 2-bit shift — never re-scanning the points (design rule #5;
+    the map-tile pyramid build).  Output (depth, cell, n)."""
+    pts = _event_points(spark, sf)
+    leaf = (pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 8))
+               .filter(F.col("cell") >= 0)
+               .groupBy("cell").agg(F.count("*").alias("n")))
+    levels = [leaf.select(F.lit(12).alias("depth"), "cell",
+                          F.col("n").cast("long").alias("n"))]
+    cur = leaf
+    for d in (10, 8, 6, 4):
+        cur = (cur.select(cells_sql.cell_parent(F.col("cell"), 2).alias("cell"), "n")
+                  .groupBy("cell").agg(F.sum("n").alias("n")))
+        levels.append(cur.select(F.lit(d).alias("depth"), "cell",
+                                 F.col("n").cast("long").alias("n")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+SQL_PYRAMID = f"""
+WITH pts AS (
+  SELECT {_XENG} AS x, {_YENG} AS y FROM events
+), c AS (
+  SELECT CAST(floor((x - 3678500.0) / 524288.0) AS BIGINT) AS i,
+         CAST(floor((y - 970000.0) / 524288.0) AS BIGINT) AS j,
+         (x - 3678500.0) / 524288.0 - floor((x - 3678500.0) / 524288.0) AS u,
+         (y - 970000.0) / 524288.0 - floor((y - 970000.0) / 524288.0) AS v
+  FROM pts
+), leaf AS (
+  SELECT (digit * 256 + m) * 64 + 12 AS cell, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT {_L0_CASE} AS digit,
+               {_sql_morton_yx('CAST(floor(v * 16) AS BIGINT)',
+                               'CAST(floor(u * 16) AS BIGINT)', 4)} AS m
+        FROM c) WHERE digit >= 0 GROUP BY 1
+)
+SELECT CAST(depth AS INT) AS depth,
+       ((cell // 64) >> (12 - depth)) * 64 + depth AS cell,
+       CAST(sum(n) AS BIGINT) AS n
+FROM leaf CROSS JOIN (SELECT unnest([{", ".join(map(str, _PYRAMID_DEPTHS))}]) AS depth)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "geo_cell_assign": (g_cell_assign_parity, SQL_CELL_ASSIGN),
     "geo_tile_assign": (g_tile_assign, SQL_TILE),
     "geo_cover_compact": (g_cover_compact, SQL_COVER_COMPACT),
     "geo_segment_cells": (g_segment_cells, SQL_SEGMENT_CELLS),
     "geo_bbox_query": (g_bbox_query, SQL_BBOX_QUERY),
+    "geo_pyramid_rollup": (g_pyramid_rollup, SQL_PYRAMID),
     "geo_pages_l0_histogram": (g_pages_l0_histogram, None),
     "geo_cover_lookup": (g_cover_lookup, None),
     "geo_knn_ring": (g_knn_ring, None),

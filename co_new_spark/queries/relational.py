@@ -232,6 +232,43 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
                        "total_value"))
 
 
+def q_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """B20b: time-series gap fill — a dense (day x event_type) axis built
+    with sequence+explode (no driver loop), left-joined against the daily
+    counts so empty days materialize as zeros (what every monitoring /
+    training-telemetry rollup needs before windowed smoothing)."""
+    ev = load(spark, sf, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                    F.date_trunc("day", F.max("ts")).alias("hi"))
+    days = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type") \
+               .agg(F.count("*").alias("n"))
+    return (days.crossJoin(types)
+                .join(counts, ["day", "event_type"], "left")
+                .select("day", "event_type",
+                        F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
+SQL_GAPFILL = """
+WITH b AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+  FROM events
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+"""
+
+
 SQL_SESSIONIZE = f"""
 SELECT user_id, CAST(sid AS BIGINT) AS sid,
        min(ts) AS session_start, max(ts) AS session_end,
@@ -561,6 +598,7 @@ QUERIES = {
     "rel_nation_segments": (q_nation_segments, SQL_SEGMENTS),
     "rel_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "rel_gapfill": (q_gapfill, SQL_GAPFILL),
     "rel_interval_prefix_join": (q_interval_prefix_join, SQL_INTERVAL),
     "rel_set_intersect": (q_set_intersect, SQL_INTERSECT),
     "rel_set_except": (q_set_except, SQL_EXCEPT),

@@ -48,3 +48,28 @@ def test_sessionize_invariants(spark):
             assert delta > SESSION_GAP_S
         for r in sess:
             assert r["session_start"] <= r["session_end"]
+
+
+def test_gapfill_dense_axis_and_totals(spark):
+    from co_new_spark.queries.relational import q_gapfill
+    from co_new_spark.sources.tables import load
+
+    out = q_gapfill(spark, SF_DIR).collect()
+    days = {r["day"] for r in out}
+    types = {r["event_type"] for r in out}
+    assert len(out) == len(days) * len(types)     # dense grid
+    n_events = load(spark, SF_DIR, "events").count()
+    assert sum(r["n"] for r in out) == n_events   # fill adds only zeros
+
+
+def test_pyramid_levels_conserve_counts(spark):
+    from co_new_spark.queries.geospatial import g_pyramid_rollup
+
+    out = g_pyramid_rollup(spark, SF_DIR).collect()
+    by_depth: dict = {}
+    for r in out:
+        by_depth[r["depth"]] = by_depth.get(r["depth"], 0) + r["n"]
+    assert set(by_depth) == {4, 6, 8, 10, 12}
+    assert len(set(by_depth.values())) == 1       # every level sums the same
+    n_cells = {d: sum(1 for r in out if r["depth"] == d) for d in by_depth}
+    assert n_cells[4] <= n_cells[6] <= n_cells[8] <= n_cells[10] <= n_cells[12]
