@@ -84,19 +84,28 @@ def resumable_write(df: DataFrame, base: str, bucket_col: str = "bucket",
     if not pending:
         return {"written": [], "skipped": sorted(done), "n_rows": 0}
 
+    run_id, n = _commit_buckets(pending_df, base, bucket_col, pending)
+    return {"written": pending, "skipped": sorted(done), "n_rows": n}
+
+
+def _commit_buckets(df: DataFrame, base: str, bucket_col: str,
+                    buckets: list) -> tuple[str, int]:
+    """The shared commit protocol: timed dynamic-partition-overwrite write of
+    ``df``, per-bucket row counts read back from the COMMITTED files (what
+    actually landed, not what the plan promised), one ledger append under a
+    fresh run_id.  Used by resumable_write and upsert_latest — one place to
+    evolve the ledger schema/count semantics."""
+    spark = df.sparkSession
     t0 = time.time()
-    (pending_df.write
+    (df.write
      .mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(bucket_col)
      .parquet(os.path.join(base, "data")))
     wall = time.time() - t0
 
-    # metrics: per-bucket row counts read back from the committed files
-    # (counts what actually landed, not what the plan promised); ONE job —
-    # counts collect to the driver, the ledger rows are built locally
     counts = (spark.read.parquet(os.path.join(base, "data"))
-              .filter(F.col(bucket_col).isin(pending))
+              .filter(F.col(bucket_col).isin(buckets))
               .groupBy(bucket_col).agg(F.count("*").alias("n_rows"))).collect()
     run_id = uuid.uuid4().hex[:12]
     rows = [(int(r[bucket_col]), int(r["n_rows"]), round(wall, 3), run_id)
@@ -105,8 +114,7 @@ def resumable_write(df: DataFrame, base: str, bucket_col: str = "bucket",
         rows, "bucket BIGINT, n_rows BIGINT, run_wall_s DOUBLE, run_id STRING"
     ).withColumn("finished_at", F.current_timestamp())
     entries.write.mode("append").parquet(_ledger_path(base))
-    n = sum(r[1] for r in rows)
-    return {"written": pending, "skipped": sorted(done), "n_rows": n}
+    return run_id, sum(r[1] for r in rows)
 
 
 def dataset(spark: SparkSession, base: str, bucket_col: str = "bucket") -> DataFrame:
@@ -158,14 +166,22 @@ def dataset_at(spark: SparkSession, base: str, as_of_run: str,
 def upsert_latest(new_df: DataFrame, base: str, key: str, ts_col: str,
                   bucket_col: str = "bucket") -> dict:
     """MERGE ``new_df`` into the ledgered dataset: latest row per ``key``
-    (by ``ts_col``, then ``key`` order stays deterministic because keys are
-    unique after the window) wins; ONLY the buckets that carry new keys are
-    rewritten — untouched buckets' files are never opened.
+    (by ``ts_col``; on an exact ts tie the NEW row wins — a deterministic
+    correction semantics) — ONLY the buckets that carry new keys are
+    rewritten; untouched buckets' files are never opened.
+
+    CONTRACT: ``bucket_col`` must be a stable function of ``key`` — a key
+    whose new version lands in a DIFFERENT bucket than its stored version
+    would leave the stale row alive in the unread bucket (the same
+    restriction Hive-style dynamic-overwrite upserts have; Iceberg MERGE
+    lifts it only by scanning every partition).  ``new_df`` is checkpointed
+    before planning so nondeterministic inputs (e.g. un-ordered limits)
+    cannot diverge between the bucket probe and the write.
 
     This is the Iceberg MERGE-INTO verb restated on the bucket ledger: read
     the affected buckets' committed state, union the new rows, keep the
-    max-``ts_col`` version per key, dynamic-overwrite those buckets, append
-    a new-run ledger entry (so snapshots() shows the merge commit).  Like an
+    winning version per key, dynamic-overwrite those buckets, append a
+    new-run ledger entry (so snapshots() shows the merge commit).  Like an
     Iceberg rewrite without file retention, the PREVIOUS contents of the
     rewritten buckets are not kept — dataset_at() time travel remains exact
     only for buckets no later upsert touched (documented contract).
@@ -173,6 +189,7 @@ def upsert_latest(new_df: DataFrame, base: str, key: str, ts_col: str,
     Returns {written: [...buckets...], n_rows: int, run_id: str}.
     """
     spark = new_df.sparkSession
+    new_df = new_df.localCheckpoint(eager=True)
     buckets = [r[0] for r in new_df.select(bucket_col).distinct().collect()]
     if any(b is None for b in buckets):
         raise ValueError(f"upsert_latest: {bucket_col!r} contains NULL")
@@ -181,28 +198,14 @@ def upsert_latest(new_df: DataFrame, base: str, key: str, ts_col: str,
     from pyspark.sql import Window
 
     existing = dataset(spark, base, bucket_col) \
-        .filter(F.col(bucket_col).isin(buckets))
-    merged = existing.unionByName(new_df)
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+        .filter(F.col(bucket_col).isin(buckets)) \
+        .withColumn("__src", F.lit(0))
+    merged = existing.unionByName(new_df.withColumn("__src", F.lit(1)))
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(),
+                                        F.col("__src").desc())
     latest = (merged.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1).drop("__rn"))
+                    .filter(F.col("__rn") == 1).drop("__rn", "__src"))
 
-    t0 = time.time()
-    (latest.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy(bucket_col)
-     .parquet(os.path.join(base, "data")))
-    wall = time.time() - t0
-
-    counts = (spark.read.parquet(os.path.join(base, "data"))
-              .filter(F.col(bucket_col).isin(buckets))
-              .groupBy(bucket_col).agg(F.count("*").alias("n_rows"))).collect()
-    run_id = uuid.uuid4().hex[:12]
-    rows = [(int(r[bucket_col]), int(r["n_rows"]), round(wall, 3), run_id)
-            for r in counts]
-    entries = spark.createDataFrame(
-        rows, "bucket BIGINT, n_rows BIGINT, run_wall_s DOUBLE, run_id STRING"
-    ).withColumn("finished_at", F.current_timestamp())
-    entries.write.mode("append").parquet(_ledger_path(base))
+    run_id, n = _commit_buckets(latest, base, bucket_col, buckets)
     return {"written": sorted(int(b) for b in buckets),
-            "n_rows": sum(r[1] for r in rows), "run_id": run_id}
+            "n_rows": n, "run_id": run_id}

@@ -22,6 +22,7 @@ from ..functions import text as tx
 from ..operators.components import connected_components
 from ..operators.packing import pack_greedy
 from .training import JACCARD_MAX_DF, jaccard_pairs
+from .training2 import sql_quality_expr as _q_expr
 from .webtext_q import FIXTURE_PAGES, _fixture
 
 QUALITY_MIN = 0.3
@@ -67,17 +68,6 @@ def e2e_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return (packed.groupBy("lang", "split", "bin_id")
                   .agg(F.count("*").alias("n_docs"),
                        F.sum("n_tok").alias("sum_tok")))
-
-
-def _q_expr(t: str) -> str:
-    """quality_score(text) restated for an arbitrary SQL text expression."""
-    n = f"CAST(length({t}) AS DOUBLE)"
-    na = f"CAST(length(regexp_replace({t}, '[^\\p{{L}}]', '', 'g')) AS DOUBLE)"
-    np_ = f"CAST(length(regexp_replace({t}, '[^.,;:!?]', '', 'g')) AS DOUBLE)"
-    return (f"round(least({n} / 500.0, 1.0) * 0.4"
-            f" + (CASE WHEN {n} > 0 THEN {na} / {n} ELSE 0.0 END) * 0.4"
-            f" + (CASE WHEN {n} > 0 THEN 1.0 - least({np_} / greatest({n} / 20.0, 1.0), 1.0)"
-            f"     ELSE 0.0 END) * 0.2, 6)")
 
 
 SQL_E2E = f"""

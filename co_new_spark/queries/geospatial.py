@@ -391,13 +391,15 @@ def g_pyramid_rollup(spark: SparkSession, sf: str) -> DataFrame:
     level with a 2-bit shift — never re-scanning the points (design rule #5;
     the map-tile pyramid build).  Output (depth, cell, n)."""
     pts = _event_points(spark, sf)
-    leaf = (pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 8))
+    leaf_d = max(_PYRAMID_DEPTHS)
+    leaf = (pts.withColumn("cell",
+                           geo.xy_to_cell_b(F.col("x"), F.col("y"), leaf_d - 4))
                .filter(F.col("cell") >= 0)
                .groupBy("cell").agg(F.count("*").alias("n")))
-    levels = [leaf.select(F.lit(12).alias("depth"), "cell",
+    levels = [leaf.select(F.lit(leaf_d).alias("depth"), "cell",
                           F.col("n").cast("long").alias("n"))]
     cur = leaf
-    for d in (10, 8, 6, 4):
+    for d in sorted(_PYRAMID_DEPTHS)[:-1][::-1]:
         cur = (cur.select(cells_sql.cell_parent(F.col("cell"), 2).alias("cell"), "n")
                   .groupBy("cell").agg(F.sum("n").alias("n")))
         levels.append(cur.select(F.lit(d).alias("depth"), "cell",

@@ -92,10 +92,10 @@ def p_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     lineage.resumable_write(rows, base, "l0")
 
     recrawl = (rows.filter(F.col("l0").isin([3, 12]))
-                   .limit(200)
+                   .orderBy("url").limit(200)
                    .withColumn("lang", F.lit("und"))
                    .withColumn("ts", F.lit(2).cast("long")))
-    fresh = rows.limit(10).select(
+    fresh = rows.orderBy("url").limit(10).select(
         F.concat(F.col("url"), F.lit("?v=2")).alias("url"),
         "lang", "cell", "l0", F.lit(2).cast("long").alias("ts"))
     lineage.upsert_latest(recrawl.unionByName(fresh), base, "url", "ts", "l0")

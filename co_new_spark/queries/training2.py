@@ -29,19 +29,21 @@ def t_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
 
 
-SQL_QUALITY = """
-SELECT doc_id,
-       round(least(n / 500.0, 1.0) * 0.4
-             + (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END) * 0.4
-             + (CASE WHEN n > 0
-                     THEN 1.0 - least(n_punct / greatest(n / 20.0, 1.0), 1.0)
-                     ELSE 0.0 END) * 0.2, 6) AS quality
-FROM (
-  SELECT doc_id,
-         CAST(length(text) AS DOUBLE) AS n,
-         CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) AS n_alpha,
-         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct
-  FROM documents)
+def sql_quality_expr(t: str) -> str:
+    """THE SQL restatement of functions/text.quality_score for an arbitrary
+    text expression — single source for every oracle that scores quality
+    (this module's SQL_QUALITY and e2e_q's pipeline stage)."""
+    n = f"CAST(length({t}) AS DOUBLE)"
+    na = f"CAST(length(regexp_replace({t}, '[^\\p{{L}}]', '', 'g')) AS DOUBLE)"
+    np_ = f"CAST(length(regexp_replace({t}, '[^.,;:!?]', '', 'g')) AS DOUBLE)"
+    return (f"round(least({n} / 500.0, 1.0) * 0.4"
+            f" + (CASE WHEN {n} > 0 THEN {na} / {n} ELSE 0.0 END) * 0.4"
+            f" + (CASE WHEN {n} > 0 THEN 1.0 - least({np_} / greatest({n} / 20.0, 1.0), 1.0)"
+            f"     ELSE 0.0 END) * 0.2, 6)")
+
+
+SQL_QUALITY = f"""
+SELECT doc_id, {sql_quality_expr('text')} AS quality FROM documents
 """
 
 

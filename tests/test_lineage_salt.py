@@ -171,3 +171,15 @@ def test_upsert_latest_null_bucket_fails_loud(spark, tmp_path):
     bad = df.limit(5).withColumn("bucket", F.lit(None).cast("long"))
     with pytest.raises(ValueError):
         lineage.upsert_latest(bad, base, "id", "ts")
+
+
+def test_upsert_latest_equal_ts_new_row_wins(spark, tmp_path):
+    base = str(tmp_path / "upstie")
+    df = _fact(spark, 200).withColumn("ts", F.lit(5).cast("long"))
+    lineage.resumable_write(df, base, "bucket")
+    # correction rows: SAME ts, different value — the new row must win
+    corr = df.filter(F.col("id") < 20).withColumn("v", F.lit(-9).cast("long"))
+    lineage.upsert_latest(corr, base, "id", "ts")
+    got = lineage.dataset(spark, base)
+    assert got.filter((F.col("id") < 20) & (F.col("v") != -9)).count() == 0
+    assert got.count() == df.count()
