@@ -434,6 +434,77 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Region centroid + snap: aggregate geometry, re-encoded through the kernel
+# ---------------------------------------------------------------------------
+
+
+def g_region_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per depth-8 cell: the member points' centroid (bit-stable: the event
+    lattice coordinates are integer-valued, so the sums aggregate in BIGINT
+    and ONE final double division is the only FP op) and that centroid
+    snapped to its depth-12 cell via the engine encode kernel — the
+    'aggregate geometry then re-index' shape of POI conflation / label
+    placement."""
+    pts = _event_points(spark, sf)
+    enc = pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4)) \
+             .filter(F.col("cell") >= 0)
+    agg = enc.groupBy("cell").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("long")).alias("sx"),
+        F.sum(F.col("y").cast("long")).alias("sy"))
+    cx = F.col("sx").cast("double") / F.col("n")
+    cy = F.col("sy").cast("double") / F.col("n")
+    return agg.select(
+        "cell", F.col("n").cast("long").alias("n"),
+        F.round(cx, 6).alias("cx"), F.round(cy, 6).alias("cy"),
+        geo.xy_to_cell_b(cx, cy, 8).alias("snap_cell"))
+
+
+SQL_REGION_CENTROID = f"""
+WITH pts AS (
+  SELECT {_XENG} AS x, {_YENG} AS y FROM events
+), c8 AS (
+  SELECT x, y,
+         CAST(floor((x - 3678500.0) / 524288.0) AS BIGINT) AS i,
+         CAST(floor((y - 970000.0) / 524288.0) AS BIGINT) AS j,
+         (x - 3678500.0) / 524288.0 - floor((x - 3678500.0) / 524288.0) AS u,
+         (y - 970000.0) / 524288.0 - floor((y - 970000.0) / 524288.0) AS v
+  FROM pts
+), enc AS (
+  SELECT x, y,
+         (({_L0_CASE} * 16
+           + {_sql_morton_yx('CAST(floor(v * 4) AS BIGINT)',
+                             'CAST(floor(u * 4) AS BIGINT)', 2)}) * 64 + 8) AS cell,
+         {_L0_CASE} AS digit
+  FROM c8
+), agg AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS sy
+  FROM enc WHERE digit >= 0 GROUP BY cell
+), ctr AS (
+  SELECT cell, n,
+         CAST(sx AS DOUBLE) / n AS cx, CAST(sy AS DOUBLE) / n AS cy
+  FROM agg
+), snapc AS (
+  SELECT cell, n, cx, cy,
+         CAST(floor((cx - 3678500.0) / 524288.0) AS BIGINT) AS i,
+         CAST(floor((cy - 970000.0) / 524288.0) AS BIGINT) AS j,
+         (cx - 3678500.0) / 524288.0 - floor((cx - 3678500.0) / 524288.0) AS u,
+         (cy - 970000.0) / 524288.0 - floor((cy - 970000.0) / 524288.0) AS v
+  FROM ctr
+)
+SELECT cell, n, round(cx, 6) AS cx, round(cy, 6) AS cy,
+       CASE WHEN {_L0_CASE} >= 0
+            THEN (({_L0_CASE} * 256
+                  + {_sql_morton_yx('CAST(floor(v * 16) AS BIGINT)',
+                                    'CAST(floor(u * 16) AS BIGINT)', 4)}) * 64 + 12)
+            ELSE -1 END AS snap_cell
+FROM snapc
+"""
+
+
 QUERIES = {
     "geo_cell_assign": (g_cell_assign_parity, SQL_CELL_ASSIGN),
     "geo_tile_assign": (g_tile_assign, SQL_TILE),
@@ -441,6 +512,7 @@ QUERIES = {
     "geo_segment_cells": (g_segment_cells, SQL_SEGMENT_CELLS),
     "geo_bbox_query": (g_bbox_query, SQL_BBOX_QUERY),
     "geo_pyramid_rollup": (g_pyramid_rollup, SQL_PYRAMID),
+    "geo_region_centroid": (g_region_centroid, SQL_REGION_CENTROID),
     "geo_pages_l0_histogram": (g_pages_l0_histogram, None),
     "geo_cover_lookup": (g_cover_lookup, None),
     "geo_knn_ring": (g_knn_ring, None),

@@ -83,3 +83,17 @@ def test_dilate_adds_shell_and_keeps_core(spark):
     assert all(out[c] for c in core)              # core flagged
     shell = {c for c, k in out.items() if not k}
     assert shell and shell.isdisjoint(core)       # a real shell was added
+
+
+def test_region_centroid_inside_cell_and_snap_consistent(spark):
+    from co_new_spark.functions import cells_sql
+    from co_new_spark.queries.geospatial import g_region_centroid
+
+    out = g_region_centroid(spark, SF_DIR)
+    # the centroid of a convex cell's members lies inside the cell, so the
+    # depth-12 snap cell must be a descendant of the depth-8 source cell
+    bad = out.filter(
+        (F.col("snap_cell") < 0)
+        | ~cells_sql.cell_contains(F.col("cell"), F.col("snap_cell")))
+    assert bad.count() == 0
+    assert out.count() > 0
