@@ -177,15 +177,18 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id", F.lit(1).alias("kind"),
         F.lit(None).cast("double").alias("pv"))
-    # pre-reduce purchases to one row per (user, ts): NULL-valued rows are
-    # dropped and same-ts duplicates resolve to the max-event_id row on BOTH
-    # engines (ignorenulls + ASOF tie order would otherwise be unspecified)
+    # NULL-valued purchases are dropped on BOTH engines (ignorenulls would
+    # skip them while ASOF would match them); same-(user, ts) duplicate
+    # purchases need NO pre-aggregation — the window's event_id ordering
+    # already makes the max-event_id row the last non-null before the view,
+    # which is exactly the oracle's arg_max tie-break.  Keeping this a plain
+    # filter preserves the single-shuffle plan (a groupBy(user, ts) here
+    # would shuffle on a superset key and force a second exchange — gated by
+    # tests/test_plan_shapes.py).
     purch = (ev.filter((F.col("event_type") == "purchase")
                        & F.col("value").isNotNull())
-               .groupBy("user_id", "ts")
-               .agg(F.max_by("value", "event_id").alias("pv"),
-                    F.max("event_id").alias("event_id"))
-               .select("user_id", "ts", "event_id", F.lit(0).alias("kind"), "pv"))
+               .select("user_id", "ts", "event_id", F.lit(0).alias("kind"),
+                       F.col("value").alias("pv")))
     u = views.unionByName(purch)
     w = (Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
                .rowsBetween(Window.unboundedPreceding, 0))
