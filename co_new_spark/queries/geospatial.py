@@ -505,6 +505,65 @@ FROM snapc
 """
 
 
+# ---------------------------------------------------------------------------
+# Voronoi / nearest-facility assignment (broadcast seeds, no join)
+# ---------------------------------------------------------------------------
+
+_VOR_NSEEDS = 20
+
+
+def g_voronoi_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign every point to its nearest of ``_VOR_NSEEDS`` facility seeds
+    (events 0..19's positions) — the Voronoi-partition / nearest-warehouse
+    primitive.  The seed set is driver-sized, so the whole assignment is ONE
+    narrow projection over a broadcast literal array (array_sort on
+    (dist, seed) structs — no join, no shuffle until the per-seed rollup);
+    sqrt is IEEE-correctly-rounded, so distances hash identically.  Ties
+    break to the lower seed id on both engines."""
+    pts = _event_points(spark, sf)
+    seeds = [(int(s), float(grids.L0_ORIGIN_X + (s * 2654435761) % 2097152),
+              float(grids.L0_ORIGIN_Y + (s * 40503) % 2621440))
+             for s in range(_VOR_NSEEDS)]
+    pairs = F.array(*[
+        F.struct(
+            F.sqrt((F.col("x") - F.lit(sx)) * (F.col("x") - F.lit(sx))
+                   + (F.col("y") - F.lit(sy)) * (F.col("y") - F.lit(sy)))
+            .alias("d"),
+            F.lit(sid).alias("sid"))
+        for sid, sx, sy in seeds])
+    best = F.array_min(pairs)
+    return (pts.select("event_id", best["sid"].cast("long").alias("seed"),
+                       F.round(best["d"], 3).alias("dist"))
+               .groupBy("seed")
+               .agg(F.count("*").alias("n_points"),
+                    F.round(F.max("dist"), 3).alias("max_dist"),
+                    F.min("event_id").alias("min_ev")))
+
+
+SQL_VORONOI = f"""
+WITH pts AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), seeds AS (
+  SELECT s AS sid,
+         3678500.0 + ((s * 2654435761) % 2097152) AS sx,
+         970000.0 + ((s * 40503) % 2621440) AS sy
+  FROM (SELECT unnest(range(0, {_VOR_NSEEDS})) AS s)
+), scored AS (
+  SELECT p.event_id, s.sid,
+         sqrt((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)) AS d
+  FROM pts p CROSS JOIN seeds s
+), best AS (
+  SELECT event_id, sid AS seed, round(d, 3) AS dist
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY d, sid) AS rn
+        FROM scored) WHERE rn = 1
+)
+SELECT seed, CAST(count(*) AS BIGINT) AS n_points,
+       round(max(dist), 3) AS max_dist, min(event_id) AS min_ev
+FROM best GROUP BY seed
+"""
+
+
 QUERIES = {
     "geo_cell_assign": (g_cell_assign_parity, SQL_CELL_ASSIGN),
     "geo_tile_assign": (g_tile_assign, SQL_TILE),
@@ -513,6 +572,7 @@ QUERIES = {
     "geo_bbox_query": (g_bbox_query, SQL_BBOX_QUERY),
     "geo_pyramid_rollup": (g_pyramid_rollup, SQL_PYRAMID),
     "geo_region_centroid": (g_region_centroid, SQL_REGION_CENTROID),
+    "geo_voronoi_assign": (g_voronoi_assign, SQL_VORONOI),
     "geo_pages_l0_histogram": (g_pages_l0_histogram, None),
     "geo_cover_lookup": (g_cover_lookup, None),
     "geo_knn_ring": (g_knn_ring, None),
