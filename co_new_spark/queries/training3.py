@@ -250,8 +250,31 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# The SCALE near-dup flow: MinHash-LSH candidates -> connected components
+# ---------------------------------------------------------------------------
+
+
+def t_neardup_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the LSH candidate graph — the
+    composition a 100 TB dedup actually runs (no exact all-pairs Jaccard:
+    banded MinHash bounds the candidate join, CC clusters the survivors).
+    Rows-only (xxhash64 signatures aren't SQL-visible); the invariant that
+    every candidate pair shares a component is pytest-gated."""
+    from .training import t_minhash_lsh_candidates
+
+    edges = t_minhash_lsh_candidates(spark, sf).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    docs = load(spark, sf, "documents").select("doc_id")
+    comp = connected_components(edges, nodes=docs)
+    return (comp.groupBy("component").agg(F.count("*").alias("size"))
+                .groupBy("size").agg(F.count("*").alias("n_clusters"))
+                .orderBy("size"))
+
+
 QUERIES = {
     "train_neardup_components": (t_neardup_components, SQL_COMPONENTS),
+    "train_neardup_scaled": (t_neardup_scaled, None),
     "train_split_assign": (t_split_assign, SQL_SPLIT),
     "train_rarity_score": (t_rarity_score, SQL_RARITY),
     "train_dedup_keep_best": (t_dedup_keep_best, SQL_KEEP_BEST),

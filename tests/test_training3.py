@@ -154,3 +154,21 @@ def test_dedup_keep_best_members_cover_all_docs(spark):
     assert agg["s"] == n_docs           # every doc in exactly one cluster
     assert agg["k"] <= n_docs           # at most one canonical per doc
     assert out.filter(F.col("canonical_doc") < F.col("component")).count() == 0
+
+
+def test_neardup_scaled_candidates_share_components(spark):
+    from co_new_spark.operators.components import connected_components
+    from co_new_spark.queries.training import t_minhash_lsh_candidates
+    from co_new_spark.queries.training3 import t_neardup_scaled
+    from co_new_spark.sources.tables import load
+
+    pairs = t_minhash_lsh_candidates(spark, SF_DIR)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    comp = connected_components(edges)
+    lab = {r["node"]: r["component"] for r in comp.collect()}
+    for r in pairs.collect():
+        assert lab[r["doc_a"]] == lab[r["doc_b"]]
+    # histogram totals the whole corpus
+    hist = t_neardup_scaled(spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert sum(r["size"] * r["n_clusters"] for r in hist) == n_docs
