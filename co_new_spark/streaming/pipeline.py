@@ -169,3 +169,30 @@ def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
         except Exception:
             pass
     return spark.table(name)
+
+
+def stream_upsert_to_ledger(stream: DataFrame, base: str, key: str,
+                            ts_col: str, bucket_col: str,
+                            checkpoint: str) -> None:
+    """Streaming MERGE: drain a bounded CDC-style stream into the ledgered
+    dataset via foreachBatch + lineage.upsert_latest — every micro-batch
+    merges latest-per-``key`` into only the buckets it touches, each merge a
+    new snapshot commit.
+
+    The two resumability layers compose as in stream_to_ledger, with one
+    semantic difference: upserts are idempotent BY VALUE (re-merging a
+    replayed batch rewrites the same winners), so a crash between the data
+    write and the streaming checkpoint replays the batch into an identical
+    state instead of appending a duplicate bucket.  Requires bucket_col to
+    be a stable function of key (upsert_latest's contract).
+    """
+    from ..plans import lineage
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lineage.upsert_latest(batch_df, base, key, ts_col, bucket_col)
+
+    (stream.writeStream.foreachBatch(sink)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True).start().awaitTermination())

@@ -157,3 +157,50 @@ def test_stream_to_ledger_checkpointed(spark, tmp_path):
     got = lineage.dataset(spark, base, "__ledger_bucket")
     assert got.count() == 170
     assert got.select(F.sum("id")).first()[0] == sum(range(170))
+
+
+def test_stream_upsert_merges_latest_per_key(spark, tmp_path):
+    """CDC-style streaming MERGE: micro-batches with overlapping keys end in
+    latest-per-key state, one snapshot commit per non-empty batch."""
+    from pyspark.sql import functions as F
+
+    from co_new_spark.plans import lineage
+    from co_new_spark.streaming import pipeline as sp
+
+    src = str(tmp_path / "cdc_src")
+    base = str(tmp_path / "cdc_ds")
+    ck = str(tmp_path / "cdc_ck")
+
+    # seed the store
+    init = spark.range(100).select(
+        F.col("id").alias("k"), F.pmod("id", 4).alias("bucket"),
+        F.lit(1).cast("long").alias("ts"), F.lit(0).cast("long").alias("v"))
+    lineage.resumable_write(init, base, "bucket")
+
+    # two CDC files -> two micro-batches (maxFilesPerTrigger=1)
+    upd1 = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.pmod("id", 4).alias("bucket"),
+        F.lit(2).cast("long").alias("ts"), F.lit(10).cast("long").alias("v"))
+    upd2 = spark.range(20, 40).select(
+        F.col("id").alias("k"), F.pmod("id", 4).alias("bucket"),
+        F.lit(3).cast("long").alias("ts"), F.lit(20).cast("long").alias("v"))
+    upd1.coalesce(1).write.parquet(src + "/f1")
+    upd2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema("k long, bucket long, ts long, v long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    sp.stream_upsert_to_ledger(stream, base, "k", "ts", "bucket", ck)
+
+    got = {r["k"]: (r["ts"], r["v"])
+           for r in lineage.dataset(spark, base, "bucket").collect()}
+    assert len(got) == 100                      # exactly-once per key
+    for k in range(100):
+        if 20 <= k < 40:
+            assert got[k] == (3, 20)
+        elif k < 30:
+            assert got[k] == (2, 10)
+        else:
+            assert got[k] == (1, 0)
+    # seed commit + one merge commit per micro-batch
+    assert lineage.snapshots(spark, base).count() >= 3
