@@ -209,3 +209,29 @@ def upsert_latest(new_df: DataFrame, base: str, key: str, ts_col: str,
     run_id, n = _commit_buckets(latest, base, bucket_col, buckets)
     return {"written": sorted(int(b) for b in buckets),
             "n_rows": n, "run_id": run_id}
+
+
+def compact_files(spark: SparkSession, base: str, bucket_col: str = "bucket",
+                  buckets: list | None = None,
+                  target_partitions: int = 1) -> dict:
+    """Table maintenance: rewrite buckets' data into ``target_partitions``
+    files each (the Iceberg ``rewrite_data_files`` verb) — content is
+    byte-identical, only the file layout changes, and the rewrite commits as
+    a new snapshot run so readers flip atomically at the ledger append.
+
+    At 100 TB this is the periodic job that heals small-file buildup from
+    many incremental upsert/streaming commits; each bucket rewrite is
+    independent, so a scheduler can spread buckets across maintenance
+    windows.  Returns {written: [...], n_rows: int, run_id: str}.
+    """
+    led_buckets = sorted(completed_buckets(spark, base))
+    todo = led_buckets if buckets is None else [b for b in buckets
+                                               if b in set(led_buckets)]
+    if not todo:
+        return {"written": [], "n_rows": 0, "run_id": None}
+    data = (dataset(spark, base, bucket_col)
+            .filter(F.col(bucket_col).isin(todo))
+            .repartition(max(len(todo) * target_partitions, 1), bucket_col)
+            .localCheckpoint(eager=True))  # read fully BEFORE overwriting
+    run_id, n = _commit_buckets(data, base, bucket_col, todo)
+    return {"written": [int(b) for b in todo], "n_rows": n, "run_id": run_id}

@@ -183,3 +183,23 @@ def test_upsert_latest_equal_ts_new_row_wins(spark, tmp_path):
     got = lineage.dataset(spark, base)
     assert got.filter((F.col("id") < 20) & (F.col("v") != -9)).count() == 0
     assert got.count() == df.count()
+
+
+def test_compact_files_preserves_content_and_commits(spark, tmp_path):
+    import glob
+
+    base = str(tmp_path / "cmp")
+    # many tiny files: 16 partitions per bucket
+    df = _fact(spark, 4_000).repartition(16)
+    lineage.resumable_write(df, base, "bucket")
+    files_before = len(glob.glob(f"{base}/data/bucket=*/part-*.parquet"))
+    before = {(r["id"], r["v"]) for r in lineage.dataset(spark, base).collect()}
+    runs_before = lineage.snapshots(spark, base).count()
+
+    res = lineage.compact_files(spark, base, target_partitions=1)
+    files_after = len(glob.glob(f"{base}/data/bucket=*/part-*.parquet"))
+    after = {(r["id"], r["v"]) for r in lineage.dataset(spark, base).collect()}
+    assert after == before                      # content byte-identical
+    assert files_after < files_before           # layout actually healed
+    assert lineage.snapshots(spark, base).count() == runs_before + 1
+    assert res["n_rows"] == len(before)
