@@ -117,10 +117,18 @@ def _commit_buckets(df: DataFrame, base: str, bucket_col: str,
     return run_id, sum(r[1] for r in rows)
 
 
-def dataset(spark: SparkSession, base: str, bucket_col: str = "bucket") -> DataFrame:
+def dataset(spark: SparkSession, base: str, bucket_col: str = "bucket",
+            merge_schema: bool = False) -> DataFrame:
     """Read back only LEDGERED buckets — uncommitted partials are invisible,
-    which is the reader-isolation half of the snapshot contract."""
-    data = spark.read.parquet(os.path.join(base, "data"))
+    which is the reader-isolation half of the snapshot contract.
+
+    ``merge_schema=True`` reads with parquet schema merging, so buckets
+    committed before an additive column change surface NULLs for the new
+    columns (the add-column half of schema evolution; dropping/renaming
+    stays a rewrite, as in Hive-style tables)."""
+    reader = spark.read.option("mergeSchema", "true") if merge_schema \
+        else spark.read
+    data = reader.parquet(os.path.join(base, "data"))
     led = read_ledger(spark, base) \
         .select(F.col("bucket").cast("bigint").alias("__b")).distinct()
     return data.join(F.broadcast(led),

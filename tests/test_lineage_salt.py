@@ -203,3 +203,22 @@ def test_compact_files_preserves_content_and_commits(spark, tmp_path):
     assert files_after < files_before           # layout actually healed
     assert lineage.snapshots(spark, base).count() == runs_before + 1
     assert res["n_rows"] == len(before)
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """Buckets written before an additive column change read back with NULLs
+    for the new column under merge_schema (old rows untouched on disk)."""
+    base = str(tmp_path / "evo")
+    v1 = _fact(spark, 400).filter(F.col("bucket") < 4)
+    lineage.resumable_write(v1, base, "bucket")
+    v2 = (_fact(spark, 400).filter(F.col("bucket") >= 4)
+          .withColumn("lang", F.lit("es")))
+    lineage.resumable_write(v2, base, "bucket")
+
+    got = lineage.dataset(spark, base, merge_schema=True)
+    assert "lang" in got.columns
+    assert got.count() == v1.count() + v2.count()
+    old = got.filter(F.col("bucket") < 4)
+    assert old.filter(F.col("lang").isNotNull()).count() == 0
+    new = got.filter(F.col("bucket") >= 4)
+    assert new.filter(F.col("lang") != "es").count() == 0
