@@ -205,10 +205,13 @@ def upsert_latest(new_df: DataFrame, base: str, key: str, ts_col: str,
         return {"written": [], "n_rows": 0, "run_id": None}
     from pyspark.sql import Window
 
-    existing = dataset(spark, base, bucket_col) \
+    existing = dataset(spark, base, bucket_col, merge_schema=True) \
         .filter(F.col(bucket_col).isin(buckets)) \
         .withColumn("__src", F.lit(0))
-    merged = existing.unionByName(new_df.withColumn("__src", F.lit(1)))
+    # allowMissingColumns: on an additively-evolved table either side may
+    # lack the other's newest columns; missing values surface as NULLs
+    merged = existing.unionByName(new_df.withColumn("__src", F.lit(1)),
+                                  allowMissingColumns=True)
     w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(),
                                         F.col("__src").desc())
     latest = (merged.withColumn("__rn", F.row_number().over(w))
@@ -232,14 +235,19 @@ def compact_files(spark: SparkSession, base: str, bucket_col: str = "bucket",
     independent, so a scheduler can spread buckets across maintenance
     windows.  Returns {written: [...], n_rows: int, run_id: str}.
     """
-    led_buckets = sorted(completed_buckets(spark, base))
-    todo = led_buckets if buckets is None else [b for b in buckets
-                                               if b in set(led_buckets)]
+    done = completed_buckets(spark, base)
+    todo = sorted(done) if buckets is None else [b for b in buckets
+                                                 if b in done]
     if not todo:
         return {"written": [], "n_rows": 0, "run_id": None}
-    data = (dataset(spark, base, bucket_col)
-            .filter(F.col(bucket_col).isin(todo))
-            .repartition(max(len(todo) * target_partitions, 1), bucket_col)
+    data = (dataset(spark, base, bucket_col, merge_schema=True)
+            .filter(F.col(bucket_col).isin(todo)))
+    # secondary content-hash spread key: repartition by bucket alone would
+    # hash every bucket into ONE task/file and ignore target_partitions
+    spread = F.pmod(F.xxhash64(*[F.col(c) for c in data.columns]),
+                    F.lit(target_partitions))
+    data = (data.repartition(max(len(todo) * target_partitions, 1),
+                             F.col(bucket_col), spread)
             .localCheckpoint(eager=True))  # read fully BEFORE overwriting
     run_id, n = _commit_buckets(data, base, bucket_col, todo)
     return {"written": [int(b) for b in todo], "n_rows": n, "run_id": run_id}

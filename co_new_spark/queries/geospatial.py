@@ -516,7 +516,7 @@ def g_voronoi_assign(spark: SparkSession, sf: str) -> DataFrame:
     """Assign every point to its nearest of ``_VOR_NSEEDS`` facility seeds
     (events 0..19's positions) — the Voronoi-partition / nearest-warehouse
     primitive.  The seed set is driver-sized, so the whole assignment is ONE
-    narrow projection over a broadcast literal array (array_sort on
+    narrow projection over a broadcast literal array (array_min over
     (dist, seed) structs — no join, no shuffle until the per-seed rollup);
     sqrt is IEEE-correctly-rounded, so distances hash identically.  Ties
     break to the lower seed id on both engines."""

@@ -222,3 +222,29 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     assert old.filter(F.col("lang").isNotNull()).count() == 0
     new = got.filter(F.col("bucket") >= 4)
     assert new.filter(F.col("lang") != "es").count() == 0
+
+
+def test_compact_files_respects_target_partitions_and_schema(spark, tmp_path):
+    import glob
+
+    base = str(tmp_path / "cmp2")
+    v1 = _fact(spark, 400).filter(F.col("bucket") < 4)
+    lineage.resumable_write(v1, base, "bucket")
+    v2 = (_fact(spark, 400).filter(F.col("bucket") >= 4)
+          .withColumn("lang", F.lit("es")))
+    lineage.resumable_write(v2, base, "bucket")
+
+    n_total = v1.count() + v2.count()
+    lineage.compact_files(spark, base, target_partitions=3)
+    # evolved column SURVIVES the rewrite
+    got = lineage.dataset(spark, base, merge_schema=True)
+    assert "lang" in got.columns
+    assert got.filter((F.col("bucket") >= 4)
+                      & (F.col("lang") != "es")).count() == 0
+    assert got.count() == n_total
+    # the spread key yields multiple files per (non-tiny) bucket
+    per_bucket = {}
+    for f in glob.glob(f"{base}/data/bucket=*/part-*.parquet"):
+        b = f.split("bucket=")[1].split("/")[0]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) > 1
