@@ -95,7 +95,9 @@ def run() -> dict:
         # round-2 operators
         "train_neardup_components", "train_seq_pack", "train_tfidf_topk",
         "geo_cover_compact", "geo_segment_cells", "rel_asof_join",
-        "rel_sessionize", "web_extract_parity",
+        "rel_sessionize", "web_extract_parity", "geo_pyramid_rollup",
+        "geo_voronoi_assign", "rel_gapfill", "train_rarity_score",
+        "train_split_assign", "train_e2e_pipeline",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]

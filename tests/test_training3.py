@@ -172,3 +172,12 @@ def test_neardup_scaled_candidates_share_components(spark):
     hist = t_neardup_scaled(spark, SF_DIR).collect()
     n_docs = load(spark, SF_DIR, "documents").count()
     assert sum(r["size"] * r["n_clusters"] for r in hist) == n_docs
+
+
+def test_cc_long_chain_converges_within_iteration_budget(spark):
+    """A 512-node path graph — the adversarial diameter case for label
+    propagation — must converge to one component inside the default
+    max_iter (large-star/small-star is O(log^2 n) rounds)."""
+    got = _cc(spark, [(i, i + 1) for i in range(511)])
+    assert set(got.values()) == {0}
+    assert len(got) == 512
