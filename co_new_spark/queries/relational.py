@@ -235,6 +235,26 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
                        "total_value"))
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """B15b: PIVOT — daily event counts spread into one column per event
+    type.  The pivot values are an EXPLICIT list (never inferred: inference
+    costs an extra distinct scan and makes the output schema data-dependent,
+    which breaks at 100 TB and in any schema registry)."""
+    ev = load(spark, sf, "events")
+    out = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .pivot("event_type", _PIVOT_TYPES).count())
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).cast("long")
+                               .alias(f"n_{t}") for t in _PIVOT_TYPES])
+
+
+SQL_PIVOT = "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " + ", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}" for t in _PIVOT_TYPES) + " FROM events GROUP BY 1"
+
+
 def q_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """B20b: time-series gap fill — a dense (day x event_type) axis built
     with sequence+explode (no driver loop), left-joined against the daily
@@ -602,6 +622,7 @@ QUERIES = {
     "rel_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rel_gapfill": (q_gapfill, SQL_GAPFILL),
+    "rel_pivot": (q_pivot, SQL_PIVOT),
     "rel_interval_prefix_join": (q_interval_prefix_join, SQL_INTERVAL),
     "rel_set_intersect": (q_set_intersect, SQL_INTERSECT),
     "rel_set_except": (q_set_except, SQL_EXCEPT),
