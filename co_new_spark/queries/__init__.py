@@ -6,13 +6,14 @@ Consumed by __spark_entry__.py (driver contract) and bench.py.
 from __future__ import annotations
 
 from . import (
-    geo_algebra, geo_cover_sql, geo_index, geospatial, pipeline_q, relational,
-    e2e_q, streaming_q, training, training2, training3, webtext_q,
+    geo_algebra, geo_cover_sql, geo_index, geospatial, geospatial2, pipeline_q,
+    relational, e2e_q, streaming_q, training, training2, training3, webtext_q,
 )
 
 REGISTRY: dict = {}
-for _mod in (relational, training, geospatial, geo_algebra, geo_cover_sql,
-             geo_index, training2, training3, webtext_q, e2e_q, streaming_q, pipeline_q):
+for _mod in (relational, training, geospatial, geospatial2, geo_algebra,
+             geo_cover_sql, geo_index, training2, training3, webtext_q, e2e_q,
+             streaming_q, pipeline_q):
     REGISTRY.update(_mod.QUERIES)
 
 

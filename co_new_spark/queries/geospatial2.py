@@ -1,0 +1,158 @@
+"""Spatial self-join surfaces built on the grid index (round 2 additions).
+
+* ``geo_distance_join`` — all point pairs within a radius, WITHOUT a theta
+  join: bucket every point into its Grid B cell at a refinement whose cell
+  side >= the radius, duplicate ONE side to its king-move ring-1 cells
+  (A17 ``neighbors_b`` — handles cross-L0 adjacency through the global
+  (i, j) frame), hash equi-join on cell, then the exact distance predicate.
+  The ring prefilter is lossless by construction (|dx|, |dy| <= R <= side
+  implies lattice indices differ by at most 1), which the DuckDB oracle
+  proves per run: it is the plain brute-force cross join with the same
+  radius.  At 100 TB the plan is a shuffle hash join on cell id (AQE
+  handles hot-cell skew); the x9 duplication is on one side only and the
+  candidate set is bounded by cell occupancy, never O(N^2).
+
+* ``geo_od_matrix`` — origin/destination transition counts between grid
+  cells per user ordered by event time (trajectory analytics): one window
+  shuffle on user_id (lag), one aggregation shuffle on the (from, to) pair.
+  Cell assignment reuses the grid-spec restatement
+  (/root/reference/conf.yaml:21-26 via queries.sql_grid) on the oracle side
+  and the engine encode kernel on the Spark side, so the driver check
+  covers the encode semantics too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..grid import grids
+from ..operators.knn import ring_cells_udf
+from ..sources.tables import load
+from .geospatial import _XENG, _YENG, _event_points
+from .sql_grid import l0_case, morton_ref
+
+# ---------------------------------------------------------------------------
+# geo_distance_join — within-radius pairs via cell-bucket + ring-1 equi-join
+# ---------------------------------------------------------------------------
+
+_DJ_N = 3000          # points (first _DJ_N event ids) — keeps the oracle's
+                      # brute-force cross join at ~4.5M candidate pairs
+_DJ_RBITS = 8         # cell side = L0_SIDE / 2^(rbits/2) = 32768 m
+_DJ_RADIUS = 20_000.0  # must be <= cell side for ring-1 losslessness
+
+assert _DJ_RADIUS <= grids.L0_SIDE / (1 << (_DJ_RBITS // 2))
+
+
+def g_distance_join(spark: SparkSession, sf: str) -> DataFrame:
+    """All pairs of grid-valid points within ``_DJ_RADIUS`` m of each other.
+
+    dist2 is exact: coordinates are integer-valued doubles < 2^22, so the
+    squared distance is an integer < 2^53 — bit-identical on both engines.
+    """
+    pts = (_event_points(spark, sf)
+           .filter(F.col("event_id") < _DJ_N)
+           .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _DJ_RBITS))
+           .filter(F.col("cell") >= 0))
+    a = pts.select(F.col("event_id").alias("id_a"), F.col("x").alias("xa"),
+                   F.col("y").alias("ya"), "cell")
+    b = (pts.select(F.col("event_id").alias("id_b"), F.col("x").alias("xb"),
+                    F.col("y").alias("yb"),
+                    F.explode(ring_cells_udf(1)(F.col("cell"))).alias("nbcell")))
+    r2 = _DJ_RADIUS * _DJ_RADIUS
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    return (a.join(b, a["cell"] == b["nbcell"])
+             .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(r2)))
+             .select("id_a", "id_b", d2.cast("long").alias("dist2")))
+
+
+_L0_CASE = l0_case()
+
+SQL_DISTANCE_JOIN = f"""
+WITH raw AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+  WHERE event_id < {_DJ_N}
+), v AS (
+  SELECT event_id, x, y,
+         CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {grids.L0_SIDE!r}) AS BIGINT) AS i,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {grids.L0_SIDE!r}) AS BIGINT) AS j
+  FROM raw
+), pts AS (
+  SELECT event_id, x, y FROM v WHERE {_L0_CASE} >= 0
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a JOIN pts b ON a.event_id < b.event_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_DJ_RADIUS * _DJ_RADIUS!r}
+"""
+
+# ---------------------------------------------------------------------------
+# geo_od_matrix — per-user cell-to-cell transition counts (trajectories)
+# ---------------------------------------------------------------------------
+
+_OD_RBITS = 4  # 4x4 refinement below L0 -> cells of 131 km; dense transitions
+
+
+def g_od_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Origin/destination matrix: per user, order events by time, emit the
+    (previous cell -> current cell) transition, count trips + distinct users
+    per directed cell pair.  Grid-invalid points are dropped BEFORE
+    sequencing (both engines agree on the resulting per-user order)."""
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "ts",
+        (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x"),
+        (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y"),
+    )
+    seq = (ev.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _OD_RBITS))
+             .filter(F.col("cell") >= 0)
+             .withColumn("prev", F.lag("cell").over(
+                 Window.partitionBy("user_id").orderBy("ts", "event_id")))
+             .filter(F.col("prev").isNotNull()))
+    return (seq.groupBy(F.col("prev").alias("from_cell"),
+                        F.col("cell").alias("to_cell"))
+               .agg(F.count("*").alias("n_trips"),
+                    F.countDistinct("user_id").alias("n_users")))
+
+
+_MORTON4 = morton_ref(_OD_RBITS, "iy", "ix")
+
+SQL_OD_MATRIX = f"""
+WITH raw AS (
+  SELECT event_id, user_id, ts, {_XENG} AS x, {_YENG} AS y FROM events
+), c AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {grids.L0_SIDE!r}) AS BIGINT) AS i,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {grids.L0_SIDE!r}) AS BIGINT) AS j,
+         (x - {grids.L0_ORIGIN_X!r}) / {grids.L0_SIDE!r}
+           - floor((x - {grids.L0_ORIGIN_X!r}) / {grids.L0_SIDE!r}) AS u,
+         (y - {grids.L0_ORIGIN_Y!r}) / {grids.L0_SIDE!r}
+           - floor((y - {grids.L0_ORIGIN_Y!r}) / {grids.L0_SIDE!r}) AS v
+  FROM raw
+), d AS (
+  SELECT event_id, user_id, ts, {_L0_CASE} AS digit,
+         CAST(floor(u * {1 << (_OD_RBITS // 2)}) AS BIGINT) AS ix,
+         CAST(floor(v * {1 << (_OD_RBITS // 2)}) AS BIGINT) AS iy
+  FROM c
+), cells AS (
+  SELECT event_id, user_id, ts,
+         (digit * {1 << _OD_RBITS} + {_MORTON4}) * 64 + {4 + _OD_RBITS} AS cell
+  FROM d WHERE digit >= 0
+), seq AS (
+  SELECT user_id, cell,
+         lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM cells
+)
+SELECT prev AS from_cell, cell AS to_cell,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "geo_distance_join": (g_distance_join, SQL_DISTANCE_JOIN),
+    "geo_od_matrix": (g_od_matrix, SQL_OD_MATRIX),
+}

@@ -1,0 +1,90 @@
+"""Gates for the distance join and OD matrix (queries/geospatial2.py)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from co_new_spark.functions import geo
+from co_new_spark.grid import grids
+from co_new_spark.operators.knn import ring_cells_udf
+from co_new_spark.queries.geospatial2 import (
+    _DJ_RADIUS, _DJ_RBITS, g_distance_join, g_od_matrix,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_pairs(pts, radius):
+    """Exact all-pairs ground truth on (id, x, y) numpy arrays."""
+    ids, x, y = pts
+    out = set()
+    r2 = radius * radius
+    for a in range(len(ids)):
+        dx = x - x[a]
+        dy = y - y[a]
+        hit = np.nonzero((dx * dx + dy * dy <= r2) & (ids > ids[a]))[0]
+        for b in hit:
+            out.add((int(ids[a]), int(ids[b]),
+                     int(dx[b] * dx[b] + dy[b] * dy[b])))
+    return out
+
+
+def test_distance_join_matches_brute_force(spark):
+    """Engine ring-1 plan == brute force, including pairs that straddle an
+    L0 boundary and pairs exactly at the radius (boundary inclusive)."""
+    rng = np.random.default_rng(7)
+    n = 300
+    # cluster points NEAR the L0 lattice line x = X0 + L0_SIDE so many pairs
+    # cross cells and several cross the L0 boundary itself
+    x = grids.L0_ORIGIN_X + grids.L0_SIDE + rng.integers(-40_000, 40_000, n).astype(np.float64)
+    y = grids.L0_ORIGIN_Y + rng.integers(0, 2_621_440, n).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"event_id": ids, "x": x, "y": y}))
+    pts = (df.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _DJ_RBITS))
+             .filter(F.col("cell") >= 0))
+    a = pts.select(F.col("event_id").alias("id_a"), F.col("x").alias("xa"),
+                   F.col("y").alias("ya"), "cell")
+    b = pts.select(F.col("event_id").alias("id_b"), F.col("x").alias("xb"),
+                   F.col("y").alias("yb"),
+                   F.explode(ring_cells_udf(1)(F.col("cell"))).alias("nbcell"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    got = {(r.id_a, r.id_b, r.dist2) for r in
+           (a.join(b, a["cell"] == b["nbcell"])
+             .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(_DJ_RADIUS ** 2)))
+             .select("id_a", "id_b", d2.cast("long").alias("dist2"))).collect()}
+
+    # ground truth over the grid-valid subset only (mirrors the entry contract)
+    keep = [r.event_id for r in pts.select("event_id").collect()]
+    mask = np.isin(ids, keep)
+    want = _brute_pairs((ids[mask], x[mask], y[mask]), _DJ_RADIUS)
+    assert got == want
+    assert len(want) > 50  # the fixture is dense enough to mean something
+
+
+def test_distance_join_entry_shape(spark):
+    df = g_distance_join(spark, SF)
+    rows = df.collect()
+    assert df.columns == ["id_a", "id_b", "dist2"]
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.dist2 <= int(_DJ_RADIUS ** 2) for r in rows)
+    # no duplicate pairs out of the ring expansion
+    assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
+
+
+def test_od_matrix_conservation(spark):
+    """Each user's transition count == (events after the validity filter) - 1;
+    the OD matrix must conserve the total."""
+    out = g_od_matrix(spark, SF).collect()
+    total = sum(r.n_trips for r in out)
+
+    from co_new_spark.sources.tables import load
+    ev = load(spark, SF, "events").select(
+        "event_id", "user_id",
+        (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x"),
+        (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y"),
+    ).withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4)).filter(F.col("cell") >= 0)
+    per_user = ev.groupBy("user_id").count().collect()
+    want = sum(max(0, r["count"] - 1) for r in per_user)
+    assert total == want
+    assert all(r.n_users <= r.n_trips for r in out)
