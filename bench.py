@@ -98,7 +98,7 @@ def run() -> dict:
         "rel_sessionize", "web_extract_parity", "geo_pyramid_rollup",
         "geo_voronoi_assign", "rel_gapfill", "train_rarity_score",
         "train_split_assign", "train_e2e_pipeline",
-        "geo_distance_join", "geo_od_matrix",
+        "geo_distance_join", "geo_od_matrix", "geo_focal_sum",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]

@@ -152,7 +152,77 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_focal_sum — raster map algebra: king-neighborhood focal aggregation
+# ---------------------------------------------------------------------------
+
+_FOCAL_RBITS = 6  # 8x8 refinement below L0 -> 65,536 m raster cells
+
+
+def g_focal_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Focal (moving-window) sum over the per-cell event-count raster: each
+    target cell receives the summed counts of its 3x3 king neighborhood
+    (coverage-clipped — off-grid neighbors contribute nothing and are never
+    emitted).  The raster-analytics primitive behind heatmap smoothing /
+    density surfaces.
+
+    Plan shape at scale: ONE aggregation shuffle builds the raster
+    (cells << points), then the focal pass explodes each occupied cell to
+    <=9 valid targets (adjacency is symmetric, so pushing counts TO ring
+    targets equals pulling FROM ring sources) and re-aggregates — a second
+    shuffle over the raster, never over the raw points."""
+    counts = (_event_points(spark, sf)
+              .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _FOCAL_RBITS))
+              .filter(F.col("cell") >= 0)
+              .groupBy("cell").agg(F.count("*").alias("n")))
+    spread = counts.select(
+        F.col("n"),
+        F.explode(ring_cells_udf(1)(F.col("cell"))).alias("target"))
+    return (spread.groupBy(F.col("target").alias("cell"))
+                  .agg(F.sum("n").alias("focal_sum"),
+                       F.count("*").alias("n_contrib")))
+
+
+_FS_NSIDE = 1 << (_FOCAL_RBITS // 2)      # per-axis cells below one L0
+_FS_S = grids.L0_SIDE / _FS_NSIDE          # raster cell side (m)
+_MORTON6 = morton_ref(_FOCAL_RBITS, "iy", "ix")
+_L0T_CASE = l0_case("tj", "ti")
+
+SQL_FOCAL_SUM = f"""
+WITH raw AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_FS_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_FS_S!r}) AS BIGINT) AS gj
+  FROM raw
+), occ AS (  -- per-cell raster, grid-valid lattice cells only
+  SELECT gi, gj, count(*) AS n
+  FROM (SELECT gi, gj, gi // {_FS_NSIDE} AS i, gj // {_FS_NSIDE} AS j FROM g)
+  WHERE {_L0_CASE} >= 0
+  GROUP BY gi, gj
+), spread AS (
+  SELECT occ.gi + d.di AS tgi, occ.gj + d.dj AS tgj, occ.n
+  FROM occ
+  CROSS JOIN (SELECT a.di, b.dj
+              FROM (SELECT unnest(range(-1, 2)) AS di) a,
+                   (SELECT unnest(range(-1, 2)) AS dj) b) d
+), valid AS (
+  SELECT tgi, tgj, n,
+         tgi // {_FS_NSIDE} AS ti, tgj // {_FS_NSIDE} AS tj,
+         tgi % {_FS_NSIDE} AS ix, tgj % {_FS_NSIDE} AS iy
+  FROM spread WHERE tgi >= 0 AND tgj >= 0
+)
+SELECT (({_L0T_CASE}) * {1 << _FOCAL_RBITS} + {_MORTON6}) * 64
+         + {4 + _FOCAL_RBITS} AS cell,
+       CAST(sum(n) AS BIGINT) AS focal_sum,
+       CAST(count(*) AS BIGINT) AS n_contrib
+FROM valid WHERE {_L0T_CASE} >= 0
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "geo_distance_join": (g_distance_join, SQL_DISTANCE_JOIN),
     "geo_od_matrix": (g_od_matrix, SQL_OD_MATRIX),
+    "geo_focal_sum": (g_focal_sum, SQL_FOCAL_SUM),
 }

@@ -8,7 +8,8 @@ from co_new_spark.functions import geo
 from co_new_spark.grid import grids
 from co_new_spark.operators.knn import ring_cells_udf
 from co_new_spark.queries.geospatial2 import (
-    _DJ_RADIUS, _DJ_RBITS, g_distance_join, g_od_matrix,
+    _DJ_RADIUS, _DJ_RBITS, _FOCAL_RBITS, g_distance_join, g_focal_sum,
+    g_od_matrix,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -70,6 +71,50 @@ def test_distance_join_entry_shape(spark):
     assert all(r.dist2 <= int(_DJ_RADIUS ** 2) for r in rows)
     # no duplicate pairs out of the ring expansion
     assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
+
+
+def test_focal_sum_against_numpy_reference(spark):
+    """Engine focal pass == an independent dense-lattice numpy convolution
+    (3x3 box filter over the global (i, j) frame, coverage-clipped)."""
+    from co_new_spark.queries.geospatial import _event_points
+
+    got = {r.cell: (r.focal_sum, r.n_contrib)
+           for r in g_focal_sum(spark, SF).collect()}
+
+    pts = _event_points(spark, SF).toPandas()
+    nside = 1 << (_FOCAL_RBITS // 2)
+    s = grids.L0_SIDE / nside
+    gi = np.floor((pts.x.to_numpy() - grids.L0_ORIGIN_X) / s).astype(np.int64)
+    gj = np.floor((pts.y.to_numpy() - grids.L0_ORIGIN_Y) / s).astype(np.int64)
+
+    def valid(ii, jj):
+        i, j = ii // nside, jj // nside
+        ok = (ii >= 0) & (jj >= 0) & (i < grids.L0_NI) & (j < grids.L0_NJ)
+        d = np.where(ok, grids.L0_DIGIT_BY_JI[np.clip(j, 0, grids.L0_NJ - 1),
+                                              np.clip(i, 0, grids.L0_NI - 1)], -1)
+        return ok & (d >= 0)
+
+    keep = valid(gi, gj)
+    occ = {}
+    for a, b in zip(gi[keep], gj[keep]):
+        occ[(a, b)] = occ.get((a, b), 0) + 1
+
+    want = {}
+    for (a, b), n in occ.items():
+        for da in (-1, 0, 1):
+            for db in (-1, 0, 1):
+                ta, tb = a + da, b + db
+                if valid(np.array([ta]), np.array([tb]))[0]:
+                    fs, nc = want.get((ta, tb), (0, 0))
+                    want[(ta, tb)] = (fs + n, nc + 1)
+
+    # map lattice targets to packed cell ids through the trusted kernel
+    tg = np.array([k for k in want], dtype=np.int64)
+    from co_new_spark.grid import cells as ncells
+    cell_ids = ncells.cell_b_from_global_ji(tg[:, 1], tg[:, 0], _FOCAL_RBITS)
+    want_by_cell = {int(c): want[(int(a), int(b))]
+                    for c, (a, b) in zip(cell_ids, tg)}
+    assert got == want_by_cell
 
 
 def test_od_matrix_conservation(spark):
