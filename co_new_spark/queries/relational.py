@@ -601,8 +601,59 @@ FROM events GROUP BY CUBE (1, 2)
 """
 
 
+def q_time_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal interval join, bucketized: which events fall inside each
+    2-hour window anchored at every 97th event?
+
+    The oracle states the naive range predicate (theta join).  The Spark
+    plan is the SCALE path: each window explodes to its covered hour
+    buckets (<= 3 rows), events carry their single hour bucket, and the
+    join is a hash equi-join on the bucket followed by the exact range
+    filter — the temporal twin of the cell-prefix rewrite (B8).  Works at
+    any window/fact cardinality: cost is O(windows x buckets + events),
+    never O(windows x events).
+
+    Metrics stay integer-exact (value -> cents) so both engines hash
+    identically regardless of float summation order.
+    """
+    ev = load(spark, sf, "events")
+    anchors = (ev.filter(F.col("event_id") % 97 == 0)
+                 .select(F.col("event_id").alias("anchor_id"),
+                         F.col("ts").alias("t0"),
+                         (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t1")))
+    a = anchors.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(F.unix_timestamp("t0") / 3600),
+                             F.floor(F.unix_timestamp("t1") / 3600))))
+    e = ev.select(
+        "ts", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("bucket"))
+    return (a.join(e, "bucket")
+             .filter((F.col("ts") >= F.col("t0")) & (F.col("ts") < F.col("t1")))
+             .groupBy("anchor_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users"),
+                  F.sum("cents").alias("sum_cents")))
+
+
+SQL_TIME_INTERVAL_JOIN = """
+WITH anchors AS (
+  SELECT event_id AS anchor_id, ts AS t0, ts + INTERVAL 2 HOUR AS t1
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT anchor_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM anchors a JOIN events e ON e.ts >= a.t0 AND e.ts < a.t1
+GROUP BY anchor_id
+"""
+
+
 QUERIES = {
     "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
+    "rel_time_interval_join": (q_time_interval_join, SQL_TIME_INTERVAL_JOIN),
     "rel_percentiles_approx": (q_percentiles_approx, SQL_PERCENTILES_APPROX),
     "rel_cube": (q_cube, SQL_CUBE),
     "rel_approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),

@@ -156,3 +156,38 @@ def test_sessionize_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
     assert "partial_min" in plan  # map-side combine on the session agg
+
+
+def test_time_interval_join_is_hash_join(spark):
+    """The bucketized rewrite must execute as a hash equi-join on the bucket
+    — never a BroadcastNestedLoopJoin over the raw range predicate."""
+    from co_new_spark.queries.relational import q_time_interval_join
+
+    plan = _plan(q_time_interval_join(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_interval_join_bucketization_lossless(spark):
+    """Bucketized plan == the naive theta join, row for row."""
+    from pyspark.sql import functions as F
+
+    from co_new_spark.queries.relational import q_time_interval_join
+    from co_new_spark.sources.tables import load
+
+    got = {tuple(r) for r in q_time_interval_join(spark, SF).collect()}
+
+    ev = load(spark, SF, "events")
+    anchors = (ev.filter(F.col("event_id") % 97 == 0)
+                 .select(F.col("event_id").alias("anchor_id"),
+                         F.col("ts").alias("t0"),
+                         (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t1")))
+    e = ev.select(F.col("ts").alias("ets"), "user_id",
+                  F.round(F.col("value") * 100).cast("long").alias("cents"))
+    naive = (anchors.join(e, (F.col("ets") >= F.col("t0")) & (F.col("ets") < F.col("t1")))
+                    .groupBy("anchor_id")
+                    .agg(F.count("*").alias("n_events"),
+                         F.countDistinct("user_id").alias("n_users"),
+                         F.sum("cents").alias("sum_cents")))
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
