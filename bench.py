@@ -99,7 +99,7 @@ def run() -> dict:
         "geo_voronoi_assign", "rel_gapfill", "train_rarity_score",
         "train_split_assign", "train_e2e_pipeline",
         "geo_distance_join", "geo_od_matrix", "geo_focal_sum",
-        "rel_time_interval_join",
+        "rel_time_interval_join", "geo_trajectory_stats",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]

@@ -221,8 +221,63 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_trajectory_stats — per-user path length / leg metrics
+# ---------------------------------------------------------------------------
+
+
+def g_trajectory_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user trajectory metrics over time-ordered event positions:
+    leg count, total path length, and longest leg.
+
+    Hash-exactness across engines: each leg is rounded to integer
+    millimeters BEFORE summing (sqrt is IEEE-754 correctly rounded, so both
+    engines compute the identical double per leg; the subsequent integer sum
+    is order-independent — a raw double sum would not be).  One window
+    shuffle on user_id; the final aggregate rides the same partitioning."""
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "ts",
+        (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x"),
+        (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = (ev.withColumn("px", F.lag("x").over(w))
+              .withColumn("py", F.lag("y").over(w))
+              .filter(F.col("px").isNotNull())
+              .withColumn("leg_mm", F.round(F.sqrt(
+                  (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+                  + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+              ) * 1000).cast("long")))
+    return (legs.groupBy("user_id")
+                .agg(F.count("*").alias("n_legs"),
+                     F.sum("leg_mm").alias("path_mm"),
+                     F.max("leg_mm").alias("max_leg_mm")))
+
+
+SQL_TRAJECTORY = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, {_XENG} AS x, {_YENG} AS y FROM events
+), legs AS (
+  SELECT user_id,
+         x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), mm AS (
+  SELECT user_id,
+         CAST(round(sqrt((x - px) * (x - px) + (y - py) * (y - py)) * 1000)
+              AS BIGINT) AS leg_mm
+  FROM legs WHERE px IS NOT NULL
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_legs,
+       CAST(sum(leg_mm) AS BIGINT) AS path_mm,
+       max(leg_mm) AS max_leg_mm
+FROM mm GROUP BY user_id
+"""
+
+
 QUERIES = {
     "geo_distance_join": (g_distance_join, SQL_DISTANCE_JOIN),
     "geo_od_matrix": (g_od_matrix, SQL_OD_MATRIX),
     "geo_focal_sum": (g_focal_sum, SQL_FOCAL_SUM),
+    "geo_trajectory_stats": (g_trajectory_stats, SQL_TRAJECTORY),
 }

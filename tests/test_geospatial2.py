@@ -133,3 +133,18 @@ def test_od_matrix_conservation(spark):
     want = sum(max(0, r["count"] - 1) for r in per_user)
     assert total == want
     assert all(r.n_users <= r.n_trips for r in out)
+
+
+def test_trajectory_stats_invariants(spark):
+    from co_new_spark.queries.geospatial2 import g_trajectory_stats
+    from co_new_spark.sources.tables import load
+
+    out = {r.user_id: r for r in g_trajectory_stats(spark, SF).collect()}
+    per_user = {r.user_id: r["count"] for r in
+                load(spark, SF, "events").groupBy("user_id").count().collect()}
+    for uid, n in per_user.items():
+        if n >= 2:
+            assert out[uid].n_legs == n - 1
+            assert out[uid].path_mm >= out[uid].max_leg_mm > 0
+        else:
+            assert uid not in out
