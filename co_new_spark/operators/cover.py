@@ -88,6 +88,54 @@ def cover_best_with_cell(points: DataFrame, cover: DataFrame,
             .drop("__best", *[c for d in depths for c in (f"__a{d}", f"__i{d}")]))
 
 
+def _per_depth_left_joins(points: DataFrame, cover: DataFrame,
+                          cell_col: str = "cell"):
+    """Shared plan core: one broadcast LEFT join per distinct cover depth
+    against a per-cell pre-minimized dim (min isolabel per cover cell —
+    driver-tiny).  Returns (df, per-depth iso Columns, depths), or None for
+    an empty cover dim.  ZERO shuffle of the fact table."""
+    spark = points.sparkSession
+    cov = cover.filter(F.col("kind") == "cover") if "kind" in cover.columns else cover
+    # ONE driver-side job builds the minimized dim; per-depth slices become
+    # local relations, so the N broadcast exchanges cost no extra Spark jobs.
+    dim_pdf = (cov.groupBy("cell", "depth")
+               .agg(F.min("isolabel_ext").alias("__iso")).toPandas())
+    depths = sorted(int(d) for d in dim_pdf["depth"].unique())
+    if not depths:
+        return None
+    out = points
+    iso_cols = []
+    for d in depths:
+        pdf_d = dim_pdf[dim_pdf.depth == d][["cell", "__iso"]].rename(
+            columns={"cell": f"__a{d}", "__iso": f"__i{d}"})
+        dim_d = spark.createDataFrame(pdf_d)
+        out = (out.withColumn(f"__a{d}", cells_sql.cell_ancestor_at(F.col(cell_col), d))
+               .join(F.broadcast(dim_d), f"__a{d}", "left")
+               .drop(f"__a{d}"))
+        iso_cols.append(F.col(f"__i{d}"))
+    return out, iso_cols, depths
+
+
+def cover_anti(points: DataFrame, cover: DataFrame,
+               cell_col: str = "cell", keep: list[str] | None = None) -> DataFrame:
+    """Spatial ANTI-join: the points matched by NO cover cell at any depth
+    (the complement of cover_lookup_best) — uncovered/out-of-jurisdiction
+    detection.  Identical per-depth broadcast LEFT-join plan, keeping the
+    all-NULL rows instead: still zero shuffle of the fact table, unlike a
+    generic left_anti against a materialized hit set (which would shuffle
+    fact-sized data on the join key)."""
+    keep = keep or list(points.columns)
+    joined = _per_depth_left_joins(points, cover, cell_col)
+    if joined is None:  # empty cover: every point is uncovered
+        return points.select(*keep)
+    out, iso_cols, depths = joined
+    null_all = iso_cols[0].isNull() if len(iso_cols) == 1 else (
+        F.least(*iso_cols).isNull())
+    return (out.filter(null_all)
+               .drop(*[f"__i{d}" for d in depths])
+               .select(*keep))
+
+
 def cover_lookup_best(points: DataFrame, cover: DataFrame,
                       cell_col: str = "cell", keep: list[str] | None = None,
                       dedup: bool = True) -> DataFrame:
@@ -105,26 +153,11 @@ def cover_lookup_best(points: DataFrame, cover: DataFrame,
     shuffle-free.
     """
     keep = keep or list(points.columns)
-    spark = points.sparkSession
-    cov = cover.filter(F.col("kind") == "cover") if "kind" in cover.columns else cover
-    # ONE driver-side job builds the minimized dim; per-depth slices become
-    # local relations, so the N broadcast exchanges cost no extra Spark jobs.
-    dim_pdf = (cov.groupBy("cell", "depth")
-               .agg(F.min("isolabel_ext").alias("__iso")).toPandas())
-    depths = sorted(int(d) for d in dim_pdf["depth"].unique())
-    if not depths:  # empty cover dim: zero matches, stable schema
+    joined = _per_depth_left_joins(points, cover, cell_col)
+    if joined is None:  # empty cover dim: zero matches, stable schema
         return points.select(*keep).withColumn(
             "isolabel_ext", F.lit(None).cast("string")).limit(0)
-    out = points
-    iso_cols = []
-    for d in depths:
-        pdf_d = dim_pdf[dim_pdf.depth == d][["cell", "__iso"]].rename(
-            columns={"cell": f"__a{d}", "__iso": f"__i{d}"})
-        dim_d = spark.createDataFrame(pdf_d)
-        out = (out.withColumn(f"__a{d}", cells_sql.cell_ancestor_at(F.col(cell_col), d))
-               .join(F.broadcast(dim_d), f"__a{d}", "left")
-               .drop(f"__a{d}"))
-        iso_cols.append(F.col(f"__i{d}"))
+    out, iso_cols, depths = joined
     best = iso_cols[0] if len(iso_cols) == 1 else F.least(*iso_cols)
     out = (out.withColumn("isolabel_ext", best)
            .filter(F.col("isolabel_ext").isNotNull())

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import cells_sql, geo
-from ..operators.cover import cover_best_with_cell, cover_lookup_best
+from ..operators.cover import cover_anti, cover_best_with_cell, cover_lookup_best
 from ..sources.reference_data import load_citycover, load_synonym, load_synonym_ref
 from .geo_algebra import _sql_cells_cte
 
@@ -352,8 +352,33 @@ def _g_cover_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     return g_cover_set_ops(spark, sf)
 
 
+def g_cover_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """B10 spatially: grid-valid points covered by NO jurisdiction, rolled up
+    per L0 — uncovered-territory detection.  Zero fact-table shuffle
+    (operators.cover.cover_anti keeps the all-NULL rows of the same
+    per-depth broadcast LEFT-join plan)."""
+    cells = _points_cells(spark, sf)
+    un = cover_anti(cells, load_citycover(spark), keep=["event_id", "cell"])
+    return un.groupBy(cells_sql.cell_l0_digit(F.col("cell")).alias("l0")).agg(
+        F.count("*").alias("n_uncovered"), F.min("event_id").alias("min_ev"))
+
+
+SQL_COVER_ANTI = f"""
+WITH {_sql_cells_cte(_PT_R)},
+{_SQL_COV}
+SELECT ((cells.cell >> 6) >> {_PT_R}) AS l0,
+       CAST(count(*) AS BIGINT) AS n_uncovered,
+       min(cells.event_id) AS min_ev
+FROM cells
+WHERE cells.cell >= 0
+  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.event_id = cells.event_id)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "geo_cover_lookup_events": (g_cover_lookup_events, SQL_COVER_LOOKUP_EVENTS),
+    "geo_cover_anti": (g_cover_anti, SQL_COVER_ANTI),
     "geo_shortcode_sci": (g_shortcode_sci, SQL_SHORTCODE_SCI),
     "geo_shortcode_log": (g_shortcode_log, SQL_SHORTCODE_LOG),
     "geo_cover_set_ops": (_g_cover_set_ops, SQL_COVER_SET_OPS),

@@ -159,3 +159,25 @@ def test_hilbert_properties_and_column_parity(spark):
     lut = {(r.gx, r.gy): r.hd for r in got}
     for a, b, w in zip(gx, gy, want):
         assert lut[(int(a), int(b))] == int(w)
+
+
+def test_cover_anti_partitions_points(spark):
+    """covered + uncovered == all grid-valid points; the two sets are disjoint
+    (cover_anti is the exact complement of cover_lookup_best)."""
+    from pyspark.sql import functions as F
+
+    from co_new_spark.operators.cover import cover_anti, cover_lookup_best
+    from co_new_spark.queries.geo_cover_sql import _points_cells
+    from co_new_spark.sources.reference_data import load_citycover
+
+    cells = _points_cells(spark, "/root/testdata/sf0.001")
+    cov = load_citycover(spark)
+    hit = {r.event_id for r in
+           cover_lookup_best(cells, cov, keep=["event_id"], dedup=False)
+           .select("event_id").collect()}
+    miss = {r.event_id for r in
+            cover_anti(cells, cov, keep=["event_id"]).collect()}
+    allv = {r.event_id for r in cells.select("event_id").collect()}
+    assert hit | miss == allv
+    assert not (hit & miss)
+    assert miss  # the fixture layout leaves genuinely uncovered territory
