@@ -191,3 +191,24 @@ def test_time_interval_join_bucketization_lossless(spark):
                          F.sum("cents").alias("sum_cents")))
     want = {tuple(r) for r in naive.collect()}
     assert got == want
+
+
+def test_distance_join_is_equi_join(spark):
+    """The ring-1 rewrite must execute as a hash equi-join on the cell id —
+    never a BroadcastNestedLoopJoin/CartesianProduct over the raw distance
+    predicate."""
+    from co_new_spark.queries.geospatial2 import g_distance_join
+
+    plan = _plan(g_distance_join(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_focal_sum_shuffles_raster_not_points(spark):
+    """Exactly two aggregation exchanges (points->raster, raster->focal);
+    the ring spread must not add a third."""
+    from co_new_spark.queries.geospatial2 import g_focal_sum
+
+    plan = _plan(g_focal_sum(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
