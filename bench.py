@@ -99,7 +99,7 @@ def run() -> dict:
         "geo_voronoi_assign", "rel_gapfill", "train_rarity_score",
         "train_split_assign", "train_e2e_pipeline",
         "geo_distance_join", "geo_od_matrix", "geo_focal_sum",
-        "rel_time_interval_join", "geo_trajectory_stats",
+        "rel_time_interval_join", "geo_trajectory_stats", "geo_grid_cluster",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]
@@ -143,39 +143,50 @@ def run() -> dict:
         # slow both runs cancel in the ratio, unlike independent best-of-N
         # per level (which understates efficiency whenever the 1-core run
         # happens to land in a quiet minute).  Report the best paired trial.
-        pairs: list[dict] = []
-        for _trial in range(trials):
-            got: dict[int, dict] = {}
-            for c in (1, 4):
-                r = subprocess.run([sys.executable, worker, str(c), str(scale_pages)],
-                                   capture_output=True, text=True, env=env)
-                if r.returncode != 0 or not r.stdout.strip():
-                    print(f"scaling worker (cores={c}) failed rc={r.returncode}: "
-                          f"{r.stderr[-2000:]}", file=sys.stderr)
-                    continue
-                got[c] = json.loads(r.stdout.strip().splitlines()[-1])
-            if 1 in got and 4 in got:
-                pairs.append({
-                    "eff": got[4]["pages_per_sec"] / got[1]["pages_per_sec"] / 4.0,
-                    **{c: got[c] for c in (1, 4)},
-                })
-        if not pairs:
-            raise RuntimeError("all scaling trial pairs failed; see worker stderr")
-        best = max(pairs, key=lambda p: p["eff"])
-        out["scaling"] = {
-            "pages": scale_pages,
-            "n_cores": {"throughput": best[1]["pages_per_sec"],
-                        "wall_s": best[1]["wall_s"], "cores": 1},
-            "4n_cores": {"throughput": best[4]["pages_per_sec"],
-                         "wall_s": best[4]["wall_s"], "cores": 4},
-            # >1.0 (superlinear) only happens when residual host noise slowed
-            # the pair's 1-core run; clamp — raw values stay in per_trial
-            "efficiency": round(min(best["eff"], 1.0), 3),
-            "efficiency_per_trial": [round(p["eff"], 3) for p in pairs],
-            "partition_skew": best[4]["partition_skew"],
-            "hot_municipality_share": best[4]["hot_share"],
-            "straggler_ratio": best[4].get("straggler_ratio"),
-        }
+        def run_pairs(pair_env: dict) -> dict:
+            pairs: list[dict] = []
+            for _trial in range(trials):
+                got: dict[int, dict] = {}
+                for c in (1, 4):
+                    r = subprocess.run(
+                        [sys.executable, worker, str(c), str(scale_pages)],
+                        capture_output=True, text=True, env=pair_env)
+                    if r.returncode != 0 or not r.stdout.strip():
+                        print(f"scaling worker (cores={c}) failed rc={r.returncode}: "
+                              f"{r.stderr[-2000:]}", file=sys.stderr)
+                        continue
+                    got[c] = json.loads(r.stdout.strip().splitlines()[-1])
+                if 1 in got and 4 in got:
+                    pairs.append({
+                        "eff": got[4]["pages_per_sec"] / got[1]["pages_per_sec"] / 4.0,
+                        **{c: got[c] for c in (1, 4)},
+                    })
+            if not pairs:
+                raise RuntimeError("all scaling trial pairs failed; see worker stderr")
+            best = max(pairs, key=lambda p: p["eff"])
+            return {
+                "pages": scale_pages,
+                "n_cores": {"throughput": best[1]["pages_per_sec"],
+                            "wall_s": best[1]["wall_s"], "cores": 1},
+                "4n_cores": {"throughput": best[4]["pages_per_sec"],
+                             "wall_s": best[4]["wall_s"], "cores": 4},
+                # >1.0 (superlinear) only happens when residual host noise
+                # slowed the pair's 1-core run; clamp — raw values stay in
+                # per_trial
+                "efficiency": round(min(best["eff"], 1.0), 3),
+                "efficiency_per_trial": [round(p["eff"], 3) for p in pairs],
+                "partition_skew": best[4]["partition_skew"],
+                "hot_municipality_share": best[4]["hot_share"],
+                "straggler_ratio": best[4].get("straggler_ratio"),
+            }
+
+        out["scaling"] = run_pairs(env)
+        # Optional second pair on a SHUFFLE-BOUND job (exact-dedup shape:
+        # the full fact table exchanges on its fingerprint) — the flagship's
+        # cover join is broadcast-only, so this evidences the exchange path
+        # separately.  Off by default to bound bench wall time.
+        if os.environ.get("SPARK_GRAFT_SCALING_SHUFFLE", "0") == "1":
+            out["scaling_shuffle"] = run_pairs({**env, "SCALING_JOB": "shuffle"})
     return out
 
 

@@ -275,9 +275,85 @@ FROM mm GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_grid_cluster — DBSCAN-style density clustering, no pairwise distances
+# ---------------------------------------------------------------------------
+
+_CL_RBITS = 8     # 16x16 refinement below L0 -> 32,768 m cells
+_CL_MIN_PTS = 4   # density threshold: a cell is "dense" with >= this many pts
+
+
+def g_grid_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Density-based spatial clustering at scale: points -> per-cell counts,
+    keep dense cells (>= ``_CL_MIN_PTS``), connect king-adjacent dense cells,
+    label connected components (alternating large-star/small-star), roll up
+    per cluster.  The DBSCAN core-cell approximation — O(points) + O(dense
+    cells) with NO pairwise distance computation; at 100 TB the only
+    fact-sized operation is the first per-cell aggregate, the component
+    iteration runs on the (tiny) dense-cell graph."""
+    pts = (_event_points(spark, sf)
+           .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _CL_RBITS))
+           .filter(F.col("cell") >= 0))
+    dense = (pts.groupBy("cell").agg(F.count("*").alias("n"))
+                .filter(F.col("n") >= _CL_MIN_PTS))
+    nb = (dense.select(F.col("cell").alias("u"),
+                       F.explode(ring_cells_udf(1)(F.col("cell"))).alias("v"))
+               .filter(F.col("u") != F.col("v")))
+    edges = nb.join(dense.select(F.col("cell").alias("v")), "v")
+    from ..operators.components import connected_components
+
+    comp = connected_components(edges, nodes=dense.select("cell"))
+    lab = dense.join(comp.withColumnRenamed("node", "cell"), "cell")
+    return (lab.groupBy(F.col("component").alias("cluster_id"))
+               .agg(F.count("*").alias("n_cells"),
+                    F.sum("n").alias("n_points")))
+
+
+_CL_NSIDE = 1 << (_CL_RBITS // 2)
+_CL_S = grids.L0_SIDE / _CL_NSIDE
+_MORTON8 = morton_ref(_CL_RBITS, "iy", "ix")
+
+SQL_GRID_CLUSTER = f"""
+WITH RECURSIVE raw AS (
+  SELECT {_XENG} AS x, {_YENG} AS y FROM events
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_CL_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_CL_S!r}) AS BIGINT) AS gj
+  FROM raw
+), lat AS (
+  SELECT gi, gj, gi // {_CL_NSIDE} AS i, gj // {_CL_NSIDE} AS j,
+         gi % {_CL_NSIDE} AS ix, gj % {_CL_NSIDE} AS iy
+  FROM g
+), dense AS (
+  SELECT gi, gj,
+         ((min({_L0_CASE}) * {1 << _CL_RBITS} + min({_MORTON8})) * 64
+          + {4 + _CL_RBITS}) AS cell,
+         count(*) AS n
+  FROM lat WHERE {_L0_CASE} >= 0
+  GROUP BY gi, gj HAVING count(*) >= {_CL_MIN_PTS}
+), ed AS (
+  SELECT a.cell AS u, b.cell AS v
+  FROM dense a JOIN dense b
+    ON abs(a.gi - b.gi) <= 1 AND abs(a.gj - b.gj) <= 1 AND a.cell <> b.cell
+), reach(src, dst) AS (
+  SELECT cell, cell FROM dense
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN ed e ON e.u = r.dst
+), lbl AS (
+  SELECT src AS cell, min(dst) AS component FROM reach GROUP BY src
+)
+SELECT lbl.component AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(dense.n) AS BIGINT) AS n_points
+FROM dense JOIN lbl ON dense.cell = lbl.cell
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "geo_distance_join": (g_distance_join, SQL_DISTANCE_JOIN),
     "geo_od_matrix": (g_od_matrix, SQL_OD_MATRIX),
     "geo_focal_sum": (g_focal_sum, SQL_FOCAL_SUM),
     "geo_trajectory_stats": (g_trajectory_stats, SQL_TRAJECTORY),
+    "geo_grid_cluster": (g_grid_cluster, SQL_GRID_CLUSTER),
 }

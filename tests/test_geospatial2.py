@@ -148,3 +148,47 @@ def test_trajectory_stats_invariants(spark):
             assert out[uid].path_mm >= out[uid].max_leg_mm > 0
         else:
             assert uid not in out
+
+
+def test_grid_cluster_matches_union_find(spark):
+    """Engine clustering == a plain union-find over the same dense-cell
+    king-adjacency graph (independent of the large-star/small-star code)."""
+    from co_new_spark.grid import cells as ncells
+    from co_new_spark.queries.geospatial2 import (
+        _CL_MIN_PTS, _CL_RBITS, g_grid_cluster,
+    )
+    from co_new_spark.queries.geospatial import _event_points
+
+    got = {(r.cluster_id, r.n_cells, r.n_points)
+           for r in g_grid_cluster(spark, SF).collect()}
+
+    pts = (_event_points(spark, SF)
+           .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _CL_RBITS))
+           .filter(F.col("cell") >= 0)).toPandas()
+    counts = pts.groupby("cell").size()
+    dense = {int(c): int(n) for c, n in counts.items() if n >= _CL_MIN_PTS}
+    cells = np.array(sorted(dense), dtype=np.int64)
+
+    parent = {c: c for c in dense}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nb = ncells.neighbors_b(cells, ring=1)
+    for me, row in zip(cells, nb):
+        for v in row:
+            if v >= 0 and int(v) in dense:
+                ra, rb = find(int(me)), find(int(v))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    comp = {}
+    for c in dense:
+        comp.setdefault(find(c), []).append(c)
+    want = {(root, len(mem), sum(dense[c] for c in mem))
+            for root, mem in comp.items()}
+    assert got == want
+    assert len(want) > 1  # subcritical density: several clusters, not one blob

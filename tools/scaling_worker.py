@@ -52,6 +52,18 @@ def main(cpus: int, n_pages: int) -> dict:
         hit = cover_lookup_best(pts, cover, keep=["url", "cell"], dedup=False)
         return hit.groupBy("isolabel_ext").agg(F.count("*").alias("n"))
 
+    def shuffle_job(src):
+        # SHUFFLE-BOUND scaling evidence (SCALING_JOB=shuffle): exact-dedup
+        # shape — fingerprint every page and shuffle the FULL fact table on
+        # the fingerprint (the flagship's cover join is broadcast-only, so
+        # it exercises the map path; this pair exercises the exchange path).
+        f = src.select(F.md5(F.col("text")).alias("fp"))
+        per = f.groupBy("fp").agg(F.count("*").alias("n"))
+        return per.groupBy("n").agg(F.count("*").alias("n_groups"))
+
+    job = flagship if os.environ.get("SCALING_JOB", "flagship") == "flagship" \
+        else shuffle_job
+
     # steady-state warmup (untimed): execute the SAME plan shape once —
     # plan analysis + whole-stage codegen + python-worker imports are
     # per-process costs a long-running job amortizes to zero, and they are
@@ -60,15 +72,19 @@ def main(cpus: int, n_pages: int) -> dict:
     # The timed run REBUILDS the DataFrame: re-collecting the same object
     # would skip the heavy shuffle-map stage (its output files persist) and
     # time only the reduce.
-    flagship(spark.read.parquet(src_path)).collect()
+    job(spark.read.parquet(src_path)).collect()
 
-    agg = flagship(spark.read.parquet(src_path))
+    agg = job(spark.read.parquet(src_path))
     t0 = time.time()
     t0_utc = time.gmtime(t0)
     rows = agg.collect()
     wall = time.time() - t0
-    n_geo = sum(r.n for r in rows)
-    hot_share = max(r.n for r in rows) / n_geo
+    if job is flagship:
+        n_geo = sum(r.n for r in rows)
+        hot_share = max(r.n for r in rows) / n_geo
+    else:
+        n_geo = sum(r.n_groups for r in rows)  # distinct fingerprints
+        hot_share = 0.0
 
     # input-partition balance of the scan feeding the Arrow-UDF stage
     pg = spark.read.parquet(src_path)
