@@ -651,8 +651,36 @@ GROUP BY anchor_id
 """
 
 
+def q_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """B16 completeness: the full ranking-function family — ntile quartiles,
+    percent_rank, cume_dist — over a deterministic (value, key) order.
+    percent_rank/cume_dist are exact rationals evaluated as one double
+    division, so they hash identically across engines."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_RANK_FAMILY = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 QUERIES = {
     "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
+    "rel_rank_family": (q_rank_family, SQL_RANK_FAMILY),
     "rel_time_interval_join": (q_time_interval_join, SQL_TIME_INTERVAL_JOIN),
     "rel_percentiles_approx": (q_percentiles_approx, SQL_PERCENTILES_APPROX),
     "rel_cube": (q_cube, SQL_CUBE),
