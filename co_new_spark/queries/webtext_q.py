@@ -212,8 +212,35 @@ FROM read_parquet('{FIXTURE_PAGES}')
 """
 
 
+def w_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """B19's parse_url surface: per-host crawl stats (pages, distinct paths,
+    language mix) — host extraction via the native ``parse_url`` expression;
+    the oracle restates it as the authority regex, which is exact on
+    scheme://host/path URLs (no userinfo/port in the crawl fixture, and
+    malformed URLs are NULL-host on both engines)."""
+    pg = _fixture(spark)
+    return (pg.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+              .groupBy("host")
+              .agg(F.count("*").alias("n_pages"),
+                   F.countDistinct("url").alias("n_urls"),
+                   F.countDistinct("lang").alias("n_langs"),
+                   F.min("url").alias("first_url")))
+
+
+SQL_HOST_STATS = f"""
+SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(url) AS first_url
+FROM read_parquet('{FIXTURE_PAGES}')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "web_extract_parity": (w_extract_parity, SQL_EXTRACT_PARITY),
+    "web_host_stats": (w_host_stats, SQL_HOST_STATS),
     "web_url_canon": (w_url_canon, SQL_URL_CANON),
     "web_coord_scrub": (w_coord_scrub, SQL_COORD_SCRUB),
     "web_geoparse": (w_geoparse, SQL_GEOPARSE),
