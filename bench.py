@@ -180,7 +180,9 @@ def run() -> dict:
                 "straggler_ratio": best[4].get("straggler_ratio"),
             }
 
-        out["scaling"] = run_pairs(env)
+        # pin the job explicitly: a stray SCALING_JOB in the caller's
+        # environment must not silently swap the north-rule flagship pair
+        out["scaling"] = run_pairs({**env, "SCALING_JOB": "flagship"})
         # Optional second pair on a SHUFFLE-BOUND job (exact-dedup shape:
         # the full fact table exchanges on its fingerprint) — the flagship's
         # cover join is broadcast-only, so this evidences the exchange path

@@ -35,13 +35,20 @@ _XENG = "3678500.0 + ((event_id * 2654435761) % 2097152)"
 _YENG = "970000.0 + ((event_id * 40503) % 2621440)"
 
 
-def _event_points(spark: SparkSession, sf: str) -> DataFrame:
+def position_cols():
+    """The deterministic position hash as Spark Columns — THE single Spark-side
+    implementation of _XENG/_YENG (every query deriving planar positions from
+    event_id must use this, so the hash constants live in exactly one
+    Python + one SQL place)."""
+    x = (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x")
+    y = (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y")
+    return x, y
+
+
+def _event_points(spark: SparkSession, sf: str, extra: tuple = ()) -> DataFrame:
     ev = load(spark, sf, "events")
-    return ev.select(
-        "event_id",
-        (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x"),
-        (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y"),
-    )
+    x, y = position_cols()
+    return ev.select("event_id", *extra, x, y)
 
 
 def g_cell_assign_parity(spark: SparkSession, sf: str) -> DataFrame:

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from ..functions import geo
 from ..grid import grids
 from ..operators.knn import ring_cells_udf
-from ..sources.tables import load
 from .geospatial import _XENG, _YENG, _event_points
 from .sql_grid import l0_case, morton_ref
 
@@ -100,11 +99,7 @@ def g_od_matrix(spark: SparkSession, sf: str) -> DataFrame:
     (previous cell -> current cell) transition, count trips + distinct users
     per directed cell pair.  Grid-invalid points are dropped BEFORE
     sequencing (both engines agree on the resulting per-user order)."""
-    ev = load(spark, sf, "events").select(
-        "event_id", "user_id", "ts",
-        (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x"),
-        (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y"),
-    )
+    ev = _event_points(spark, sf, extra=("user_id", "ts"))
     seq = (ev.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _OD_RBITS))
              .filter(F.col("cell") >= 0)
              .withColumn("prev", F.lag("cell").over(
@@ -235,11 +230,7 @@ def g_trajectory_stats(spark: SparkSession, sf: str) -> DataFrame:
     engines compute the identical double per leg; the subsequent integer sum
     is order-independent — a raw double sum would not be).  One window
     shuffle on user_id; the final aggregate rides the same partitioning."""
-    ev = load(spark, sf, "events").select(
-        "event_id", "user_id", "ts",
-        (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x"),
-        (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y"),
-    )
+    ev = _event_points(spark, sf, extra=("user_id", "ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     legs = (ev.withColumn("px", F.lag("x").over(w))
               .withColumn("py", F.lag("y").over(w))
@@ -294,8 +285,11 @@ def g_grid_cluster(spark: SparkSession, sf: str) -> DataFrame:
     pts = (_event_points(spark, sf)
            .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _CL_RBITS))
            .filter(F.col("cell") >= 0))
+    # cache: dense feeds both sides of the edge join, the nodes arg and the
+    # final rollup — without it each consumer re-runs the fact-sized
+    # per-cell aggregate (the one operation that touches all points)
     dense = (pts.groupBy("cell").agg(F.count("*").alias("n"))
-                .filter(F.col("n") >= _CL_MIN_PTS))
+                .filter(F.col("n") >= _CL_MIN_PTS)).cache()
     nb = (dense.select(F.col("cell").alias("u"),
                        F.explode(ring_cells_udf(1)(F.col("cell"))).alias("v"))
                .filter(F.col("u") != F.col("v")))

@@ -120,43 +120,43 @@ FROM events GROUP BY event_type
 
 def s_geo_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Geo x streaming composition: the Arrow/pandas encode kernel runs
-    INSIDE the streaming micro-batch — derive planar positions, assign the
-    Grid B cell (rbits=4), then watermarked tumbling-window counts per cell.
-    Proves the vectorized-UDF path composes with Structured Streaming."""
-    from pyspark.sql import functions as F  # noqa: F811
-
+    INSIDE the streaming micro-batch — derive planar positions (the shared
+    position_cols hash), assign the Grid B cell (rbits=4), then watermarked
+    tumbling-window counts per cell.  Proves the vectorized-UDF path
+    composes with Structured Streaming."""
     from ..functions import geo
-    from ..grid import grids
+    from .geospatial import position_cols
 
     ev = _events_stream(spark, sf)
-    pos = ev.select(
-        "ts",
-        (F.lit(grids.L0_ORIGIN_X) + (F.col("event_id") * 2654435761) % 2097152).alias("x"),
-        (F.lit(grids.L0_ORIGIN_Y) + (F.col("event_id") * 40503) % 2621440).alias("y"),
-    ).withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4)) \
-     .filter(F.col("cell") >= 0)
+    x, y = position_cols()
+    pos = (ev.select("ts", x, y)
+             .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4))
+             .filter(F.col("cell") >= 0))
     agg = sp.windowed_counts(pos, "ts", ["cell"], window="1 hour")
     out = sp.run_available_now(agg, "complete")
     return out.select(F.col("win.start").alias("window_start"), "cell", "n")
 
 
 def _sql_cell_r4() -> str:
+    # single-source fragments: position hash from geospatial._XENG/_YENG,
+    # grid constants from grids, digit/morton from sql_grid
+    from ..grid import grids
+    from .geospatial import _XENG, _YENG
     from .sql_grid import l0_case, morton_ref
 
+    x0, s = grids.L0_ORIGIN_X, grids.L0_SIDE
+    y0 = grids.L0_ORIGIN_Y
     return f"""
 pts AS (
-  SELECT ts,
-         3678500.0 + ((event_id * 2654435761) % 2097152) AS x,
-         970000.0 + ((event_id * 40503) % 2621440) AS y
-  FROM events
+  SELECT ts, {_XENG} AS x, {_YENG} AS y FROM events
 ), c AS (
   SELECT ts,
-         CAST(floor((x - 3678500.0) / 524288.0) AS BIGINT) AS i,
-         CAST(floor((y - 970000.0) / 524288.0) AS BIGINT) AS j,
-         CAST(floor(((x - 3678500.0) / 524288.0
-                     - floor((x - 3678500.0) / 524288.0)) * 4) AS BIGINT) AS ix,
-         CAST(floor(((y - 970000.0) / 524288.0
-                     - floor((y - 970000.0) / 524288.0)) * 4) AS BIGINT) AS iy
+         CAST(floor((x - {x0!r}) / {s!r}) AS BIGINT) AS i,
+         CAST(floor((y - {y0!r}) / {s!r}) AS BIGINT) AS j,
+         CAST(floor(((x - {x0!r}) / {s!r}
+                     - floor((x - {x0!r}) / {s!r})) * 4) AS BIGINT) AS ix,
+         CAST(floor(((y - {y0!r}) / {s!r}
+                     - floor((y - {y0!r}) / {s!r})) * 4) AS BIGINT) AS iy
   FROM pts
 ), cells AS (
   SELECT ts, ({l0_case()} * 16 + {morton_ref(4)}) * 64 + 8 AS cell

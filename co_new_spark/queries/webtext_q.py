@@ -215,9 +215,10 @@ FROM read_parquet('{FIXTURE_PAGES}')
 def w_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     """B19's parse_url surface: per-host crawl stats (pages, distinct paths,
     language mix) — host extraction via the native ``parse_url`` expression;
-    the oracle restates it as the authority regex, which is exact on
-    scheme://host/path URLs (no userinfo/port in the crawl fixture, and
-    malformed URLs are NULL-host on both engines)."""
+    the oracle restates it as the authority regex, exact on the fixture's
+    scheme://host/path URLs (no userinfo/port).  Schemeless/malformed URLs
+    are NULL-host in Spark but ''-match in DuckDB's regexp_extract, so the
+    oracle wraps the extract in nullif(..., '') to align the two."""
     pg = _fixture(spark)
     return (pg.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
               .groupBy("host")
@@ -228,7 +229,7 @@ def w_host_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_HOST_STATS = f"""
-SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS host,
        CAST(count(*) AS BIGINT) AS n_pages,
        CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,

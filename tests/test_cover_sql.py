@@ -12,6 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.01"
+# small scale for collect()-heavy set-comparison tests
+SF_SMALL = "/root/testdata/sf0.001"
 
 
 def test_synonym_ref_parse(spark):
@@ -170,7 +172,7 @@ def test_cover_anti_partitions_points(spark):
     from co_new_spark.queries.geo_cover_sql import _points_cells
     from co_new_spark.sources.reference_data import load_citycover
 
-    cells = _points_cells(spark, "/root/testdata/sf0.001")
+    cells = _points_cells(spark, SF_SMALL)
     cov = load_citycover(spark)
     hit = {r.event_id for r in
            cover_lookup_best(cells, cov, keep=["event_id"], dedup=False)

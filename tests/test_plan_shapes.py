@@ -166,6 +166,7 @@ def test_time_interval_join_is_hash_join(spark):
     plan = _plan(q_time_interval_join(spark, SF))
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
 
 
 def test_time_interval_join_bucketization_lossless(spark):

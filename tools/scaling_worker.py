@@ -61,8 +61,10 @@ def main(cpus: int, n_pages: int) -> dict:
         per = f.groupBy("fp").agg(F.count("*").alias("n"))
         return per.groupBy("n").agg(F.count("*").alias("n_groups"))
 
-    job = flagship if os.environ.get("SCALING_JOB", "flagship") == "flagship" \
-        else shuffle_job
+    job_name = os.environ.get("SCALING_JOB", "flagship")
+    if job_name not in ("flagship", "shuffle"):
+        raise ValueError(f"SCALING_JOB must be 'flagship' or 'shuffle', got {job_name!r}")
+    job = flagship if job_name == "flagship" else shuffle_job
 
     # steady-state warmup (untimed): execute the SAME plan shape once —
     # plan analysis + whole-stage codegen + python-worker imports are
