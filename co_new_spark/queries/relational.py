@@ -678,9 +678,62 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join completeness: per-nation customer counts vs supplier
+    counts — nations with only one side present survive with a NULL count
+    on the other (coalesced to 0 for a stable hash)."""
+    c = (load(spark, sf, "customer").groupBy("c_nationkey")
+         .agg(F.count("*").alias("n_cust"))
+         .select(F.col("c_nationkey").alias("nk"), "n_cust"))
+    s = (load(spark, sf, "supplier").groupBy("s_nationkey")
+         .agg(F.count("*").alias("n_supp"))
+         .select(F.col("s_nationkey").alias("nk"), "n_supp"))
+    return (c.join(s, "nk", "full_outer")
+             .select("nk",
+                     F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                     F.coalesce("n_supp", F.lit(0)).alias("n_supp")))
+
+
+SQL_FULL_OUTER = """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nk,
+       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """B15 completeness beyond rollup/cube: arbitrary GROUPING SETS with
+    grouping_id() disambiguating the all-NULL group of each set."""
+    c = load(spark, sf, "customer")
+    c.createOrReplaceTempView("_gs_customer")
+    return spark.sql("""
+        SELECT c_mktsegment, c_nationkey % 5 AS nation_band,
+               grouping(c_mktsegment) AS g_seg,
+               grouping(c_nationkey % 5) AS g_band,
+               count(*) AS n, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM _gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey % 5), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT c_mktsegment, c_nationkey % 5 AS nation_band,
+       grouping(c_mktsegment) AS g_seg,
+       grouping(c_nationkey % 5) AS g_band,
+       count(*) AS n, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey % 5), ())
+"""
+
+
 QUERIES = {
     "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
     "rel_rank_family": (q_rank_family, SQL_RANK_FAMILY),
+    "rel_full_outer_join": (q_full_outer, SQL_FULL_OUTER),
+    "rel_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "rel_time_interval_join": (q_time_interval_join, SQL_TIME_INTERVAL_JOIN),
     "rel_percentiles_approx": (q_percentiles_approx, SQL_PERCENTILES_APPROX),
     "rel_cube": (q_cube, SQL_CUBE),
