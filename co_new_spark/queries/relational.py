@@ -729,11 +729,41 @@ GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey % 5), ())
 """
 
 
+_HIST_BINS = 20
+_HIST_LO, _HIST_HI = 0.0, 20.0
+
+
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned aggregation (histogram): 20 equal-width bins over events.value
+    with an overflow bin — the dashboarding primitive.  One map-side-combined
+    aggregate on a derived integer key; floor arithmetic is identical on both
+    engines (value has 2 decimals, bin edges are exact halves)."""
+    ev = load(spark, sf, "events")
+    w = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bin_ = F.least(F.floor((F.col("value") - _HIST_LO) / w).cast("long"),
+                   F.lit(_HIST_BINS))
+    return (ev.filter(F.col("value").isNotNull())
+              .groupBy(bin_.alias("bin"))
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents")))
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT least(CAST(floor((value - {_HIST_LO!r}) / {(_HIST_HI - _HIST_LO) / _HIST_BINS!r})
+                  AS BIGINT), {_HIST_BINS}) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
     "rel_rank_family": (q_rank_family, SQL_RANK_FAMILY),
     "rel_full_outer_join": (q_full_outer, SQL_FULL_OUTER),
     "rel_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "rel_value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "rel_time_interval_join": (q_time_interval_join, SQL_TIME_INTERVAL_JOIN),
     "rel_percentiles_approx": (q_percentiles_approx, SQL_PERCENTILES_APPROX),
     "rel_cube": (q_cube, SQL_CUBE),
