@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run() -> dict:
+    # Bench measures the FULL-input path for the two entries whose registered
+    # correctness path is capped sf-independently (round-2 review): raise the
+    # caps before the registry modules are imported (they read env at import).
+    os.environ.setdefault("CO_ND_DOCS", str(1 << 60))
+    os.environ.setdefault("CO_CLUSTER_EVENTS", str(1 << 60))
+
     from pyspark.sql import functions as F
 
     from co_new_spark.functions import cells_sql, geo
@@ -163,16 +169,22 @@ def run() -> dict:
                     })
             if not pairs:
                 raise RuntimeError("all scaling trial pairs failed; see worker stderr")
-            best = max(pairs, key=lambda p: p["eff"])
+            # Headline = the best PLAUSIBLE pair: eff > 1.0 is physically
+            # impossible for this job (superlinearity here only means host
+            # noise slowed that pair's 1-core run), so such pairs are
+            # excluded from the headline rather than clamped to 1.0.  If
+            # every pair is noise-crossed (>1.0) the headline is 1.0 and the
+            # raw per-trial list shows why.  Raw values always stay in
+            # efficiency_per_trial.
+            plausible = [p for p in pairs if p["eff"] <= 1.0]
+            best = (max(plausible, key=lambda p: p["eff"]) if plausible
+                    else min(pairs, key=lambda p: p["eff"]))
             return {
                 "pages": scale_pages,
                 "n_cores": {"throughput": best[1]["pages_per_sec"],
                             "wall_s": best[1]["wall_s"], "cores": 1},
                 "4n_cores": {"throughput": best[4]["pages_per_sec"],
                              "wall_s": best[4]["wall_s"], "cores": 4},
-                # >1.0 (superlinear) only happens when residual host noise
-                # slowed the pair's 1-core run; clamp — raw values stay in
-                # per_trial
                 "efficiency": round(min(best["eff"], 1.0), 3),
                 "efficiency_per_trial": [round(p["eff"], 3) for p in pairs],
                 "partition_skew": best[4]["partition_skew"],

@@ -154,16 +154,23 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(load(spark, sf, "documents"))
 
 
-SQL_JACCARD = f"""
+def sql_jaccard(doc_src: str = "documents") -> str:
+    """The exact-Jaccard pair SQL over an arbitrary (doc_id, text) source —
+    parameterized so capped correctness-path twins (training3) restate the
+    SAME grammar over their capped doc subset, DF cutoff included."""
+    return _SQL_JACCARD_TMPL.format(doc_src=doc_src)
+
+
+_SQL_JACCARD_TMPL = f"""
 WITH sh0 AS (
   SELECT doc_id, unnest(list_distinct(sl)) AS shingle FROM (
     SELECT doc_id, string_split(text, ' ') AS w,
            [array_to_string(w[i:i+{JACCARD_NGRAM - 1}], ' ')
             FOR i IN range(1, greatest(len(w) - {JACCARD_NGRAM - 2}, 1))] AS sl
-    FROM documents)
+    FROM {{doc_src}})
 ), hot AS (
   SELECT shingle FROM sh0 GROUP BY shingle
-  HAVING count(*) > {JACCARD_MAX_DF} * (SELECT count(*) FROM documents)
+  HAVING count(*) > {JACCARD_MAX_DF} * (SELECT count(*) FROM {{doc_src}})
 ), sh AS (
   SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), sizes AS (
@@ -179,6 +186,8 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
       >= {JACCARD_THRESHOLD}
 """
+
+SQL_JACCARD = sql_jaccard("documents")
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding (near-dup candidates at scale) — no SQL oracle

@@ -7,6 +7,8 @@ running-total; both recompute the exact same edge/score inputs in SQL).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -14,19 +16,31 @@ from ..functions import text as tx
 from ..operators.components import connected_components
 from ..operators.packing import pack_greedy
 from ..sources.tables import load
-from .training import SQL_JACCARD, t_ngram_jaccard_pairs
+from .training import jaccard_pairs, sql_jaccard
 from .training2 import SQL_QUALITY
 
 # ---------------------------------------------------------------------------
 # Near-dup clustering: candidate pairs -> connected components
 # ---------------------------------------------------------------------------
 
+# Correctness-path doc cap (round-2 review item: the registered entry ran
+# exact Jaccard over ALL docs — 13.1 s at sf0.1 — and crowded the driver's
+# per-entry budget).  The recursive-CTE oracle proves the CC algorithm at
+# any size, so the REGISTERED entry runs on an sf-independent doc subset;
+# bench.py raises the cap via env to keep measuring the full-corpus path.
+_ND_DOCS = int(os.environ.get("CO_ND_DOCS", "2000"))
+_ND_SRC = f"(SELECT * FROM documents WHERE doc_id < {_ND_DOCS})"
+
+
+def _nd_docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "documents").filter(F.col("doc_id") < _ND_DOCS)
+
 
 def _doc_components(spark: SparkSession, sf: str) -> DataFrame:
-    edges = t_ngram_jaccard_pairs(spark, sf).select(
+    docs = _nd_docs(spark, sf)
+    edges = jaccard_pairs(docs).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    docs = load(spark, sf, "documents").select("doc_id")
-    return connected_components(edges, nodes=docs).select(
+    return connected_components(edges, nodes=docs.select("doc_id")).select(
         F.col("node").alias("doc_id"), "component")
 
 
@@ -40,10 +54,10 @@ def t_neardup_components(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_COMPONENTS = f"""
 WITH RECURSIVE
-j AS (SELECT doc_a AS u, doc_b AS v FROM ({SQL_JACCARD})),
+j AS (SELECT doc_a AS u, doc_b AS v FROM ({sql_jaccard(_ND_SRC)})),
 ed AS (SELECT u, v FROM j UNION SELECT v AS u, u AS v FROM j),
 reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM {_ND_SRC}
   UNION
   SELECT r.src, e.v FROM reach r JOIN ed e ON e.u = r.dst
 )
@@ -57,7 +71,7 @@ def t_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     tie-break.  This is the row-level outcome a 100 TB pipeline materializes
     (components + quality are both shuffles on already-reduced keys)."""
     comp = _doc_components(spark, sf)
-    docs = load(spark, sf, "documents")
+    docs = _nd_docs(spark, sf)
     q = docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
     j = comp.join(q, "doc_id")
     w = Window.partitionBy("component")
@@ -76,7 +90,9 @@ FROM (
          count(*) OVER (PARTITION BY c.component) AS n_members,
          row_number() OVER (PARTITION BY c.component
                             ORDER BY q.quality DESC, q.doc_id) AS rn
-  FROM ({SQL_COMPONENTS}) c JOIN ({SQL_QUALITY}) q ON q.doc_id = c.doc_id
+  FROM ({SQL_COMPONENTS}) c
+  JOIN (SELECT * FROM ({SQL_QUALITY}) WHERE doc_id < {_ND_DOCS}) q
+    ON q.doc_id = c.doc_id
 ) WHERE rn = 1
 """
 
