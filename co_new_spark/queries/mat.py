@@ -1,0 +1,41 @@
+"""Materialized-intermediate oracle support (round-2 VERDICT ask #4).
+
+Some operators are only rows-only-checkable because ONE step uses a hash
+family DuckDB lacks (Spark's xxhash64).  Splitting the pipeline at that step
+makes everything downstream oracle-checkable: the query WRITES the
+hash-dependent intermediate (signatures / band hashes / buckets) to a
+deterministic parquet path as part of its execution and rebuilds its result
+FROM that parquet; the DuckDB oracle reads the very same bytes and re-derives
+the downstream logic (bucket capping, self-join pair emission, re-ranking)
+independently.  The hash family itself stays gated by the recall/property
+pytests (tests/test_properties_ops.py).
+
+The path is fixed per entry name (not per sf): the driver and check_oracle
+run the Spark query immediately before its oracle within one process, so the
+file always reflects the current sf_dir.  Contents are deterministic for a
+given input table, so re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def mat_path(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), "co_oracle_mat", name)
+
+
+def mat_glob(name: str) -> str:
+    """The read_parquet() pattern for the oracle side."""
+    return os.path.join(mat_path(name), "*.parquet")
+
+
+def materialize(df: DataFrame, name: str) -> DataFrame:
+    """Write ``df`` to the entry's materialization path and read it back, so
+    the Spark result provably derives from the same bytes the oracle reads."""
+    path = mat_path(name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
