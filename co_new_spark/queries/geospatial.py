@@ -21,13 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cells_sql, geo
-from ..functions import text as txf
 from ..grid import grids
 from ..operators import tiles
-from ..operators.cover import cover_lookup_best
-from ..operators.knn import knn_ring
-from ..sources.reference_data import load_citycover
-from ..sources.pages import pages
 from ..sources.tables import load
 
 # deterministic planar points from events (exact in float64 on both engines)
@@ -132,60 +127,9 @@ FROM t GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
-# Pages-based pipelines (rows-only driver check; bit-exactness via pytest)
+# Pages-based pipelines moved to queries/geo_pages.py (round-3): they now run
+# over the COMMITTED fixtures so the driver hash-checks them end to end.
 # ---------------------------------------------------------------------------
-
-# Correctness-path default is deliberately small: the driver runs all 72
-# registry entries under one budget at sf0.01, so each pages-based entry
-# only needs enough rows to exercise every code path.  bench.py measures
-# throughput with its own BENCH_PAGES-sized input.
-_PAGES_N = int(os.environ.get("CO_Q_PAGES", "6000"))
-
-
-def g_pages_l0_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """Flagship shape: synthetic pages -> geoparse -> geocode -> per-L0 agg."""
-    pg = pages(spark, _PAGES_N)
-    parsed = pg.select(
-        "url",
-        txf.parse_lat(F.col("text")).alias("lat"),
-        txf.parse_lon(F.col("text")).alias("lon"),
-    ).filter(F.col("lat").isNotNull())
-    cells = parsed.withColumn("cell", geo.encode_b_cell(F.col("lat"), F.col("lon"), 12))
-    return (
-        cells.withColumn("l0", cells_sql.cell_l0_digit(F.col("cell")))
-        .groupBy("l0")
-        .agg(F.count("*").alias("n_pages"), F.countDistinct("url").alias("n_urls"))
-    )
-
-
-def g_cover_lookup(spark: SparkSession, sf: str) -> DataFrame:
-    """pages -> cell -> municipality via the prefix-rewritten cover join."""
-    cover = load_citycover(spark)
-    pg = pages(spark, _PAGES_N)
-    pts = pg.select(
-        "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
-    ).filter(F.col("cell") >= 0)
-    hit = cover_lookup_best(pts, cover, keep=["url", "cell"])
-    return hit.groupBy("isolabel_ext").agg(F.count("*").alias("n_pages")) \
-              .orderBy(F.col("n_pages").desc(), "isolabel_ext").limit(50)
-
-
-def g_knn_ring(spark: SparkSession, sf: str) -> DataFrame:
-    """kNN of page points around 50 query points via cell-ring expansion.
-
-    Projection+encode fused in one pandas UDF; NO filter on the UDF output
-    (a filter would re-evaluate the chain) — off-grid cells (-1) drop out
-    naturally because the ring array of an invalid cell is empty and -1
-    never appears in any ring.
-    """
-    pg = pages(spark, _PAGES_N, with_truth=True)
-    pts = pg.select(
-        "id", geo.latlon_to_xy_cell(F.col("true_lat"), F.col("true_lon"), 10).alias("s"))
-    pts = pts.select("id", F.col("s.x").alias("x"), F.col("s.y").alias("y"),
-                     F.col("s.cell").alias("cell"))
-    q = pts.filter(F.col("id") < 50).select(F.col("id").alias("qid"), "x", "y", "cell")
-    c = pts.select(F.col("id").alias("cid"), "x", "y", "cell")
-    return knn_ring(q, c, k=5, ring=1, exclude_self=True)
 
 
 # ---------------------------------------------------------------------------
@@ -580,7 +524,4 @@ QUERIES = {
     "geo_pyramid_rollup": (g_pyramid_rollup, SQL_PYRAMID),
     "geo_region_centroid": (g_region_centroid, SQL_REGION_CENTROID),
     "geo_voronoi_assign": (g_voronoi_assign, SQL_VORONOI),
-    "geo_pages_l0_histogram": (g_pages_l0_histogram, None),
-    "geo_cover_lookup": (g_cover_lookup, None),
-    "geo_knn_ring": (g_knn_ring, None),
 }

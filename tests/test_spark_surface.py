@@ -159,7 +159,7 @@ def test_sql_pipeline_matches_dataframe_pipeline(spark):
 def test_flagship_deterministic_across_runs(spark):
     """Run-twice determinism (SURVEY §5.2.6): identical results, identical
     ordering-insensitive content, across different partitionings."""
-    from co_new_spark.queries.geospatial import g_cover_lookup
+    from co_new_spark.queries.geo_pages import g_cover_lookup
 
     a = sorted(map(tuple, g_cover_lookup(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(tuple, g_cover_lookup(spark, "/root/testdata/sf0.001").collect()))

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "tests", "fixtures")
 PAGES_2K = os.path.join(FIXTURE_DIR, "pages2k.parquet")
+PAGES_2K_XY = os.path.join(FIXTURE_DIR, "pages2k_xy.parquet")
 N = 2_000
 
 
@@ -44,12 +45,45 @@ def main() -> None:
     shutil.move(part, PAGES_2K)
     shutil.rmtree(PAGES_2K + ".tmp")
 
+    # pages2k_xy.parquet: one row per DISTINCT geocodable url — parsed
+    # lat/lon + the EPSG:9377 forward projection, frozen at fixture time.
+    # Oracle SQL reads x/y from here (the TM series isn't SQL-expressible)
+    # while the Spark queries RE-DERIVE them with the live kernel, so any
+    # later parse/projection regression breaks the driver hash; absolute
+    # projection truth stays pinned by the reference assert vectors
+    # (geo_gridlib_asserts + tests/test_grid_golden.py).
+    from pyspark.sql import functions as F
+
+    from co_new_spark.functions import geo
+    from co_new_spark.functions import text as txf
+
+    pg = spark.read.parquet(PAGES_2K)
+    parsed = (pg.select("url", "text").distinct()
+              .select("url",
+                      txf.parse_lat(F.col("text")).alias("lat"),
+                      txf.parse_lon(F.col("text")).alias("lon"))
+              .filter(F.col("lat").isNotNull()))
+    xy = parsed.withColumn("p", geo.latlon_to_xy(F.col("lat"), F.col("lon"))) \
+               .select("url", "lat", "lon",
+                       F.col("p.x").alias("x"), F.col("p.y").alias("y")) \
+               .orderBy("url")
+    xy.coalesce(1).write.mode("overwrite").parquet(PAGES_2K_XY + ".tmp")
+    part = glob.glob(os.path.join(PAGES_2K_XY + ".tmp", "part-*.parquet"))[0]
+    if os.path.exists(PAGES_2K_XY):
+        os.remove(PAGES_2K_XY)
+    shutil.move(part, PAGES_2K_XY)
+    shutil.rmtree(PAGES_2K_XY + ".tmp")
+
     import duckdb
 
     n, h = duckdb.sql(
         f"SELECT count(*), sum(hash(url || text || lang)) "
         f"FROM read_parquet('{PAGES_2K}')").fetchone()
     print(f"wrote {PAGES_2K}: {n} rows, content hash {h}")
+    n2, h2 = duckdb.sql(
+        f"SELECT count(*), sum(hash(url || x || y)) "
+        f"FROM read_parquet('{PAGES_2K_XY}')").fetchone()
+    print(f"wrote {PAGES_2K_XY}: {n2} rows, content hash {h2}")
 
 
 if __name__ == "__main__":
