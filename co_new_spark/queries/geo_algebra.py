@@ -435,22 +435,30 @@ def g_cover_set_ops(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def g_seat_cells(spark: SparkSession, sf: str) -> DataFrame:
-    """A22: per-municipality seat overlay cells decoded to WGS84 centers.
+    """A22: per-municipality seat overlay cells decoded to EPSG:9377 centers.
 
     Every non-empty ``overlay`` in citycover.csv is the municipality seat's
-    half-cell (verified for Leticia/P.Nariño/Abejorral/Amalfi — SURVEY §2.A22);
-    decode = bit de-interleave + inverse TM, one Arrow crossing.
+    half-cell, uniformly depth 17 = 4 hex chars + one 1-bit suffix letter
+    (verified over the whole CSV — SURVEY §2.A22).  Emits the planar lattice
+    center (pure de-interleave math, SQL-expressible) so the oracle
+    (geo_cover_sql.SQL_SEAT_CELLS) can re-decode the CSV grammar AND the
+    y-first Morton bits in DuckDB; the WGS84 center itself is not
+    SQL-expressible (inverse TM), so it is pinned by ``roundtrip_ok``:
+    inverse->forward TM must return to the planar center within 1e-6 m
+    (plus the bit-exact pytest on the inverse kernel).
     """
     from ..sources.reference_data import load_citycover
 
     ov = load_citycover(spark).filter(F.col("kind") == "overlay")
     ctr = ov.withColumn("c", geo.cell_b_center(F.col("cell")))
     ll = ctr.withColumn("ll", geo.xy_to_latlon(F.col("c.x"), F.col("c.y")))
-    return ll.select(
+    rt = ll.withColumn("xy2", geo.latlon_to_xy(F.col("ll.lat"), F.col("ll.lon")))
+    return rt.select(
         "isolabel_ext", F.col("code").alias("seat_code"),
-        F.round(F.col("ll.lat"), 6).alias("seat_lat"),
-        F.round(F.col("ll.lon"), 6).alias("seat_lon"),
+        F.col("c.x").alias("cx"), F.col("c.y").alias("cy"),
         (F.col("cell").bitwiseAND(F.lit(63))).alias("depth"),
+        ((F.abs(F.col("xy2.x") - F.col("c.x")) < 1e-6)
+         & (F.abs(F.col("xy2.y") - F.col("c.y")) < 1e-6)).alias("roundtrip_ok"),
     ).orderBy("isolabel_ext", "seat_code")
 
 
@@ -704,8 +712,8 @@ ORDER BY uri
 QUERIES = {
     "geo_gridlib_asserts": (g_gridlib_asserts, SQL_GRIDLIB_ASSERTS),
     "geo_pip_holes": (g_pip_holes, SQL_PIP_HOLES),
-    "geo_seat_cells": (g_seat_cells, None),
-    # geo_cover_set_ops registers in geo_cover_sql (with its SQL oracle)
+    # geo_seat_cells + geo_cover_set_ops register in geo_cover_sql (with
+    # their CSV-decoding SQL oracles)
     "geo_polygon_cover": (g_polygon_cover, None),
     "geo_coverage_clip": (g_coverage_clip, None),
     "geo_shortcode": (g_shortcode, None),

@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from ..functions import cells_sql, geo
 from ..operators.cover import cover_anti, cover_best_with_cell, cover_lookup_best
 from ..sources.reference_data import load_citycover, load_synonym, load_synonym_ref
-from .geo_algebra import _sql_cells_cte
+from .geo_algebra import (SIDE, X0, Y0, _d, _digit_to_i_case, _digit_to_j_case,
+                          _sql_cells_cte)
+from .sql_grid import morton_deref_x, morton_deref_y
 
 _PT_R = 26            # refinement bits -> point depth 30 (> max cover depth 22)
 _PT_DEPTH = 4 + _PT_R
@@ -66,7 +68,7 @@ def _sql_csv_decode(col: str, alias: str) -> str:
   FROM {alias}c
 ),
 {alias} AS (
-  SELECT isolabel_ext,
+  SELECT isolabel_ext, code,
     (list_reduce(list_prepend(CAST(0 AS BIGINT),
        list_transform(
          string_split(substring(code, 1, length(code)
@@ -352,6 +354,51 @@ def _g_cover_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     return g_cover_set_ops(spark, sf)
 
 
+# ---------------------------------------------------------------------------
+# geo_seat_cells — A22 with a full SQL oracle: the overlay CSV grammar is
+# decoded in SQL AND the y-first Morton refinement bits are de-interleaved in
+# SQL (sql_grid.morton_deref_*, the textual inverse of morton_ref), yielding
+# the seat half-cell's EPSG:9377 lattice center.  Every overlay in
+# citycover.csv is depth 17; a different depth would make the fixed-shape
+# de-interleave below produce a different center and fail the hash loudly.
+# ---------------------------------------------------------------------------
+
+_SEAT_R = 13  # overlay depth 17 = 4 L0 bits + 13 refinement bits
+_SEAT_NY, _SEAT_NX = (_SEAT_R + 1) // 2, _SEAT_R // 2
+_SEAT_DY = SIDE / (1 << _SEAT_NY)  # 4096 m (exact power of two)
+_SEAT_DX = SIDE / (1 << _SEAT_NX)  # 8192 m
+
+SQL_SEAT_CELLS = f"""
+WITH {_sql_csv_decode("overlay", "ovd")},
+g AS (
+  SELECT isolabel_ext, code AS seat_code, cdepth AS depth,
+         cbits >> {_SEAT_R} AS digit,
+         cbits & {(1 << _SEAT_R) - 1} AS rb
+  FROM ovd
+),
+ji AS (
+  SELECT isolabel_ext, seat_code, depth,
+         {_digit_to_j_case()} AS j, {_digit_to_i_case()} AS i,
+         {morton_deref_y(_SEAT_R)} AS iy, {morton_deref_x(_SEAT_R)} AS ix
+  FROM g
+)
+SELECT isolabel_ext, seat_code,
+       {_d(X0)} + (i * {1 << _SEAT_NX} + ix) * {_d(_SEAT_DX)}
+                + {_d(_SEAT_DX / 2)} AS cx,
+       {_d(Y0)} + (j * {1 << _SEAT_NY} + iy) * {_d(_SEAT_DY)}
+                + {_d(_SEAT_DY / 2)} AS cy,
+       depth, TRUE AS roundtrip_ok
+FROM ji
+ORDER BY isolabel_ext, seat_code
+"""
+
+
+def _g_seat_cells(spark: SparkSession, sf: str) -> DataFrame:
+    from .geo_algebra import g_seat_cells
+
+    return g_seat_cells(spark, sf)
+
+
 def g_cover_anti(spark: SparkSession, sf: str) -> DataFrame:
     """B10 spatially: grid-valid points covered by NO jurisdiction, rolled up
     per L0 — uncovered-territory detection.  Zero fact-table shuffle
@@ -382,4 +429,5 @@ QUERIES = {
     "geo_shortcode_sci": (g_shortcode_sci, SQL_SHORTCODE_SCI),
     "geo_shortcode_log": (g_shortcode_log, SQL_SHORTCODE_LOG),
     "geo_cover_set_ops": (_g_cover_set_ops, SQL_COVER_SET_OPS),
+    "geo_seat_cells": (_g_seat_cells, SQL_SEAT_CELLS),
 }

@@ -20,6 +20,22 @@ def l0_case(j: str = "j", i: str = "i") -> str:
     ) + " ELSE -1 END"
 
 
+def morton_deref_y(r: int, bits: str = "rb") -> str:
+    """Inverse of morton_ref, y axis: refinement bits -> iy ((r+1)//2 bits)."""
+    ny = (r + 1) // 2
+    terms = [f"((({bits} >> {r - 1 - t}) & 1) << {ny - 1 - t // 2})"
+             for t in range(0, r, 2)]
+    return "(" + " + ".join(terms) + ")" if terms else "0"
+
+
+def morton_deref_x(r: int, bits: str = "rb") -> str:
+    """Inverse of morton_ref, x axis: refinement bits -> ix (r//2 bits)."""
+    nx = r // 2
+    terms = [f"((({bits} >> {r - 1 - t}) & 1) << {nx - 1 - (t - 1) // 2})"
+             for t in range(1, r, 2)]
+    return "(" + " + ".join(terms) + ")" if terms else "0"
+
+
 def morton_ref(r: int, iy: str = "iy", ix: str = "ix") -> str:
     """Morton interleave (y-first, MSB first) of r total bits as SQL."""
     if r == 0:

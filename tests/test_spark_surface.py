@@ -184,8 +184,13 @@ def test_seat_cells_match_known_seats(spark):
     """A22: decoded overlay centers land near the real municipality seats."""
     from co_new_spark.queries.geo_algebra import g_seat_cells
 
+    from co_new_spark.grid import proj
+
     out = g_seat_cells(spark, "/root/testdata/sf0.001").toPandas()
     assert len(out) >= 334  # all non-empty overlays
+    assert out.roundtrip_ok.all()  # inverse->forward TM closes within 1e-6 m
+    lat, lon = proj.inverse(out.cx.to_numpy(), out.cy.to_numpy())
+    out = out.assign(seat_lat=lat, seat_lon=lon)
     let = out[out.isolabel_ext == "CO-AMA-Leticia"].iloc[0]
     assert abs(let.seat_lat - (-4.215)) < 0.2 and abs(let.seat_lon - (-69.94)) < 0.2
     med = out[out.isolabel_ext == "CO-ANT-Medellin"]
