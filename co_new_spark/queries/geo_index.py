@@ -213,12 +213,75 @@ def g_geojson_scan(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("code")
 
 
+_CORNER_TOL = 5e-4  # deg (~55 m): ref file rounds to 1e-5 deg, our inverse
+#                     is corner-parity-tested to <=0.6 m — a real projection
+#                     bug would be off by >= the grid-cell scale (~degrees)
+
+
 def g_decode_geojson(spark: SparkSession, sf: str) -> DataFrame:
+    """A3/§3.3: inverse-projection corner parity vs the reference's published
+    L0 GeoJSON (/root/reference/data/grid256L0.geojson:1).
+
+    Reads the 16 published L0 polygons, and checks every ring corner (WGS84,
+    5 decimals) against the cell's four lattice-box corners decoded through
+    the ENGINE kernels (cell_b_box + inverse TM, Arrow-batched): a corner is
+    ok when some decoded corner is within 5e-4 deg.  Hash-checked against a
+    VALUES oracle pinning (cell, code, n_corners_ok = 4) — upgrading this
+    entry from rows-only (the inverse TM itself is not SQL-expressible).
+    The GeoJSON Feature-string sink surface stays registered as
+    geo_cell_geojson (rows-only, format pytest-gated).
+    """
+    from ..functions import geo
+
+    ref = os.environ.get("CO_REFERENCE_DIR", "/root/reference")
+    raw = spark.read.option("multiLine", True).json(
+        os.path.join(ref, "data", "grid256L0.geojson"))
+    feats = raw.select(F.explode("features").alias("f"))
+    rows = feats.select(
+        F.col("f.properties.code").alias("code"),
+        (F.expr("instr('0123456789abcdef', f.properties.code) - 1")
+         .cast("long") * 64 + 4).alias("cell"),
+        F.explode(F.slice(F.col("f.geometry.coordinates")[0], 1, 4))
+         .alias("coord"),
+    ).select("code", "cell", F.col("coord")[0].alias("ref_lon"),
+             F.col("coord")[1].alias("ref_lat"))
+    b = rows.withColumn("box", geo.cell_b_box(F.col("cell")))
+    corners = [("box.xmin", "box.ymin"), ("box.xmin", "box.ymax"),
+               ("box.xmax", "box.ymax"), ("box.xmax", "box.ymin")]
+    for k, (cx, cy) in enumerate(corners):
+        b = b.withColumn(f"ll{k}", geo.xy_to_latlon(F.col(cx), F.col(cy)))
+    ok = F.least(*[
+        F.greatest(F.abs(F.col(f"ll{k}.lat") - F.col("ref_lat")),
+                   F.abs(F.col(f"ll{k}.lon") - F.col("ref_lon")))
+        for k in range(4)]) <= F.lit(_CORNER_TOL)
+    return (b.withColumn("ok", ok)
+            .groupBy("cell", "code")
+            .agg(F.sum(F.col("ok").cast("long")).alias("n_corners_ok"))
+            .orderBy("cell"))
+
+
+def _sql_decode_geojson() -> str:
+    """VALUES oracle: every published L0 cell must have all 4 corners ok."""
+    import json as _json
+
+    ref = os.environ.get("CO_REFERENCE_DIR", "/root/reference")
+    with open(os.path.join(ref, "data", "grid256L0.geojson")) as fh:
+        feats = _json.load(fh)["features"]
+    vals = []
+    for f in feats:
+        code = f["properties"]["code"]
+        vals.append(f"({'0123456789abcdef'.index(code) * 64 + 4}, '{code}', 4)")
+    return ("SELECT cell, code, n_corners_ok FROM (VALUES "
+            + ", ".join(vals)
+            + ") t(cell, code, n_corners_ok) ORDER BY cell")
+
+
+def g_cell_geojson(spark: SparkSession, sf: str) -> DataFrame:
     """§3.3 visualization sink: cells -> GeoJSON Feature strings (WGS84).
 
-    Rows-only (the inverse TM projection isn't SQL-expressible); geometric
-    agreement with the reference's grid256.geojson is pytest-gated.
-    """
+    Rows-only (a JSON string with inverse-projected floats isn't
+    SQL-expressible); format + geometry agreement is pytest-gated, and the
+    underlying corner geometry is oracle-gated via geo_decode_geojson."""
     from ..functions import geo
 
     cells_df = spark.range(16).select((F.col("id") * 64 + 4).alias("cell"))
@@ -250,7 +313,8 @@ def g_pip_colombia(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "geo_pip_colombia": (g_pip_colombia, None),
-    "geo_decode_geojson": (g_decode_geojson, None),
+    "geo_decode_geojson": (g_decode_geojson, _sql_decode_geojson()),
+    "geo_cell_geojson": (g_cell_geojson, None),
     "geo_global_cell": (g_global_cell, _sql_global()),
     "geo_cell_to_tile": (g_cell_to_tile, _sql_cell_to_tile()),
     "geo_tile_to_cells": (g_tile_to_cells, _sql_tile_to_cells()),

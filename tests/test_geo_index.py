@@ -99,10 +99,10 @@ def test_decode_geojson_matches_reference_grid(spark):
     """Generated L0 GeoJSON features reproduce grid256L0.geojson corners."""
     import json as _json
 
-    from co_new_spark.queries.geo_index import g_decode_geojson
+    from co_new_spark.queries.geo_index import g_cell_geojson
 
     out = {r.cell: r.feature for r in
-           g_decode_geojson(spark, "/root/testdata/sf0.001").collect()}
+           g_cell_geojson(spark, "/root/testdata/sf0.001").collect()}
     feats = {}
     with open("/root/reference/data/grid256L0.geojson") as f:
         gj = _json.load(f)
