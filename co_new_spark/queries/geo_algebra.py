@@ -709,8 +709,81 @@ ORDER BY uri
 """
 
 
+def _montanitas_ring_xy() -> np.ndarray:
+    """The reference's montañitas LineString, forward-projected to EPSG:9377
+    (/root/reference/data/montañitas.geojson:1; closed 4-corner ring)."""
+    import json
+    import os
+
+    from ..grid import proj
+
+    ref = os.environ.get("CO_REFERENCE_DIR", "/root/reference")
+    with open(os.path.join(ref, "data", "montañitas.geojson"),
+              encoding="utf-8") as f:
+        gj = json.load(f)
+    coords = np.asarray(gj["features"][0]["geometry"]["coordinates"],
+                        dtype=np.float64)
+    x, y = proj.forward(coords[:, 1], coords[:, 0])
+    return np.stack([x, y], axis=1)
+
+
+def g_montanitas_ring(spark: SparkSession, sf: str) -> DataFrame:
+    """The montañitas fixture end-to-end: the ring's four corners ARE the
+    gridLib assert points (/root/reference/src/assert/gridLib.sql:6-9 lists
+    the same coordinates as montañitas.geojson), so per corner this emits
+
+    * ``code`` — Grid A osmcode_encode (A8 engine kernel), pinned by the
+      VALUES oracle to the reference's expected codes;
+    * ``inset_inside`` — the corner nudged 25% toward the ring centroid is
+      strictly inside (A20 PIP; the corners themselves sit ON the boundary,
+      where even-odd crossing parity is undefined);
+    * ``covered`` — the corner's depth-30 Grid B cell descends from a cell
+      of polygon_cover(ring) (§3.2 cover production x A13/A15 hierarchy
+      algebra, native cell_contains against the broadcast cover).
+    """
+    from ..operators.cover_gen import polygon_cover
+    from ..operators.pip import pip_udf
+
+    ring = _montanitas_ring_xy()
+    ctr_x, ctr_y = (float(v) for v in ring[:-1].mean(axis=0))
+    pts = spark.createDataFrame(_GRIDLIB_ASSERTS[:4], ["uri", "expected"])
+    p = pts.select(
+        "uri", geo.encode_a_from_uri(F.col("uri")).alias("code"),
+        geo.geo_uri_lat(F.col("uri")).alias("lat"),
+        geo.geo_uri_lon(F.col("uri")).alias("lon"))
+    p = p.withColumn("xy", geo.latlon_to_xy(F.col("lat"), F.col("lon")))
+    p = p.withColumn(
+        "inset_inside",
+        pip_udf([ring])(F.col("xy.x") * 0.75 + F.lit(ctr_x) * 0.25,
+                        F.col("xy.y") * 0.75 + F.lit(ctr_y) * 0.25))
+    p = p.withColumn("cell30",
+                     geo.xy_to_cell_b(F.col("xy.x"), F.col("xy.y"), 26))
+    # single-level cover (ONE clip pass over the 4096 depth-12 cells) keeps
+    # the correctness-path cost in driver budget: border cells at max_depth
+    # stay in the cover, so ``covered`` is refinement-depth-invariant; the
+    # deep iterative refinement (8..28) is exercised by the pytest
+    # (tests/test_cover_sql.py::test_montanitas_cover_and_pip)
+    cov = polygon_cover(spark, ring, base_depth=12, max_depth=12) \
+        .select(F.col("cell").alias("cover_cell"))
+    hit = p.join(F.broadcast(cov),
+                 cells_sql.cell_contains(F.col("cover_cell"), F.col("cell30")),
+                 "left")
+    return (hit.groupBy("uri", "code", "inset_inside")
+            .agg((F.count("cover_cell") > 0).alias("covered"))
+            .orderBy("uri"))
+
+
+SQL_MONTANITAS_RING = """
+SELECT uri, expected AS code, true AS inset_inside, true AS covered
+FROM (VALUES """ + ", ".join(
+    f"('{u}', '{c}')" for u, c in _GRIDLIB_ASSERTS[:4]) + """) t(uri, expected)
+ORDER BY uri
+"""
+
+
 QUERIES = {
     "geo_gridlib_asserts": (g_gridlib_asserts, SQL_GRIDLIB_ASSERTS),
+    "geo_montanitas_ring": (g_montanitas_ring, SQL_MONTANITAS_RING),
     "geo_pip_holes": (g_pip_holes, SQL_PIP_HOLES),
     # geo_seat_cells + geo_cover_set_ops register in geo_cover_sql (with
     # their CSV-decoding SQL oracles)
