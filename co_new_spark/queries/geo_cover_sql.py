@@ -423,8 +423,93 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_cover_suffix_probe — all FOUR base16h suffix families (plain hex,
+# G/Q 1-bit, H/M/R/V 2-bit, J..Z 3-bit) exercised through the real per-depth
+# broadcast cover join.  The synthetic events only ever land in depth-7/12/17
+# covers, so the 2-bit family (e.g. CO-ANT-Sabaneta, citycover.csv:99 — all
+# 25 cells are 5-hex+2-bit) was previously pytest-only.  Probe points sit at
+# cover-cell centers; the center of a depth-d cell encodes at depth 30 as
+# (cbits << (30-d)) | (0b11 << (28-d)) — verified bit-exact for all 14,165
+# cover cells — so the oracle can re-derive the exact same probes from the
+# raw CSV and restate the deepest-match scan with no floating point at all.
+# ---------------------------------------------------------------------------
+
+_PROBE_CAP = 50  # cap the populous depths (12, 17); 7 and 22 run complete
+
+
+def g_cover_suffix_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Probe points at cover-cell centers of every suffix family, resolved
+    against the FULL dims via cover_best_with_cell (per-depth broadcast
+    joins, zero fact shuffle).  ``sf`` is unused: the probe set derives from
+    the reference dims alone (same registry signature as every entry)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..grid import cells as ncells
+    from ..sources.reference_data import _cover_pdf
+
+    pdf = _cover_pdf()
+    cov = pdf[pdf.kind == "cover"].sort_values(["cell", "isolabel_ext"])
+    parts = []
+    for d, grp in cov.groupby("depth"):
+        parts.append(grp if d in (7, 22) else grp.head(_PROBE_CAP))
+    sel = pd.concat(parts)
+    ids = sel["cell"].to_numpy(np.int64)
+    cx, cy = ncells.cell_b_center(ids)
+    probe = spark.createDataFrame(pd.DataFrame({
+        "code": sel["code"].to_numpy(dtype=object),
+        "src_iso": sel["isolabel_ext"].to_numpy(dtype=object),
+        "src_cell": ids, "x": cx, "y": cy}))
+    enc = probe.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"),
+                                                    _PT_R))
+    hit = cover_best_with_cell(enc, load_citycover(spark), "cell")
+    return hit.select(
+        "code", "src_iso",
+        F.col("src_cell").bitwiseAND(F.lit(63)).cast("int").alias("src_depth"),
+        "isolabel_ext",
+        F.col("cover_cell").bitwiseAND(F.lit(63)).cast("int")
+         .alias("match_depth"),
+        (F.col("cover_cell") == F.col("src_cell")).alias("exact_cell"))
+
+
+SQL_COVER_SUFFIX_PROBE = f"""
+WITH {_sql_csv_decode("cover", "covbits")},
+dim AS (  -- per-(cell,depth) min-iso dim, mirroring cover_best_with_cell
+  SELECT cbits, cdepth, min(isolabel_ext) AS iso
+  FROM covbits GROUP BY 1, 2),
+sel AS (
+  SELECT isolabel_ext AS src_iso, code, cbits, cdepth,
+         row_number() OVER (PARTITION BY cdepth
+                            ORDER BY cbits, isolabel_ext) AS rn
+  FROM covbits),
+probe AS (
+  SELECT code, src_iso, cdepth AS src_depth, cbits AS src_bits,
+         (cbits << (30 - cdepth))
+           | (CAST(3 AS BIGINT) << (28 - cdepth)) AS pbits
+  FROM sel WHERE cdepth IN (7, 22) OR rn <= {_PROBE_CAP}),
+deps AS (SELECT DISTINCT cdepth FROM dim),
+panc AS (
+  SELECT p.*, d.cdepth AS mdepth, p.pbits >> (30 - d.cdepth) AS anc
+  FROM probe p CROSS JOIN deps d),
+hits AS (
+  SELECT p.code, p.src_iso, p.src_depth, p.src_bits, p.mdepth, m.iso, m.cbits
+  FROM panc p JOIN dim m ON p.mdepth = m.cdepth AND p.anc = m.cbits),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY code, src_iso
+                                 ORDER BY mdepth DESC) AS rn2
+    FROM hits) WHERE rn2 = 1)
+SELECT code, src_iso, CAST(src_depth AS INT) AS src_depth,
+       iso AS isolabel_ext, CAST(mdepth AS INT) AS match_depth,
+       (mdepth = src_depth AND cbits = src_bits) AS exact_cell
+FROM best
+"""
+
+
 QUERIES = {
     "geo_cover_lookup_events": (g_cover_lookup_events, SQL_COVER_LOOKUP_EVENTS),
+    "geo_cover_suffix_probe": (g_cover_suffix_probe, SQL_COVER_SUFFIX_PROBE),
     "geo_cover_anti": (g_cover_anti, SQL_COVER_ANTI),
     "geo_shortcode_sci": (g_shortcode_sci, SQL_SHORTCODE_SCI),
     "geo_shortcode_log": (g_shortcode_log, SQL_SHORTCODE_LOG),

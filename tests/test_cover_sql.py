@@ -163,6 +163,58 @@ def test_hilbert_properties_and_column_parity(spark):
         assert lut[(int(a), int(b))] == int(w)
 
 
+def test_sabaneta_2bit_cover_end_to_end(spark):
+    """The 2-bit suffix family (H/M/R/V, depth 22) exercised through the real
+    cover path: CO-ANT-Sabaneta's cover (citycover.csv:99) is ENTIRELY
+    5-hex+2-bit cells — a point at every cover-cell center resolves through
+    the per-depth broadcast join to exactly that cell, matching an
+    independent python prefix-scan over the whole dim."""
+    import pandas as pd
+
+    from co_new_spark.functions import geo
+    from co_new_spark.grid import cells as C
+    from co_new_spark.operators.cover import cover_best_with_cell
+    from co_new_spark.sources.reference_data import _cover_pdf, load_citycover
+
+    pdf = _cover_pdf()
+    cov = pdf[pdf.kind == "cover"]
+    sab = cov[cov.isolabel_ext == "CO-ANT-Sabaneta"]
+    cell_ids = sab["cell"].to_numpy(np.int64)
+    assert len(cell_ids) == 25
+    assert (C.depth(cell_ids) == 22).all()          # all 5-hex + 2-bit
+    assert set(sab["code"].str[-1]) == {"H", "M", "R", "V"}  # whole family
+
+    cx, cy = C.cell_b_center(cell_ids)
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(len(cell_ids)), "x": cx, "y": cy}))
+    rbits = 26                                      # point depth 30
+    got = (cover_best_with_cell(
+        pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), rbits)),
+        load_citycover(spark), "cell")
+        .select("pid", "isolabel_ext", "cover_cell").collect())
+    assert len(got) == len(cell_ids)
+
+    # independent expectation: full prefix scan of the dim in numpy
+    from co_new_spark.grid import grids
+
+    cb = (cov["cell"].to_numpy(np.int64) >> 6)
+    cd = (cov["cell"].to_numpy(np.int64) & 63)
+    iso = cov["isolabel_ext"].to_numpy(dtype=object)
+    full_bits, valid = grids.grid_b_encode_xy(cx, cy, rbits)
+    assert valid.all()
+    for r in got:
+        pbits = cell_ids[r.pid] >> 6                # depth-22 bits of the target
+        full = int(full_bits[r.pid])
+        assert full >> 8 == pbits                   # center stayed inside its cell
+        anc = full >> (30 - cd)
+        m = anc == cb
+        assert m.any()
+        deepest = cd[m].max()
+        exp_iso = min(iso[m & (cd == deepest)])
+        assert r.isolabel_ext == exp_iso == "CO-ANT-Sabaneta", r
+        assert r.cover_cell == int(cell_ids[r.pid]), r
+
+
 def test_cover_anti_partitions_points(spark):
     """covered + uncovered == all grid-valid points; the two sets are disjoint
     (cover_anti is the exact complement of cover_lookup_best)."""
