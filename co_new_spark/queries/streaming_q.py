@@ -26,7 +26,7 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
 def s_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events_stream(spark, sf)
     agg = sp.windowed_counts(ev, "ts", ["event_type"], window="1 hour")
-    out = sp.run_available_now(agg, "complete")
+    out = sp.run_available_now(agg, "complete", state_partitions=4)
     return out.select(
         F.col("win.start").alias("window_start"), "event_type", "n")
 
@@ -40,7 +40,7 @@ FROM events GROUP BY 1, 2
 def s_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events_stream(spark, sf)
     agg = sp.session_windows(ev, "ts", ["user_id"], gap="5 minutes")
-    out = sp.run_available_now(agg, "complete")
+    out = sp.run_available_now(agg, "complete", state_partitions=4)
     return out.select("user_id", F.col("win.start").alias("session_start"), "n")
 
 
@@ -66,7 +66,7 @@ def s_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming dedup by (user_id, event_type), then a batch rollup."""
     ev = _events_stream(spark, sf)
     ded = sp.dedup_stream(ev, ["user_id", "event_type"], "ts")
-    sink = sp.run_available_now(ded, "append")
+    sink = sp.run_available_now(ded, "append", state_partitions=4)
     return sink.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
 
 
@@ -105,7 +105,7 @@ def s_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
     state as a plain aggregate over the whole input."""
     ev = _events_stream(spark, sf)
     st = sp.stateful_running_counts(ev, "event_type", "ts")
-    sink = sp.run_available_now(st, "update")
+    sink = sp.run_available_now(st, "update", state_partitions=4)
     return sink.groupBy("event_type").agg(
         F.max("n_total").alias("n_total"),
         F.max("last_ts_us").alias("last_ts_us"))
@@ -133,7 +133,7 @@ def s_geo_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
              .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4))
              .filter(F.col("cell") >= 0))
     agg = sp.windowed_counts(pos, "ts", ["cell"], window="1 hour")
-    out = sp.run_available_now(agg, "complete")
+    out = sp.run_available_now(agg, "complete", state_partitions=4)
     return out.select(F.col("win.start").alias("window_start"), "cell", "n")
 
 

@@ -142,11 +142,21 @@ def stream_to_ledger(stream: DataFrame, base: str, bucket_col: str,
      .trigger(availableNow=True).start().awaitTermination())
 
 
-def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
+def run_available_now(result: DataFrame, output_mode: str,
+                      state_partitions: int | None = None) -> DataFrame:
     """Drain a bounded stream with Trigger.AvailableNow into a memory sink.
 
     Returns the sink as a batch DataFrame.  ``output_mode``: 'complete' for
     full aggregations, 'append' for row streams (joins, dedup).
+
+    ``state_partitions``: stateful operators (windowed aggs, dedup,
+    applyInPandasWithState) open one state-store instance per shuffle
+    partition, and that width is captured from the session conf at QUERY
+    START — inheriting the fact-table shuffle width pays state-store init
+    for partitions that will hold a handful of keys.  Pass the expected key
+    cardinality's scale here (e.g. 4 for per-event-type state) and the
+    session conf is set for the start and restored right after; a real
+    deployment sizes the session conf instead.
 
     LIFETIME: the returned DataFrame reads a temp view that is evicted once
     8 newer sinks have drained (bounded driver memory).  Callers holding a
@@ -155,10 +165,18 @@ def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
     """
     spark = result.sparkSession
     name = f"co_stream_sink_{next(_SINK_IDS)}"
-    q = (result.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination()
-    q.stop()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (result.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(key, prev)
     # bound driver memory: memory-sink tables live for the session; keep the
     # last few and drop older drained sinks
     _SINK_KEEP.append(name)
