@@ -311,6 +311,18 @@ def g_pip_colombia(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("inside").cast("long")).alias("n_inside")))
 
 
+# B3 oracle: DuckDB's bundled JSON reader restates the same nested
+# projection over the same file — upgrading geo_geojson_scan from rows-only.
+SQL_GEOJSON_SCAN = """
+SELECT f.properties.code AS code, f.properties.ji AS ji,
+       f.properties.ji_int AS ji_int, f.geometry.type AS geom_type,
+       len(f.geometry.coordinates[1]) AS n_vertices
+FROM (SELECT unnest(features) AS f
+      FROM read_json('/root/reference/data/grid256.geojson',
+                     maximum_object_size=104857600))
+"""
+
+
 QUERIES = {
     "geo_pip_colombia": (g_pip_colombia, None),
     "geo_decode_geojson": (g_decode_geojson, _sql_decode_geojson()),
@@ -319,5 +331,5 @@ QUERIES = {
     "geo_cell_to_tile": (g_cell_to_tile, _sql_cell_to_tile()),
     "geo_tile_to_cells": (g_tile_to_cells, _sql_tile_to_cells()),
     "geo_partitioned_scan": (g_partitioned_scan, SQL_PARTITIONED_SCAN),
-    "geo_geojson_scan": (g_geojson_scan, None),
+    "geo_geojson_scan": (g_geojson_scan, SQL_GEOJSON_SCAN),
 }

@@ -325,8 +325,11 @@ GROUP BY source
 
 def t_mm_embed_knn(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal composition: payload -> deterministic embedding stub ->
-    IVF ANN top-k over the embedded pages (rows-only; each stage is
-    independently gated — embed determinism + IVF recall tests)."""
+    IVF ANN top-k over the embedded pages.  The embed + centroid assignment
+    (xxhash-seeded, not SQL-expressible) is MATERIALIZED as the candidate /
+    query bucket tables; the oracle re-derives the bucket join, cosine
+    scoring and per-query ranking from the same bytes (mat.py protocol).
+    Embed determinism + IVF recall stay pytest-gated."""
     pg = pages(spark, 2_000)
     emb = media.fake_embed(pg, dim=16)
     emb = emb.withColumn("vec_id", F.xxhash64("url")).dropDuplicates(["vec_id"]) \
@@ -338,15 +341,22 @@ def _mm_knn(emb: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.ann import deterministic_centroids, ivf_assign_udf
+    from .mat import materialize
     from .training import _cosine
 
     cents = deterministic_centroids(emb, 8)
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
+    c = materialize(
+        emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("cv"),
                    F.element_at(ivf_assign_udf(cents, 1)(F.col("embedding")), 1)
-                   .alias("bucket"))
-    q = emb.orderBy("vec_id").limit(10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
-        F.explode(ivf_assign_udf(cents, 2)(F.col("embedding"))).alias("bucket"))
+                   .alias("bucket")),
+        "mm_knn_c")
+    q = materialize(
+        emb.orderBy("vec_id").limit(10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+            F.explode(ivf_assign_udf(cents, 2)(F.col("embedding")))
+             .alias("bucket")),
+        "mm_knn_q")
     pairs = c.join(F.broadcast(q), "bucket").filter(F.col("qid") != F.col("cid"))
     scored = pairs.select("qid", "cid",
                           F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
@@ -355,8 +365,29 @@ def _mm_knn(emb: DataFrame) -> DataFrame:
                  .filter(F.col("rn") <= 3).select("qid", "cid", "sim", "rn")
 
 
+def _sql_mm_knn() -> str:
+    from .mat import mat_glob
+
+    dot = ("list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))"
+           " / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),"
+           " CAST(q.qv AS DOUBLE[])))"
+           " * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]),"
+           " CAST(c.cv AS DOUBLE[]))))")
+    return f"""
+WITH c AS (SELECT * FROM read_parquet('{mat_glob("mm_knn_c")}')),
+q AS (SELECT * FROM read_parquet('{mat_glob("mm_knn_q")}')),
+scored AS (
+  SELECT q.qid, c.cid, round({dot}, 6) AS sim
+  FROM q JOIN c USING (bucket) WHERE q.qid <> c.cid)
+SELECT qid, cid, sim, rn FROM (
+  SELECT qid, cid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+  FROM scored) WHERE rn <= 3
+"""
+
+
 QUERIES = {
-    "mm_embed_knn": (t_mm_embed_knn, None),
+    "mm_embed_knn": (t_mm_embed_knn, _sql_mm_knn()),
     "train_contamination": (t_contamination, SQL_CONTAMINATION),
     "train_contamination_scaled": (t_contamination_scaled, SQL_CONTAMINATION),
     "train_repetition": (t_repetition, SQL_REPETITION),

@@ -288,9 +288,36 @@ def t_neardup_scaled(spark: SparkSession, sf: str) -> DataFrame:
                 .orderBy("size"))
 
 
+def _sql_neardup_scaled() -> str:
+    """Oracle for the scale near-dup flow (upgrades it from rows-only): the
+    candidate edges are re-derived from the MATERIALIZED band table the
+    query itself writes (mat.py protocol, same bytes), and the large-star/
+    small-star clustering is checked against a recursive-CTE closure over
+    those edges plus every document as a singleton node."""
+    from .mat import mat_glob
+    from .training import _sql_capped_pairs
+
+    pairs = _sql_capped_pairs(f"read_parquet('{mat_glob('minhash_bands')}')")
+    return f"""
+WITH RECURSIVE
+j AS (SELECT doc_a AS u, doc_b AS v FROM ({pairs})),
+ed AS (SELECT u, v FROM j UNION SELECT v AS u, u AS v FROM j),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN ed e ON e.u = r.dst
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+          FROM comp GROUP BY component)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY size
+"""
+
+
 QUERIES = {
     "train_neardup_components": (t_neardup_components, SQL_COMPONENTS),
-    "train_neardup_scaled": (t_neardup_scaled, None),
+    "train_neardup_scaled": (t_neardup_scaled, _sql_neardup_scaled()),
     "train_split_assign": (t_split_assign, SQL_SPLIT),
     "train_rarity_score": (t_rarity_score, SQL_RARITY),
     "train_dedup_keep_best": (t_dedup_keep_best, SQL_KEEP_BEST),
