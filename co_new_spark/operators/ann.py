@@ -57,11 +57,17 @@ def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
 
 def ivf_knn(emb: DataFrame, k: int = 5, n_query: int = 20,
             n_centroids: int = 16, nprobe: int = 4,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            mat_prefix: str | None = None) -> DataFrame:
     """Self-kNN: top-k cosine neighbors per query vector via IVF probing.
 
     Candidates index into 1 bucket; queries probe ``nprobe`` buckets; the
     join is a broadcast hash join on centroid_id; exact cosine re-ranks.
+
+    ``mat_prefix`` materializes the bucket-assigned candidate/query tables
+    (mat.py protocol) so a DuckDB oracle can re-derive the probe join,
+    cosine scoring and ranking from the same bytes; centroid assignment
+    itself stays gated by the recall pytest.
     """
     centroids = deterministic_centroids(emb, n_centroids, id_col, vec_col)
     c = emb.select(
@@ -70,6 +76,10 @@ def ivf_knn(emb: DataFrame, k: int = 5, n_query: int = 20,
     q = emb.filter(F.col(id_col) < n_query).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
         F.explode(ivf_assign_udf(centroids, nprobe)(F.col(vec_col))).alias("bucket"))
+    if mat_prefix is not None:
+        from ..queries.mat import materialize
+        c = materialize(c, f"{mat_prefix}_c")
+        q = materialize(q, f"{mat_prefix}_q")
     pairs = c.join(F.broadcast(q), "bucket").filter(F.col("qid") != F.col("cid"))
     scored = pairs.select(
         "qid", "cid", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))

@@ -292,23 +292,84 @@ def g_cell_geojson(spark: SparkSession, sf: str) -> DataFrame:
 def g_pip_colombia(spark: SparkSession, sf: str) -> DataFrame:
     """Broadcast PIP join against the REAL reference coverage geometry
     (Colombia land+sea, 40,405 vertices): per-L0 counts of pages inside.
-    Rows-only; geometric sanity is pytest-gated (test_geometry)."""
+
+    Oracle-checked via the mat.py protocol: the projected points (the
+    xxhash-generated, TM-projected part DuckDB can't restate) and the
+    polygon's closed-ring edge list are materialized; the oracle re-runs the
+    even-odd ray cast as a range join over those same bytes, with the
+    crossing arithmetic in the exact float64 op order of operators/pip.py."""
+    import numpy as np
+
     from ..functions import cells_sql, geo
     from ..operators.pip import pip_udf
     from ..sources.pages import pages
     from ..sources.reference_data import load_admin_polygons
+    from .mat import materialize
 
     rings = [r for f in load_admin_polygons() for r in f["rings"]]
+    closed = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) and (r[0] != r[-1]).any():
+            r = np.vstack([r, r[:1]])
+        closed.append(r)
+    ev = np.vstack([np.hstack([r[:-1], r[1:]]) for r in closed])
+    # driver-sized dim export: written directly (no Spark job) — the udf's
+    # rings and this table both derive from the same load_admin_polygons()
+    _write_edges_parquet(ev)
     pg = pages(spark, 2_500, with_truth=True)
     pts = pg.select(
         "url", geo.latlon_to_xy_cell(F.col("true_lat"), F.col("true_lon"), 4).alias("s"))
-    pts = pts.select("url", F.col("s.x").alias("x"), F.col("s.y").alias("y"),
-                     F.col("s.cell").alias("cell"))
+    pts = materialize(
+        pts.select("url", F.col("s.x").alias("x"), F.col("s.y").alias("y"),
+                   F.col("s.cell").alias("cell")).coalesce(1),
+        "pip_co_pts")
     pts = pts.withColumn("inside", pip_udf(rings)(F.col("x"), F.col("y")))
     return (pts.withColumn("l0", cells_sql.cell_l0_digit(F.col("cell")))
             .groupBy("l0")
             .agg(F.count("*").alias("n"),
                  F.sum(F.col("inside").cast("long")).alias("n_inside")))
+
+
+def _write_edges_parquet(ev) -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .mat import mat_path
+
+    path = mat_path("pip_co_edges")
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path)
+    os.makedirs(path)
+    tbl = pa.table({"xi": ev[:, 0], "yi": ev[:, 1],
+                    "xj": ev[:, 2], "yj": ev[:, 3]})
+    pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
+
+
+def _sql_pip_colombia() -> str:
+    from .mat import mat_glob
+
+    l0 = ("CASE WHEN cell >= 0 AND (cell & 63) >= 4 "
+          "THEN (cell >> 6) >> CAST((cell & 63) - 4 AS INTEGER) ELSE -1 END")
+    return f"""
+WITH p AS (SELECT * FROM read_parquet('{mat_glob("pip_co_pts")}')),
+e AS (SELECT * FROM read_parquet('{mat_glob("pip_co_edges")}')),
+cr AS (
+  SELECT p.url, count(*) AS nc
+  FROM p JOIN e
+    ON least(e.yi, e.yj) <= p.y AND p.y < greatest(e.yi, e.yj)
+   AND p.x < (e.xj - e.xi) * (p.y - e.yi) / (e.yj - e.yi) + e.xi
+  GROUP BY p.url),
+ins AS (
+  SELECT {l0} AS l0, coalesce(cr.nc, 0) % 2 AS par
+  FROM p LEFT JOIN cr USING (url))
+SELECT l0, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(par) AS BIGINT) AS n_inside
+FROM ins GROUP BY l0
+"""
 
 
 # B3 oracle: DuckDB's bundled JSON reader restates the same nested
@@ -324,7 +385,7 @@ FROM (SELECT unnest(features) AS f
 
 
 QUERIES = {
-    "geo_pip_colombia": (g_pip_colombia, None),
+    "geo_pip_colombia": (g_pip_colombia, _sql_pip_colombia()),
     "geo_decode_geojson": (g_decode_geojson, _sql_decode_geojson()),
     "geo_cell_geojson": (g_cell_geojson, None),
     "geo_global_cell": (g_global_cell, _sql_global()),

@@ -203,11 +203,15 @@ def t_extract_consistency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def t_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-bucketed ANN (rows-only; recall vs brute force gated in pytest)."""
+    """IVF-bucketed ANN.  The centroid-assigned candidate/query bucket
+    tables are MATERIALIZED (mat.py protocol); the oracle re-derives the
+    probe join + cosine re-rank from the same bytes.  Centroid assignment /
+    recall vs brute force stay pytest-gated."""
     from ..operators.ann import ivf_knn
 
     return ivf_knn(load(spark, sf, "embeddings"),
-                   k=5, n_query=20, n_centroids=16, nprobe=6)
+                   k=5, n_query=20, n_centroids=16, nprobe=6,
+                   mat_prefix="knn_ivf")
 
 
 # ---------------------------------------------------------------------------
@@ -365,7 +369,10 @@ def _mm_knn(emb: DataFrame) -> DataFrame:
                  .filter(F.col("rn") <= 3).select("qid", "cid", "sim", "rn")
 
 
-def _sql_mm_knn() -> str:
+def _sql_bucket_knn(prefix: str, k: int) -> str:
+    """Oracle over materialized (cid, cv, bucket) / (qid, qv, bucket) tables:
+    re-derives the probe join, cosine scoring and per-query top-k ranking
+    from the same bytes the Spark query rebuilt its result from."""
     from .mat import mat_glob
 
     dot = ("list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))"
@@ -374,16 +381,20 @@ def _sql_mm_knn() -> str:
            " * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]),"
            " CAST(c.cv AS DOUBLE[]))))")
     return f"""
-WITH c AS (SELECT * FROM read_parquet('{mat_glob("mm_knn_c")}')),
-q AS (SELECT * FROM read_parquet('{mat_glob("mm_knn_q")}')),
+WITH c AS (SELECT * FROM read_parquet('{mat_glob(prefix + "_c")}')),
+q AS (SELECT * FROM read_parquet('{mat_glob(prefix + "_q")}')),
 scored AS (
   SELECT q.qid, c.cid, round({dot}, 6) AS sim
   FROM q JOIN c USING (bucket) WHERE q.qid <> c.cid)
 SELECT qid, cid, sim, rn FROM (
   SELECT qid, cid, sim,
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
-  FROM scored) WHERE rn <= 3
+  FROM scored) WHERE rn <= {k}
 """
+
+
+def _sql_mm_knn() -> str:
+    return _sql_bucket_knn("mm_knn", 3)
 
 
 QUERIES = {
@@ -392,7 +403,7 @@ QUERIES = {
     "train_contamination_scaled": (t_contamination_scaled, SQL_CONTAMINATION),
     "train_repetition": (t_repetition, SQL_REPETITION),
     "train_hash_sample": (t_hash_sample, SQL_HASH_SAMPLE),
-    "train_knn_ivf": (t_knn_ivf, None),
+    "train_knn_ivf": (t_knn_ivf, _sql_bucket_knn("knn_ivf", 5)),
     "train_quality_score": (t_quality_score, SQL_QUALITY),
     "train_fingerprint": (t_fingerprint, SQL_FINGERPRINT),
     "train_embed_neardup": (t_embed_neardup, SQL_EMBED_NEARDUP),
