@@ -362,14 +362,25 @@ WHERE ({_sql_crossings(_POLY)}) % 2 = 1
 
 
 def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
+    """Page short codes over the whole synthetic corpus.  The xxhash page
+    generation + text geoparse/encode is MATERIALIZED as (url, cell); the
+    oracle re-derives the cover resolution (citycover.csv decoded in SQL),
+    b16h suffix encode, synonym default-abbrev join and top-100 aggregate
+    from the same bytes."""
     from ..operators.cover import cover_best_with_cell
     from ..sources.pages import pages
     from ..sources.reference_data import load_citycover, load_synonym
+    from .mat import materialize
 
     pg = pages(spark, 4_000)
-    pts = pg.select(
-        "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
-    ).filter(F.col("cell") >= 0)
+    # rid keys rows (urls repeat in the corpus — duplicate rows each carry
+    # their own best cover, so the oracle must resolve per row, not per url)
+    pts = materialize(
+        pg.select(
+            "url", geo.encode_b_cell_from_text(F.col("text"), 26).alias("cell")
+        ).filter(F.col("cell") >= 0).coalesce(1)
+        .withColumn("rid", F.monotonically_increasing_id()),
+        "shortcode_pts")
     # deepest cover cell wins (tie-break min isolabel) — shuffle-free
     best = cover_best_with_cell(pts.select("url", "cell"), load_citycover(spark))
     d = F.col("cover_cell").bitwiseAND(F.lit(63))
@@ -388,6 +399,47 @@ def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_pages"), F.min("shortcode").alias("example"))
         .orderBy(F.col("n_pages").desc(), "isolabel_ext").limit(100)
     )
+
+
+def _sql_shortcode() -> str:
+    from .geo_cover_sql import _REF_DATA, _SQL_B16H, _sql_csv_decode
+    from .mat import mat_glob
+
+    return f"""
+WITH cells AS (SELECT rid, cell FROM read_parquet('{mat_glob("shortcode_pts")}')),
+{_sql_csv_decode("cover", "covbits")},
+cov AS (SELECT isolabel_ext, cbits, cdepth FROM covbits),
+pcell AS (SELECT rid, cell >> 6 AS pbits, CAST(cell & 63 AS INT) AS pd FROM cells),
+deps AS (SELECT DISTINCT cdepth FROM cov),
+panc AS (
+  SELECT rid, pbits, pd, cdepth, pbits >> (pd - cdepth) AS anc
+  FROM pcell CROSS JOIN deps WHERE cdepth <= pd),
+hits AS (
+  SELECT p.rid, p.pbits, p.pd, c.isolabel_ext, c.cdepth
+  FROM panc p JOIN cov c ON p.cdepth = c.cdepth AND p.anc = c.cbits),
+best AS (
+  SELECT rid, pbits, pd, isolabel_ext, cdepth FROM (
+    SELECT *, row_number() OVER (PARTITION BY rid
+                                 ORDER BY cdepth DESC, isolabel_ext) AS rn
+    FROM hits) WHERE rn = 1),
+syn2 AS (
+  SELECT isolabel_ext, min(abbrev) AS abbrev
+  FROM read_csv('{_REF_DATA}/synonym.csv', header=true, all_varchar=true)
+  WHERE default_abbrev = 't' GROUP BY isolabel_ext),
+sfxd AS (
+  SELECT b.rid, b.isolabel_ext, s.abbrev,
+         b.pd - b.cdepth AS nsfx,
+         b.pbits & ((CAST(1 AS BIGINT) << (b.pd - b.cdepth)) - 1) AS sfx
+  FROM best b LEFT JOIN syn2 s USING (isolabel_ext)),
+codes AS (
+  SELECT rid, isolabel_ext, abbrev,
+         coalesce(abbrev, isolabel_ext) || '+' || ({_SQL_B16H}) AS shortcode
+  FROM sfxd)
+SELECT isolabel_ext, abbrev, CAST(count(*) AS BIGINT) AS n_pages,
+       min(shortcode) AS example
+FROM codes GROUP BY isolabel_ext, abbrev
+ORDER BY n_pages DESC, isolabel_ext LIMIT 100
+"""
 
 
 def g_coverage_clip(spark: SparkSession, sf: str) -> DataFrame:
@@ -789,7 +841,7 @@ QUERIES = {
     # their CSV-decoding SQL oracles)
     "geo_polygon_cover": (g_polygon_cover, None),
     "geo_coverage_clip": (g_coverage_clip, None),
-    "geo_shortcode": (g_shortcode, None),
+    "geo_shortcode": (g_shortcode, _sql_shortcode()),
     "geo_knn_ring_events": (g_knn_ring_events, _sql_knn_ring()),
     "geo_hilbert_index": (g_hilbert_index, _sql_hilbert()),
     "geo_cell_codec_b32": (g_cell_codec_b32, _sql_codec_b32()),

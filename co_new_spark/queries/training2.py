@@ -188,10 +188,18 @@ def t_extract_consistency(spark: SparkSession, sf: str) -> DataFrame:
     """A28 contract: engine extraction of html == the stored text, per url.
 
     Output: per-lang counts of urls where extracted == stored (must equal
-    n_urls) after B14 url-dedup.  Rows-only (binary not visible to oracle);
-    the byte-identity invariant is also pytest-gated.
+    n_urls) after B14 url-dedup.  The synthetic pages (xxhash-generated, not
+    SQL-expressible) are MATERIALIZED; the oracle re-runs the url-dedup AND
+    the full pinned extraction spec (webtext_q._sql_extract_expr) over the
+    same bytes — so this checks the extraction UDF itself, like
+    web_extract_parity does over the committed fixture.
     """
-    pg = pages(spark, _PAGES_N)
+    from .mat import materialize
+
+    pg = materialize(
+        pages(spark, _PAGES_N).select("url", "lang", "warc_ts", "html", "text")
+        .coalesce(1),
+        "extract_pages")
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
     latest = pg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     ext = latest.withColumn("extracted", tx.extract_text(F.col("html")))
@@ -200,6 +208,23 @@ def t_extract_consistency(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("extracted") == F.col("text"), 1).otherwise(0))
         .alias("n_bytes_identical"),
     )
+
+
+def _sql_extract_consistency() -> str:
+    from .mat import mat_glob
+    from .webtext_q import _sql_extract_expr
+
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN extracted = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bytes_identical
+FROM (
+  SELECT lang, text,
+         {_sql_extract_expr('decode(html)')} AS extracted,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM read_parquet('{mat_glob("extract_pages")}')
+) WHERE rn = 1 GROUP BY lang
+"""
 
 
 def t_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -410,5 +435,5 @@ QUERIES = {
     "mm_media_meta": (t_media_meta, None),
     "mm_frame_sample": (t_frame_sample, None),
     "mm_phash_dedup": (t_phash_dedup, None),
-    "train_extract_consistency": (t_extract_consistency, None),
+    "train_extract_consistency": (t_extract_consistency, _sql_extract_consistency()),
 }
