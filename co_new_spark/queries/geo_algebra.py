@@ -368,7 +368,7 @@ def g_shortcode(spark: SparkSession, sf: str) -> DataFrame:
     b16h suffix encode, synonym default-abbrev join and top-100 aggregate
     from the same bytes."""
     from ..operators.cover import cover_best_with_cell
-    from ..sources.pages import pages
+    from ..sources.pages import stored_pages as pages
     from ..sources.reference_data import load_citycover, load_synonym
     from .mat import materialize
 

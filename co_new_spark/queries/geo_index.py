@@ -302,7 +302,7 @@ def g_pip_colombia(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..functions import cells_sql, geo
     from ..operators.pip import pip_udf
-    from ..sources.pages import pages
+    from ..sources.pages import stored_pages as pages
     from ..sources.reference_data import load_admin_polygons
     from .mat import materialize
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as tx
 from ..operators import media
-from ..sources.pages import pages
+from ..sources.pages import stored_pages as pages
 from ..sources.tables import load
 
 # ---------------------------------------------------------------------------

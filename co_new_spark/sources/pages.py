@@ -54,7 +54,8 @@ _BOGOTA = (4.711111, -74.072222)
 
 
 def materialize_pages(spark: SparkSession, n: int, path: str | None = None,
-                      partitions: int | None = None) -> str:
+                      partitions: int | None = None,
+                      with_truth: bool = False) -> str:
     """Write the deterministic pages table to parquet once and return the path.
 
     The input contract (BASELINE.json input_hint) is a STORED table of web
@@ -67,7 +68,8 @@ def materialize_pages(spark: SparkSession, n: int, path: str | None = None,
     import os
     import tempfile
 
-    path = path or os.path.join(tempfile.gettempdir(), f"co_pages_{n}")
+    sfx = "_t" if with_truth else ""
+    path = path or os.path.join(tempfile.gettempdir(), f"co_pages_{n}{sfx}")
     marker = os.path.join(path, "_co_pages_meta.json")
     if os.path.exists(marker):
         try:
@@ -76,10 +78,29 @@ def materialize_pages(spark: SparkSession, n: int, path: str | None = None,
                     return path
         except (OSError, ValueError):
             pass
-    pages(spark, n, partitions=partitions).write.mode("overwrite").parquet(path)
+    pages(spark, n, partitions=partitions,
+          with_truth=with_truth).write.mode("overwrite").parquet(path)
     with open(marker, "w") as fh:
         json.dump({"n": n}, fh)
     return path
+
+
+def stored_pages(spark: SparkSession, n: int,
+                 with_truth: bool = False) -> DataFrame:
+    """Scan of the once-materialized pages table (the input contract: the
+    engine consumes a STORED table of web pages, not a generator).
+
+    Registered queries use this instead of generating inline: the synthetic
+    build runs at most once per (n, truth) per machine (idempotent marker),
+    and every query plan over it is a plain parquet scan — pushdown-eligible,
+    no giant literal projection in the plan (whose whole-stage codegen
+    exceeds janino limits and costs a doomed ~1 s compile per plan before
+    falling back to interpreted eval).  Small tables are written with few
+    partitions so the scan side stays tidy.
+    """
+    parts = max(1, n // 500_000) if n < 4_000_000 else None
+    return spark.read.parquet(
+        materialize_pages(spark, n, partitions=parts, with_truth=with_truth))
 
 
 def _u(col, salt: int):
