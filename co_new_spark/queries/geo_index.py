@@ -4,8 +4,10 @@ algebra (A26), partitioned-write pushdown (B1/B4), GeoJSON scan (B3).
 Oracle strategy: deterministic lat/lon or planar points derived from
 ``events`` with power-of-two-safe integer arithmetic; the engine runs native
 Column kernels; the oracle restates the arithmetic in SQL.  The GeoJSON scan
-reads the reference's own fixture (not visible to the oracle views) and is
-rows-only, cross-checked by pytest against conf.yaml's L0 map.
+reads the reference's own fixture and is oracle-checked against DuckDB's
+read_json over the same file (plus a pytest cross-check vs conf.yaml's L0
+map); the Colombia PIP entry materializes points + polygon edges and the
+oracle re-runs the even-odd ray cast as a range join.
 """
 
 from __future__ import annotations

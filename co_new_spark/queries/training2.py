@@ -1,9 +1,11 @@
 """Training-pipeline surface, part 2: quality scoring, fingerprinting,
 embedding near-dup, multimodal plumbing, shortcode resolution, extraction.
 
-Oracle-checked where DuckDB can restate the computation bit-stably; the
-multimodal/extraction/pages entries are rows-only (binary payloads and the
-reference-CSV dims aren't visible to the oracle's pre-registered views).
+Oracle-checked throughout — entries whose upstream step DuckDB can't
+restate (xxhash page generation, centroid assignment) materialize that
+intermediate via the mat.py protocol and the oracle re-derives everything
+downstream from the same bytes.  Only the mm_* media stubs stay rows-only
+(deterministic-fake payload decode, determinism pytest-gated).
 """
 
 from __future__ import annotations
