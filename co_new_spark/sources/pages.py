@@ -52,6 +52,11 @@ def _cell_wgs84_rect(digit: int) -> tuple[float, float, float, float]:
 _RECTS = [_cell_wgs84_rect(d) for d in range(16)]
 _BOGOTA = (4.711111, -74.072222)
 
+# bump on ANY generator change: invalidates stored tables cached in /tmp by
+# materialize_pages/stored_pages, which would otherwise silently serve rows
+# from the previous generator
+_GEN_VERSION = 1
+
 
 def materialize_pages(spark: SparkSession, n: int, path: str | None = None,
                       partitions: int | None = None,
@@ -74,14 +79,15 @@ def materialize_pages(spark: SparkSession, n: int, path: str | None = None,
     if os.path.exists(marker):
         try:
             with open(marker) as fh:
-                if json.load(fh).get("n") == n:
+                meta = json.load(fh)
+                if meta.get("n") == n and meta.get("v") == _GEN_VERSION:
                     return path
         except (OSError, ValueError):
             pass
     pages(spark, n, partitions=partitions,
           with_truth=with_truth).write.mode("overwrite").parquet(path)
     with open(marker, "w") as fh:
-        json.dump({"n": n}, fh)
+        json.dump({"n": n, "v": _GEN_VERSION}, fh)
     return path
 
 
