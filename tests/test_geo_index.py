@@ -163,3 +163,26 @@ def test_grid_disk_distinct_when_wrap_folds(spark):
         .withColumn("disk", global_grid.grid_disk(F.col("cell"), 1, 1))
     d = df.select("disk").first().disk
     assert len(d) == len(set(d))  # distinct set, no folded duplicates
+
+
+def test_pip_edge_dim_overwrites_stale_files():
+    """The driver-side edge export must CLEAR its directory first: a stale
+    part file from a previous run would double every edge and flip the
+    ray-cast parity of every inside point to even (= all outside)."""
+    import os
+
+    import numpy as np
+
+    from co_new_spark.queries.geo_index import _write_edges_parquet
+    from co_new_spark.queries.mat import mat_path
+
+    path = mat_path("pip_co_edges")
+    os.makedirs(path, exist_ok=True)
+    stale = os.path.join(path, "part-stale.parquet")
+    ev = np.asarray([[0.0, 0.0, 1.0, 1.0]])
+    _write_edges_parquet(ev)
+    with open(stale, "wb") as fh:
+        fh.write(b"junk")
+    _write_edges_parquet(ev)
+    assert not os.path.exists(stale)
+    assert sorted(os.listdir(path)) == ["part-0.parquet"]

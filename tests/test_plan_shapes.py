@@ -213,3 +213,26 @@ def test_focal_sum_shuffles_raster_not_points(spark):
 
     plan = _plan(g_focal_sum(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_stored_pages_is_parquet_scan(spark):
+    """Registered page entries must read the STORED table: the plan is a
+    parquet FileScan with column pruning — never the inline generator
+    projection (whose fused codegen exceeds janino limits and pays a doomed
+    compile per plan)."""
+    from co_new_spark.sources.pages import stored_pages
+
+    df = stored_pages(spark, 1000).select("url", "lang")
+    plan = _plan(df)
+    assert "FileScan parquet" in plan
+    assert "xxhash64" not in plan          # generator stays out of the plan
+    assert "ReadSchema" in plan and "url" in plan and "html" not in plan
+
+
+def test_stored_pages_filter_pushdown(spark):
+    """A lang filter over the stored table must reach the parquet scan."""
+    from co_new_spark.sources.pages import stored_pages
+
+    df = stored_pages(spark, 1000).filter(F.col("lang") == "es").select("url")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,es)]" in plan
