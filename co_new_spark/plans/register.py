@@ -50,19 +50,30 @@ def sql_session(spark: SparkSession) -> SparkSession:
 
 
 def example_sql_pipeline(spark: SparkSession, n_pages: int = 5_000):
-    """The gridLib.sql entry-point shape, end-to-end in pure SQL."""
-    from ..sources.pages import pages
+    """The gridLib.sql entry-point shape, end-to-end in pure SQL.
+
+    The geoparsed (url, cell) intermediate is materialized (queries/mat.py
+    protocol) so a DuckDB oracle can re-derive the L0 rollup — including the
+    hierarchy bit-math and the one-digit base16h code — from the same bytes;
+    the UDF hash family itself stays gated by the bit-exact codec pytests.
+    """
+    from ..queries.mat import materialize
+    from ..sources.pages import stored_pages
 
     sql_session(spark)
-    pages(spark, n_pages).createOrReplaceTempView("pages")
-    return spark.sql("""
-        WITH pts AS (
+    stored_pages(spark, n_pages).createOrReplaceTempView("pages")
+    valid = spark.sql("""
+        SELECT url, cell FROM (
           SELECT url, co_cell_from_text(text) AS cell FROM pages
-        ), valid AS (
-          SELECT url, cell, shiftright(shiftright(cell, 6), (cell & 63) - 4) AS l0
-          FROM pts WHERE cell >= 0
+        ) WHERE cell >= 0
+    """)
+    materialize(valid, "sql_surface_pts").createOrReplaceTempView("valid_pts")
+    return spark.sql("""
+        WITH v AS (
+          SELECT url, shiftright(shiftright(cell, 6), (cell & 63) - 4) AS l0
+          FROM valid_pts
         )
         SELECT l0, co_cell_code((l0 << 6) | 4) AS l0_code,
                count(*) AS n_pages, count(DISTINCT url) AS n_urls
-        FROM valid GROUP BY l0 ORDER BY l0
+        FROM v GROUP BY l0 ORDER BY l0
     """)

@@ -19,16 +19,20 @@ from pyspark.sql import functions as F
 from ..functions import cells_sql, geo
 from ..operators.cover import cover_lookup_best
 from ..plans import lineage
-from ..sources.pages import pages
+from ..sources.pages import stored_pages
 from ..sources.reference_data import load_citycover
 
 _PAGES_N = int(os.environ.get("CO_Q_PAGES", "4000"))
 
 
-def geocoded_pages(spark: SparkSession, n: int, rbits: int = 26,
-                   partitions: int | None = None) -> DataFrame:
-    """pages -> (url, lang, cell, l0) — the shared front half of the pipeline."""
-    pg = pages(spark, n, partitions=partitions)
+def geocoded_pages(spark: SparkSession, n: int, rbits: int = 26) -> DataFrame:
+    """pages -> (url, lang, cell, l0) — the shared front half of the pipeline.
+
+    Scans the stored pages table (input contract: a stored web-pages table,
+    not an inline generator) so every downstream action replans a plain
+    parquet scan instead of re-compiling the giant generator projection.
+    """
+    pg = stored_pages(spark, n)
     return (
         pg.select("url", "lang",
                   geo.encode_b_cell_from_text(F.col("text"), rbits).alias("cell"))
@@ -41,17 +45,27 @@ def p_resumable_flagship(spark: SparkSession, sf: str) -> DataFrame:
     """Run the flagship pipeline twice against one dataset dir: a partial
     'crashed' run (2 buckets), then the resuming run; return the final ledger.
 
-    Driver-visible invariants: 16 ledger rows (one per L0 bucket present),
-    two distinct run_ids (proof the resume path executed), counts summing to
-    the geocoded page count.
+    Driver-visible invariants: one ledger row per non-empty L0 bucket, two
+    distinct run_ids (proof the resume path executed), and — via the
+    materialized-intermediate oracle — per-bucket committed row counts equal
+    to an independent DuckDB count over the very aggregate the write consumed
+    (a dropped or double-committed bucket breaks the hash).
     """
+    from .mat import materialize
+
     base = os.path.join(tempfile.gettempdir(), "co_flagship_ledger")
     shutil.rmtree(base, ignore_errors=True)
 
     pts = geocoded_pages(spark, _PAGES_N)
     cover = load_citycover(spark)
     hit = cover_lookup_best(pts.select("url", "lang", "cell", "l0"), cover)
-    per_cell = hit.groupBy("l0", "isolabel_ext").agg(F.count("*").alias("n_pages"))
+    # Materialize the aggregate once (doubles as the oracle's input and as a
+    # plan barrier): resumable_write needs several actions (bucket distinct,
+    # write, committed-count read-back) and each would otherwise recompute
+    # the full scan -> geoparse -> cover join upstream.
+    per_cell = materialize(
+        hit.groupBy("l0", "isolabel_ext").agg(F.count("*").alias("n_pages")),
+        "flagship_per_cell")
 
     lineage.resumable_write(per_cell, base, "l0", max_buckets=2)  # simulated crash
     lineage.resumable_write(per_cell, base, "l0")                 # resume
@@ -64,13 +78,41 @@ def p_resumable_flagship(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("l0")
 
 
+def _sql_resumable_flagship() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        SELECT l0, CAST(count(*) AS BIGINT) AS n_rows, true AS resumed
+        FROM read_parquet('{mat_glob("flagship_per_cell")}')
+        GROUP BY l0 ORDER BY l0
+    """
+
+
 def p_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's SQL entry-point shape (gridLib.sql) end-to-end via
-    spark.sql over registered kernel UDFs (rows-only; codes are
-    pytest-gated bit-exact)."""
+    spark.sql over registered kernel UDFs.  Oracle-checked over the
+    materialized geoparse intermediate: DuckDB independently re-derives the
+    L0 hierarchy bit-math and the one-digit base16h code (the UDF hash
+    family stays pytest-gated bit-exact)."""
     from ..plans.register import example_sql_pipeline
 
     return example_sql_pipeline(spark)
+
+
+def _sql_sql_surface() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        WITH v AS (
+          SELECT url, ((cell >> 6) >> ((cell & 63) - 4)) AS l0
+          FROM read_parquet('{mat_glob("sql_surface_pts")}')
+        )
+        SELECT l0, substr('0123456789abcdef', CAST(l0 AS INTEGER) + 1, 1)
+                 AS l0_code,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+        FROM v GROUP BY l0 ORDER BY l0
+    """
 
 
 def p_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
@@ -78,17 +120,25 @@ def p_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     upsert late re-crawls (same urls, newer warc_ts, different lang tag) +
     brand-new urls; return per-bucket counts with the commit count.
 
-    Rows-only (side-effecting, tempdir-stateful); the merge semantics are
-    pytest-gated (tests/test_lineage_salt.py upsert cases).  Driver-visible
-    invariants: row count == initial urls + inserts (exactly-once per key),
-    n_commits == 2.
+    Oracle-checked via materialized inputs: both the base table and the
+    update batch are written to the mat protocol's parquet, and the DuckDB
+    oracle re-derives latest-per-url MERGE semantics independently
+    (row_number over ts DESC), then compares against what the ledgered store
+    ACTUALLY contains after upsert_latest — a lost update, duplicated key, or
+    mis-bucketed row breaks the hash.  n_commits == 2 gates exactly-once
+    ledger appends.
     """
+    from .mat import materialize
+
     base = os.path.join(tempfile.gettempdir(), "co_upsert_ledger")
     shutil.rmtree(base, ignore_errors=True)
 
     pts = geocoded_pages(spark, 2_000).withColumn(
         "ts", F.lit(1).cast("long"))
-    rows = pts.select("url", "lang", "cell", "l0", "ts").dropDuplicates(["url"])
+    # materialize = oracle input + plan barrier (feeds 2 writes + 2 views)
+    rows = materialize(
+        pts.select("url", "lang", "cell", "l0", "ts").dropDuplicates(["url"]),
+        "upsert_base")
     lineage.resumable_write(rows, base, "l0")
 
     recrawl = (rows.filter(F.col("l0").isin([3, 12]))
@@ -98,7 +148,8 @@ def p_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     fresh = rows.orderBy("url").limit(10).select(
         F.concat(F.col("url"), F.lit("?v=2")).alias("url"),
         "lang", "cell", "l0", F.lit(2).cast("long").alias("ts"))
-    lineage.upsert_latest(recrawl.unionByName(fresh), base, "url", "ts", "l0")
+    updates = materialize(recrawl.unionByName(fresh), "upsert_updates")
+    lineage.upsert_latest(updates, base, "url", "ts", "l0")
 
     ds = lineage.dataset(spark, base, "l0")
     n_commits = lineage.snapshots(spark, base).count()
@@ -106,12 +157,34 @@ def p_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
                 F.count("*").alias("n_urls"),
                 F.sum(F.when(F.col("lang") == "und", 1).otherwise(0))
                 .alias("n_updated"))
-              .withColumn("n_commits", F.lit(n_commits))
+              .withColumn("n_commits", F.lit(n_commits).cast("long"))
               .orderBy("l0"))
 
 
+def _sql_upsert_merge() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        WITH unioned AS (
+          SELECT url, lang, l0, ts FROM read_parquet('{mat_glob("upsert_base")}')
+          UNION ALL
+          SELECT url, lang, l0, ts FROM read_parquet('{mat_glob("upsert_updates")}')
+        ), latest AS (
+          SELECT *, row_number() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+          FROM unioned
+        )
+        SELECT l0,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_updated,
+               CAST(2 AS BIGINT) AS n_commits
+        FROM latest WHERE rn = 1
+        GROUP BY l0 ORDER BY l0
+    """
+
+
 QUERIES = {
-    "pipeline_resumable_flagship": (p_resumable_flagship, None),
-    "pipeline_sql_surface": (p_sql_surface, None),
-    "pipeline_upsert_merge": (p_upsert_merge, None),
+    "pipeline_resumable_flagship": (p_resumable_flagship, _sql_resumable_flagship()),
+    "pipeline_sql_surface": (p_sql_surface, _sql_sql_surface()),
+    "pipeline_upsert_merge": (p_upsert_merge, _sql_upsert_merge()),
 }
