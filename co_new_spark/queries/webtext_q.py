@@ -239,10 +239,166 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (emails / phone numbers / IPv4) — a first-class training-data
+# scrub stage.  The fixture text carries no PII, so a deterministic in-query
+# enrichment (keyed on the page number, integer math only — identical in both
+# engines) plants emails/phones/IPs in realistic surrounding text; the oracle
+# re-derives the enrichment AND the three-stage redaction independently, so a
+# regression in any pattern or in the replacement itself breaks the hash.
+# ---------------------------------------------------------------------------
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\+\d{1,3} \d{3} \d{7}"
+_IP_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _enriched_text():
+    """text + deterministic PII suffixes gated on the page number."""
+    p = F.regexp_extract("url", r"page(\d+)$", 1).cast("int")
+    host = F.regexp_extract("url", "^https?://([^/]*)", 1)
+    email = F.when(p % 3 == 0, F.concat(F.lit(" Contacto: admin@"), host)) \
+             .otherwise(F.lit(""))
+    phone = F.when(p % 4 == 0, F.concat(
+        F.lit(" Tel: +57 "),
+        F.lpad(((p * 7919) % 1000).cast("string"), 3, "0"),
+        F.lit(" "),
+        F.lpad(((p * 104729) % 10000000).cast("string"), 7, "0"))) \
+        .otherwise(F.lit(""))
+    ip = F.when(p % 5 == 0, F.concat(
+        F.lit(" IP: 10."), (p % 256).cast("string"),
+        F.lit("."), ((p * 31) % 256).cast("string"),
+        F.lit("."), ((p * 17) % 256).cast("string"))) \
+        .otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def w_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential redaction (email -> phone -> IPv4), pure codegen regex —
+    at 100 TB this is one narrow projection over the scan, no shuffle until
+    the per-lang rollup (map-side combined)."""
+    pg = _fixture(spark).withColumn("t0", _enriched_text())
+    t1 = F.regexp_replace(F.col("t0"), _EMAIL_PAT, "<EMAIL>")
+    pg = pg.withColumn("n_em", F.regexp_count(F.col("t0"), F.lit(_EMAIL_PAT))) \
+           .withColumn("t1", t1)
+    t2 = F.regexp_replace(F.col("t1"), _PHONE_PAT, "<PHONE>")
+    pg = pg.withColumn("n_ph", F.regexp_count(F.col("t1"), F.lit(_PHONE_PAT))) \
+           .withColumn("t2", t2)
+    t3 = F.regexp_replace(F.col("t2"), _IP_PAT, "<IP>")
+    pg = pg.withColumn("n_ip", F.regexp_count(F.col("t2"), F.lit(_IP_PAT))) \
+           .withColumn("t3", t3)
+    return pg.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_em").cast("long").alias("n_emails"),
+        F.sum("n_ph").cast("long").alias("n_phones"),
+        F.sum("n_ip").cast("long").alias("n_ips"),
+        F.sum(F.length("t3")).cast("long").alias("chars_after"),
+    ).orderBy("lang")
+
+
+SQL_REDACT_PII = f"""
+WITH en AS (
+  SELECT lang,
+         text
+         || (CASE WHEN p % 3 = 0 THEN ' Contacto: admin@' || host ELSE '' END)
+         || (CASE WHEN p % 4 = 0 THEN ' Tel: +57 '
+                || lpad(CAST((p * 7919) % 1000 AS VARCHAR), 3, '0') || ' '
+                || lpad(CAST((p * 104729) % 10000000 AS VARCHAR), 7, '0')
+              ELSE '' END)
+         || (CASE WHEN p % 5 = 0 THEN ' IP: 10.' || CAST(p % 256 AS VARCHAR)
+                || '.' || CAST((p * 31) % 256 AS VARCHAR)
+                || '.' || CAST((p * 17) % 256 AS VARCHAR)
+              ELSE '' END) AS t0
+  FROM (
+    SELECT lang, text,
+           CAST(regexp_extract(url, 'page(\\d+)$', 1) AS INTEGER) AS p,
+           regexp_extract(url, '^https?://([^/]*)', 1) AS host
+    FROM read_parquet('{FIXTURE_PAGES}')
+  )
+), st AS (
+  SELECT lang, t0,
+         regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+  FROM en
+), st2 AS (
+  SELECT lang, t0, t1,
+         regexp_replace(t1, '{_PHONE_PAT}', '<PHONE>', 'g') AS t2
+  FROM st
+), st3 AS (
+  SELECT lang, t0, t1, t2,
+         regexp_replace(t2, '{_IP_PAT}', '<IP>', 'g') AS t3
+  FROM st2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(t0, '{_EMAIL_PAT}'))) AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(t1, '{_PHONE_PAT}'))) AS BIGINT) AS n_phones,
+       CAST(sum(len(regexp_extract_all(t2, '{_IP_PAT}'))) AS BIGINT) AS n_ips,
+       CAST(sum(length(t3)) AS BIGINT) AS chars_after
+FROM st3 GROUP BY lang ORDER BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# Boilerplate template removal (CCNet/RefinedWeb-style): sentences are masked
+# (digit runs -> '#') and a template that appears on >= BOILER_MIN_URLS
+# distinct urls of the SAME host is boilerplate.  At 100 TB: the template
+# count is one map-side-combined aggregate keyed (host, template) — template
+# cardinality is dim-sized even when the corpus isn't — and the filter joins
+# back on the same key (broadcast here; hash join on (host, template) at
+# scale).  No driver-side state.
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_URLS = 5
+
+
+def w_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    pg = _fixture(spark)
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    ex = (pg.select("url", host.alias("host"),
+                    F.explode(F.split(F.col("text"), r"\.\s+")).alias("s"))
+          .filter(F.length(F.trim(F.col("s"))) > 0)
+          .withColumn("m", F.regexp_replace(F.col("s"), r"\d+", "#")))
+    tpl = ex.groupBy("host", "m").agg(F.countDistinct("url").alias("n_urls"))
+    joined = ex.join(F.broadcast(tpl), ["host", "m"])
+    is_b = F.col("n_urls") >= BOILER_MIN_URLS
+    return (joined.groupBy("host").agg(
+        F.countDistinct("url").alias("n_pages"),
+        F.countDistinct("m").alias("n_templates"),
+        F.countDistinct(F.when(is_b, F.col("m"))).alias("n_boiler"),
+        F.sum(F.when(is_b, 0).otherwise(F.length("s")))
+        .cast("long").alias("chars_kept"),
+    ).orderBy("host"))
+
+
+SQL_BOILERPLATE = f"""
+WITH ex AS (
+  SELECT url,
+         nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')
+           AS host,
+         unnest(regexp_split_to_array(text, '\\.\\s+')) AS s
+  FROM read_parquet('{FIXTURE_PAGES}')
+), ex2 AS (
+  SELECT url, host, s, regexp_replace(s, '\\d+', '#', 'g') AS m
+  FROM ex WHERE length(trim(s)) > 0
+), tpl AS (
+  SELECT host, m, count(DISTINCT url) AS n_urls FROM ex2 GROUP BY 1, 2
+)
+SELECT e.host,
+       CAST(count(DISTINCT e.url) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT e.m) AS BIGINT) AS n_templates,
+       CAST(count(DISTINCT CASE WHEN t.n_urls >= {BOILER_MIN_URLS}
+                                THEN e.m END) AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN t.n_urls >= {BOILER_MIN_URLS}
+                     THEN 0 ELSE length(e.s) END) AS BIGINT) AS chars_kept
+FROM ex2 e JOIN tpl t ON e.host = t.host AND e.m = t.m
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "web_extract_parity": (w_extract_parity, SQL_EXTRACT_PARITY),
     "web_host_stats": (w_host_stats, SQL_HOST_STATS),
     "web_url_canon": (w_url_canon, SQL_URL_CANON),
     "web_coord_scrub": (w_coord_scrub, SQL_COORD_SCRUB),
     "web_geoparse": (w_geoparse, SQL_GEOPARSE),
+    "web_redact_pii": (w_redact_pii, SQL_REDACT_PII),
+    "web_boilerplate": (w_boilerplate, SQL_BOILERPLATE),
 }

@@ -100,3 +100,55 @@ def test_extract_spec_cross_engine_on_adversarial_html(spark):
     for c, g in zip(cases, got):
         want = con.execute("SELECT " + _sql_extract_expr("?"), [c]).fetchone()[0]
         assert g == want, (c, g, want)
+
+
+def test_redact_pii_removes_every_planted_token(spark):
+    """After the three-stage redaction no email/phone/IPv4 pattern survives,
+    and the per-lang counts equal the deterministic enrichment gates."""
+    from co_new_spark.queries.webtext_q import (
+        _EMAIL_PAT, _IP_PAT, _PHONE_PAT, _enriched_text, _fixture,
+        w_redact_pii)
+
+    rows = w_redact_pii(spark, "").collect()
+    assert sum(r["n_docs"] for r in rows) == 2000
+    # gates: p%3 plants an email, p%4 a phone, p%5 an IP — count them directly
+    pg = _fixture(spark).withColumn(
+        "p", F.regexp_extract("url", r"page(\d+)$", 1).cast("int"))
+    gates = pg.select(
+        F.sum(F.when(F.col("p") % 3 == 0, 1).otherwise(0)).alias("em"),
+        F.sum(F.when(F.col("p") % 4 == 0, 1).otherwise(0)).alias("ph"),
+        F.sum(F.when(F.col("p") % 5 == 0, 1).otherwise(0)).alias("ip"),
+    ).collect()[0]
+    assert sum(r["n_emails"] for r in rows) == gates["em"] > 0
+    assert sum(r["n_phones"] for r in rows) == gates["ph"] > 0
+    assert sum(r["n_ips"] for r in rows) == gates["ip"] > 0
+    # nothing survives: re-running the counters on the redacted text finds 0
+    red = _fixture(spark).withColumn("t", _enriched_text())
+    for pat in (_EMAIL_PAT, _PHONE_PAT, _IP_PAT):
+        red = red.withColumn("t", F.regexp_replace("t", pat, "<X>"))
+    leftover = red.select(
+        F.sum(F.regexp_count("t", F.lit(_EMAIL_PAT))
+              + F.regexp_count("t", F.lit(_PHONE_PAT))
+              + F.regexp_count("t", F.lit(_IP_PAT))).alias("n")).collect()[0]["n"]
+    assert leftover == 0
+
+
+def test_boilerplate_partitions_templates_and_masks_digits(spark):
+    """Boiler + kept template counts partition n_templates; the dominant
+    per-host body template is always detected; chars_kept counts only
+    non-boiler sentences."""
+    from co_new_spark.queries.webtext_q import BOILER_MIN_URLS, w_boilerplate
+
+    rows = w_boilerplate(spark, "").collect()
+    assert len(rows) == 200  # one per host
+    assert sum(r["n_boiler"] for r in rows) > 0
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_templates"], r
+        # the 'Resumen del sitio …' body template is present on EVERY page of
+        # a host, so any host with >= BOILER_MIN_URLS pages must flag it;
+        # smaller hosts legitimately have none
+        if r["n_pages"] >= BOILER_MIN_URLS:
+            assert r["n_boiler"] >= 1, r
+        else:
+            assert r["chars_kept"] > 0, r  # nothing removable on tiny hosts
+        assert r["chars_kept"] >= 0
