@@ -236,3 +236,23 @@ def test_stored_pages_filter_pushdown(spark):
     df = stored_pages(spark, 1000).filter(F.col("lang") == "es").select("url")
     plan = _plan(df)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,es)]" in plan
+
+
+def test_boilerplate_template_join_is_broadcast(spark):
+    """The template-count join-back must broadcast the dim-sized template
+    aggregate — the exploded sentence fact side is never shuffled for it."""
+    from co_new_spark.queries.webtext_q import w_boilerplate
+
+    plan = _plan(w_boilerplate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_redact_pii_is_single_projection_until_agg(spark):
+    """The three-pass redaction is one narrow codegen projection over the
+    scan: exactly one exchange (the final per-lang rollup), no UDFs."""
+    from co_new_spark.queries.webtext_q import w_redact_pii
+
+    plan = _plan(w_redact_pii(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
