@@ -424,8 +424,53 @@ def _sql_mm_knn() -> str:
     return _sql_bucket_knn("mm_knn", 3)
 
 
+# ---------------------------------------------------------------------------
+# Mixture-weighted sampling: per-language TARGET rates (the data-mixing stage
+# of a training pipeline — downsample dominant languages, keep scarce ones)
+# applied through the same RNG-free content-hash gate as t_hash_sample, so
+# the mixture is reproducible run-to-run and engine-to-engine.  At 100 TB
+# this is one narrow projection + map-side-combined rollup: no shuffle of the
+# fact table, no sampleBy seed drift across retries/executors.
+# ---------------------------------------------------------------------------
+
+# lang -> keep-threshold out of 256 content-hash buckets (256 = keep all)
+MIX_THRESHOLDS = {"en": 64, "de": 128, "fr": 192}
+_MIX_DEFAULT = 256
+
+
+def t_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast("int")
+    thr = F.lit(_MIX_DEFAULT)
+    for lang, t in sorted(MIX_THRESHOLDS.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    kept = (bucket < thr).cast("int")
+    return (docs.withColumn("kept", kept)
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("kept").cast("long").alias("n_kept"))
+            .orderBy("lang", "source"))
+
+
+_SQL_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {t}" for lang, t in sorted(MIX_THRESHOLDS.items())
+) + f" ELSE {_MIX_DEFAULT} END"
+
+SQL_MIX_WEIGHTS = f"""
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN bucket < {_SQL_MIX_CASE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM (SELECT lang, source,
+             (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS bucket
+      FROM documents)
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "mm_embed_knn": (t_mm_embed_knn, _sql_mm_knn()),
+    "train_mix_weights": (t_mix_weights, SQL_MIX_WEIGHTS),
     "train_contamination": (t_contamination, SQL_CONTAMINATION),
     "train_contamination_scaled": (t_contamination_scaled, SQL_CONTAMINATION),
     "train_repetition": (t_repetition, SQL_REPETITION),

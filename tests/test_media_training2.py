@@ -102,3 +102,25 @@ def test_multi_probe_scan_parity_with_native_contains(spark):
     want = {r.doc_id: [r[f"h{i}"] for i in range(len(probes))]
             for r in native.collect()}
     assert got == want
+
+
+def test_mix_weights_rates_and_full_keep(spark):
+    """Thresholded langs sample near their target rate; unlisted langs are
+    kept in full; the gate is a pure function of content (reproducible)."""
+    from co_new_spark.queries.training2 import MIX_THRESHOLDS, t_mix_weights
+
+    rows = t_mix_weights(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        d = by_lang.setdefault(r["lang"], [0, 0])
+        d[0] += r["n_docs"]
+        d[1] += r["n_kept"]
+    for lang, (n, k) in by_lang.items():
+        assert 0 <= k <= n
+        thr = MIX_THRESHOLDS.get(lang)
+        if thr is None:
+            assert k == n, (lang, n, k)  # keep-all default
+        elif n >= 200:  # enough mass for the rate to concentrate
+            rate, target = k / n, thr / 256
+            assert abs(rate - target) < 0.12, (lang, rate, target)
