@@ -457,12 +457,34 @@ def g_coverage_clip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def g_polygon_cover(spark: SparkSession, sf: str) -> DataFrame:
-    """§3.2 cover production: polygon -> mixed-precision cell cover (rows-only;
-    the area-partition + ancestry invariants are pytest-gated)."""
+    """§3.2 cover production: polygon -> mixed-precision cell cover.
+
+    Oracle-checked via the mat.py protocol: every refinement level's
+    (cell, depth, clip) frontier is materialized and BOTH engines re-derive
+    the full/border classification and the emission rule from those bytes
+    (SQL_POLYGON_COVER); the numpy clip kernel itself stays gated by the
+    area-partition + ancestry pytests (tests/test_geometry.py)."""
     from ..operators.cover_gen import polygon_cover
 
-    out = polygon_cover(spark, _POLY, base_depth=8, max_depth=12)
-    return out.select("cell", "kind", F.round(F.col("area_m2"), 3).alias("area_m2"))
+    out = polygon_cover(spark, _POLY, base_depth=8, max_depth=12,
+                        trace_name="polygon_cover_trace")
+    return out.select("cell", "kind", "area_m2")
+
+
+def _sql_polygon_cover(base_depth: int = 8, max_depth: int = 12) -> str:
+    from ..operators.cover_gen import full_cell_area
+    from .mat import mat_glob
+
+    thr = "CASE depth " + " ".join(
+        f"WHEN {d} THEN {full_cell_area(d) * (1 - 1e-12)!r}"
+        for d in range(base_depth, max_depth + 1, 2)) + " END"
+    return f"""
+        SELECT cell,
+               CASE WHEN clip >= {thr} THEN 'full' ELSE 'border' END AS kind,
+               clip AS area_m2
+        FROM read_parquet('{mat_glob("polygon_cover_trace")}')
+        WHERE clip >= {thr} OR depth = {max_depth}
+    """
 
 
 def g_cover_set_ops(spark: SparkSession, sf: str) -> DataFrame:
@@ -839,7 +861,7 @@ QUERIES = {
     "geo_pip_holes": (g_pip_holes, SQL_PIP_HOLES),
     # geo_seat_cells + geo_cover_set_ops register in geo_cover_sql (with
     # their CSV-decoding SQL oracles)
-    "geo_polygon_cover": (g_polygon_cover, None),
+    "geo_polygon_cover": (g_polygon_cover, _sql_polygon_cover()),
     "geo_coverage_clip": (g_coverage_clip, None),
     "geo_shortcode": (g_shortcode, _sql_shortcode()),
     "geo_knn_ring_events": (g_knn_ring_events, _sql_knn_ring()),
