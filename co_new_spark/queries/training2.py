@@ -150,9 +150,17 @@ _PAGES_N = int(os.environ.get("CO_Q_PAGES_MM", "2500"))
 
 
 def t_media_meta(spark: SparkSession, sf: str) -> DataFrame:
-    """binary -> typed metadata via mapInPandas; agg by sniffed format."""
+    """binary -> typed metadata via mapInPandas; agg by sniffed format.
+
+    The Arrow-batch feature table is materialized so the rollup (counts,
+    byte totals, distinct phashes) is hash-checked cross-engine; the decode
+    stub itself stays pytest-gated deterministic."""
+    from .mat import materialize
+
     pg = pages(spark, _PAGES_N)
-    meta = media.media_meta(pg, bin_col="html", key_col="url")
+    meta = materialize(
+        media.media_meta(pg, bin_col="html", key_col="url")
+        .select("format", "n_channels", "n_bytes", "phash"), "media_meta")
     return meta.groupBy("format", "n_channels").agg(
         F.count("*").alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
@@ -160,30 +168,78 @@ def t_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_media_meta() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        SELECT format, n_channels, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash
+        FROM read_parquet('{mat_glob("media_meta")}')
+        GROUP BY format, n_channels
+    """
+
+
 def t_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame-sampling explode shape: 4 'frames' per payload, dedup by hash."""
+    """Frame-sampling explode shape: 4 'frames' per payload, dedup by hash.
+
+    The exploded frame table is materialized; per-index frame counts and
+    distinct-hash counts are re-derived by the oracle from the same bytes."""
+    from .mat import materialize
+
     pg = pages(spark, _PAGES_N)
-    fr = media.frame_sample(pg, n_frames=4, bin_col="html", key_col="url")
+    fr = materialize(
+        media.frame_sample(pg, n_frames=4, bin_col="html", key_col="url")
+        .select("frame_idx", "frame_hash"), "frame_sample")
     return fr.groupBy("frame_idx").agg(
         F.count("*").alias("n_frames"),
         F.countDistinct("frame_hash").alias("n_distinct"),
     )
 
 
+def _sql_frame_sample() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        SELECT frame_idx, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(count(DISTINCT frame_hash) AS BIGINT) AS n_distinct
+        FROM read_parquet('{mat_glob("frame_sample")}')
+        GROUP BY frame_idx
+    """
+
+
 def t_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Perceptual-hash-style dedup over decoded media features (rows-only).
+    """Perceptual-hash-style dedup over decoded media features.
 
     Byte-identical payloads (the duplicated-url groups of the pages fixture)
-    must collapse to one canonical url per phash.
+    must collapse to one canonical url per phash.  The mapInPandas feature
+    table (the stubbed decode, pytest-gated deterministic) is materialized;
+    the oracle re-derives the window dedup + rollup from those bytes.
     """
+    from .mat import materialize
+
     pg = pages(spark, _PAGES_N)
-    meta = media.media_meta(pg, bin_col="html", key_col="url")
+    meta = materialize(
+        media.media_meta(pg, bin_col="html", key_col="url")
+        .select("url", "format", "phash"), "phash_meta")
     w = Window.partitionBy("phash").orderBy("url")
     return (
         meta.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .groupBy("format").agg(F.count("*").alias("n_canonical"))
     )
+
+
+def _sql_phash_dedup() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        SELECT format, CAST(count(*) AS BIGINT) AS n_canonical
+        FROM (SELECT format,
+                     row_number() OVER (PARTITION BY phash ORDER BY url) AS rn
+              FROM read_parquet('{mat_glob("phash_meta")}'))
+        WHERE rn = 1 GROUP BY format
+    """
 
 
 def t_extract_consistency(spark: SparkSession, sf: str) -> DataFrame:
@@ -479,8 +535,8 @@ QUERIES = {
     "train_quality_score": (t_quality_score, SQL_QUALITY),
     "train_fingerprint": (t_fingerprint, SQL_FINGERPRINT),
     "train_embed_neardup": (t_embed_neardup, SQL_EMBED_NEARDUP),
-    "mm_media_meta": (t_media_meta, None),
-    "mm_frame_sample": (t_frame_sample, None),
-    "mm_phash_dedup": (t_phash_dedup, None),
+    "mm_media_meta": (t_media_meta, _sql_media_meta()),
+    "mm_frame_sample": (t_frame_sample, _sql_frame_sample()),
+    "mm_phash_dedup": (t_phash_dedup, _sql_phash_dedup()),
     "train_extract_consistency": (t_extract_consistency, _sql_extract_consistency()),
 }
