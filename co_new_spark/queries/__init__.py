@@ -8,13 +8,13 @@ from __future__ import annotations
 from . import (
     geo_algebra, geo_cover_sql, geo_index, geo_pages, geospatial, geospatial2,
     pipeline_q, relational, e2e_q, streaming_q, training, training2, training3,
-    webtext_q,
+    training4, webtext_q,
 )
 
 REGISTRY: dict = {}
 for _mod in (relational, training, geospatial, geospatial2, geo_algebra,
              geo_cover_sql, geo_index, geo_pages, training2, training3,
-             webtext_q, e2e_q, streaming_q, pipeline_q):
+             training4, webtext_q, e2e_q, streaming_q, pipeline_q):
     REGISTRY.update(_mod.QUERIES)
 
 

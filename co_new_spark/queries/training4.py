@@ -1,0 +1,170 @@
+"""Training-pipeline surface, part 4: exact repeated-substring deduplication
+(the cross-document k-token span method of Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022) — the corpus-level
+stage that finds verbatim text reuse BELOW document granularity, where
+whole-doc hashing (train_dedup_exact) and set-similarity (MinHash/Jaccard)
+are blind.
+
+Two driver-oracle-checked entries:
+
+* ``train_substring_dedup`` — per-document contamination profile: how many
+  of a doc's k-token spans also appear verbatim in some OTHER document.
+  The per-doc ``dup_frac`` is the standard cut metric (drop or trim docs
+  whose text is mostly recycled boilerplate/copypasta).
+* ``train_substring_hotspans`` — the artifact a trim pass consumes: the
+  top recycled spans themselves, ranked by occurrence count.
+
+Scale notes (100 TB): span generation is one codegen projection + explode
+(no Python, no UDF); "appears in >= 2 distinct docs" is decided by
+``min(doc_id) != max(doc_id)`` per span hash — a cheap 2-value aggregate
+instead of a COUNT(DISTINCT) expansion — computed as a window over the
+span-hash partitioning so the flag + per-doc rollup costs exactly TWO
+shuffles (hash, then doc_id).  Spans are keyed by md5 (fixed 16-byte key)
+so shuffle width never depends on k or token length.  Hot spans (corpus
+stop-phrases) concentrate a partition each; AQE skew-join/salting applies
+as with any power-law key, and the window aggregate itself is
+insensitive to per-key row count.
+
+Cross-engine hash-exactness: token split, slicing and joining are
+byte-identical string ops in both engines; all counts are BIGINT; the one
+double (``dup_frac``) is a single division rounded to 6 places.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+# k-token span width. Lee et al. use 50 BPE tokens at web scale; the synthetic
+# documents average ~56 whitespace tokens, so 8 keeps per-doc span counts
+# (~49) and cross-doc collision rates in a regime where the output
+# distribution is non-trivial at every sf.
+SPAN_K = 8
+
+
+def _span_index(w):
+    """1-based start positions of every k-token span; empty when the doc is
+    shorter than k (Spark's sequence(1, 0) would DESCEND to [1, 0], so the
+    short-doc case must be branched, not clamped)."""
+    n = F.size(w) - (SPAN_K - 1)
+    return F.when(n >= 1, F.sequence(F.lit(1), n)) \
+            .otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+
+
+def _spans(docs: DataFrame, as_text: bool = False) -> DataFrame:
+    """(doc_id, h|span) — one row per k-token span occurrence."""
+    w = F.split(F.col("text"), " ")
+    span = lambda i: F.array_join(F.slice(w, i, SPAN_K), " ")  # noqa: E731
+    mk = span if as_text else (lambda i: F.md5(span(i)))
+    col = "span" if as_text else "h"
+    return docs.select(
+        "doc_id",
+        F.explode(F.transform(_span_index(w), mk)).alias(col))
+
+
+def substring_profile(docs: DataFrame) -> DataFrame:
+    """Per-doc repeated-substring profile: n_spans, spans duplicated in >= 2
+    distinct docs, and the duplicated fraction.  Docs shorter than k tokens
+    emit (0, 0, 0.0) — the left join back to the doc set keeps them."""
+    sp = _spans(docs)
+    wh = Window.partitionBy("h")
+    flagged = sp.withColumn(
+        "is_dup",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).cast("long"))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("is_dup").alias("dup_spans"))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+                    F.round(F.when(F.coalesce("n_spans", F.lit(0)) > 0,
+                                   F.col("dup_spans").cast("double")
+                                   / F.col("n_spans")).otherwise(0.0), 6)
+                    .alias("dup_frac")))
+
+
+def t_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return substring_profile(load(spark, sf, "documents"))
+
+
+# DuckDB restatement: identical tokenization (string_split on ' ' keeps empty
+# tokens exactly like Spark's split), identical 1-based k-slices, same md5
+# keys, same min!=max window decision.  range(1, len-k+2) is [] for short
+# docs (DuckDB's list range is empty when stop <= start — no descending trap).
+_SPANS_SQL = f"""
+SELECT doc_id, md5(array_to_string(t[i:i + {SPAN_K - 1}], ' ')) AS h
+FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_K - 2})) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+"""
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH flagged AS (
+  SELECT doc_id,
+         CASE WHEN min(doc_id) OVER (PARTITION BY h)
+                   <> max(doc_id) OVER (PARTITION BY h)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM ({_SPANS_SQL})
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(is_dup) AS BIGINT) AS dup_spans
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.dup_spans, 0) AS dup_spans,
+       round(CASE WHEN coalesce(p.n_spans, 0) > 0
+                  THEN CAST(p.dup_spans AS DOUBLE) / p.n_spans
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+HOTSPAN_TOPK = 20
+
+
+def t_substring_hotspans(spark: SparkSession, sf: str) -> DataFrame:
+    """The top recycled k-token spans across the corpus (>= 2 distinct docs),
+    ranked by occurrence count — what a substring-trim pass would excise.
+    Groups by span TEXT (this entry's output is the artifact, so the key
+    must survive to the result); n_docs uses COUNT(DISTINCT) because the
+    top-k report needs the true doc spread, not just the >= 2 bit."""
+    docs = load(spark, sf, "documents")
+    g = (_spans(docs, as_text=True)
+         .groupBy("span")
+         .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+              F.count("*").alias("n_occ"))
+         .filter(F.col("n_docs") >= 2))
+    order = [F.col("n_occ").desc(), F.col("n_docs").desc(), F.col("span")]
+    # distributed top-k (TakeOrderedAndProject) FIRST; the global
+    # row_number window then only ever sees <= HOTSPAN_TOPK rows
+    top = g.orderBy(*order).limit(HOTSPAN_TOPK)
+    return (top.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+               .select("span", "n_docs", "n_occ", "rn"))
+
+
+SQL_SUBSTRING_HOTSPANS = f"""
+WITH spans AS (
+  SELECT doc_id, array_to_string(t[i:i + {SPAN_K - 1}], ' ') AS span
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_K - 2})) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+), g AS (
+  SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT span, n_docs, n_occ, rn FROM (
+  SELECT span, n_docs, n_occ,
+         row_number() OVER (ORDER BY n_occ DESC, n_docs DESC, span) AS rn
+  FROM g
+) WHERE rn <= {HOTSPAN_TOPK}
+"""
+
+
+QUERIES = {
+    "train_substring_dedup": (t_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "train_substring_hotspans": (t_substring_hotspans, SQL_SUBSTRING_HOTSPANS),
+}
