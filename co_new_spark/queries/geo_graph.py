@@ -1,0 +1,154 @@
+"""Iterative graph analytics over the grid index: integer-exact PageRank on
+the occupied-cell king-adjacency graph (``geo_cell_pagerank``).
+
+Why it exists: the reference's grid algebra (cells, covers, adjacency —
+/root/reference/README.md:49's ij-matrix ids) supplies exactly the graph a
+spatial-centrality product needs; PageRank over cell adjacency is the
+canonical "importance surface" derived from it (hub detection on density
+rasters).  It is also the registry's representative ITERATIVE algorithm:
+T chained join+aggregate rounds over a static edge table — the shape
+GraphX/Pregel jobs take when re-expressed as DataFrame ops.
+
+Integer-exact across engines: float PageRank is not order-associative, so a
+value-hash oracle would flake.  Ranks are carried as BIGINT micro-units
+(SCALE = 1e6); each round computes
+
+    rank'(v) = BASE + (85 * sum_{u->v}(rank(u) div deg(u))) div 100
+
+with BASE = 0.15 * SCALE.  Every operation is integer (div truncates;
+operands are non-negative, so Spark's ``div`` and DuckDB's ``//`` agree),
+hence the result is bit-identical regardless of partitioning, join order, or
+engine.  Dangling mass (isolated cells have no out-edges) is dropped, the
+standard simplification; such cells converge to BASE.
+
+Scale notes (100 TB): only the FIRST aggregate (points -> occupied cells)
+touches the fact table; the iteration runs on the cell graph (orders of
+magnitude smaller).  Edges + degrees are computed once and cached; each
+round is one hash join on u (edge table's partitioning is reusable across
+rounds — on a real cluster, bucket both sides by u) plus one aggregation
+shuffle on v.  T is fixed (no driver-side convergence probes), so the whole
+job is ONE lazy plan the optimizer sees end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..grid import grids
+from ..operators.knn import ring_cells_udf
+from .geospatial import _XENG, _YENG, _event_points
+from .sql_grid import l0_case, morton_ref
+
+_PR_RBITS = 8          # 16x16 refinement below L0 -> 32,768 m cells
+_PR_ITERS = 3          # fixed rounds: keeps the oracle an unrolled CTE chain
+_PR_SCALE = 1_000_000  # rank unit = 1e-6
+_PR_BASE = 150_000     # (1 - 0.85) * SCALE
+_PR_DNUM, _PR_DDEN = 85, 100
+
+# Correctness-path cap, same convention as geo_grid_cluster: the oracle
+# proves the algorithm at any size; bench raises it via env.
+_PR_EVENTS = int(os.environ.get("CO_PR_EVENTS", "20000"))
+
+
+def pagerank_int(nodes: DataFrame, edges: DataFrame,
+                 iters: int = _PR_ITERS) -> DataFrame:
+    """Integer-exact PageRank: ``nodes`` (cell), ``edges`` (u, v) directed.
+    Returns (cell, rank) after ``iters`` rounds from a uniform SCALE start."""
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "u").cache()  # static across rounds
+    ranks = nodes.select("cell", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (ed.join(ranks.withColumnRenamed("cell", "u"), "u")
+                     .select("v", F.expr("rank div deg").alias("c")))
+        s = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = (nodes.select("cell")
+                 .join(s.withColumnRenamed("v", "cell"), "cell", "left")
+                 .select("cell", (F.lit(_PR_BASE) + F.expr(
+                     f"({_PR_DNUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                     f" div {_PR_DDEN}")).cast("long").alias("rank")))
+    return ranks
+
+
+def g_cell_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over occupied grid cells, king-move adjacency (A17 ring-1,
+    cross-L0 handled through the global (i, j) frame)."""
+    pts = (_event_points(spark, sf)
+           .filter(F.col("event_id") < _PR_EVENTS)
+           .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"),
+                                                _PR_RBITS))
+           .filter(F.col("cell") >= 0))
+    nodes = pts.groupBy("cell").agg(F.count("*").alias("n")).cache()
+    nb = (nodes.select(F.col("cell").alias("u"),
+                       F.explode(ring_cells_udf(1)(F.col("cell"))).alias("v"))
+               .filter(F.col("u") != F.col("v")))
+    edges = nb.join(nodes.select(F.col("cell").alias("v")), "v").select("u", "v")
+    ranks = pagerank_int(nodes.select("cell"), edges)
+    return nodes.join(ranks, "cell").select("cell", "n", "rank")
+
+
+# --------------------------------------------------------------------------
+# DuckDB restatement: lattice cells + adjacency re-derived from raw event
+# coordinates exactly as SQL_GRID_CLUSTER does (grid-spec fragments from
+# queries/sql_grid.py), then the T rounds UNROLLED as chained CTEs (standard
+# SQL forbids aggregates in a recursive term, and unrolling keeps the oracle
+# dependency-free).  `//` == `div` for the non-negative operands here.
+# --------------------------------------------------------------------------
+
+_PR_NSIDE = 1 << (_PR_RBITS // 2)
+_PR_S = grids.L0_SIDE / _PR_NSIDE
+_PR_L0 = l0_case()
+_PR_MORTON = morton_ref(_PR_RBITS, "iy", "ix")
+
+
+def _iter_cte(k: int) -> str:
+    return f"""pr{k} AS (
+  SELECT nd.cell,
+         CAST({_PR_BASE} + ({_PR_DNUM} * coalesce(s.s, 0)) // {_PR_DDEN}
+              AS BIGINT) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.v AS cell, sum(r.rank // d.deg) AS s
+    FROM pr{k - 1} r JOIN ed e ON e.u = r.cell JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+  ) s ON s.cell = nd.cell
+)"""
+
+
+SQL_CELL_PAGERANK = f"""
+WITH raw AS (
+  SELECT {_XENG} AS x, {_YENG} AS y FROM events WHERE event_id < {_PR_EVENTS}
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_PR_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_PR_S!r}) AS BIGINT) AS gj
+  FROM raw
+), lat AS (
+  SELECT gi, gj, gi // {_PR_NSIDE} AS i, gj // {_PR_NSIDE} AS j,
+         gi % {_PR_NSIDE} AS ix, gj % {_PR_NSIDE} AS iy
+  FROM g
+), nodes AS (
+  SELECT gi, gj,
+         ((min({_PR_L0}) * {1 << _PR_RBITS} + min({_PR_MORTON})) * 64
+          + {4 + _PR_RBITS}) AS cell,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lat WHERE {_PR_L0} >= 0
+  GROUP BY gi, gj
+), ed AS (
+  SELECT a.cell AS u, b.cell AS v
+  FROM nodes a JOIN nodes b
+    ON abs(a.gi - b.gi) <= 1 AND abs(a.gj - b.gj) <= 1 AND a.cell <> b.cell
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY u
+), pr0 AS (
+  SELECT cell, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes
+), {', '.join(_iter_cte(k) for k in range(1, _PR_ITERS + 1))}
+SELECT nd.cell, nd.n, p.rank
+FROM nodes nd JOIN pr{_PR_ITERS} p ON p.cell = nd.cell
+"""
+
+
+QUERIES = {
+    "geo_cell_pagerank": (g_cell_pagerank, SQL_CELL_PAGERANK),
+}

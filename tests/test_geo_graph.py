@@ -1,0 +1,82 @@
+"""Integer-exact PageRank over cell adjacency (queries/geo_graph.py)."""
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from co_new_spark.queries.geo_graph import (
+    _PR_BASE,
+    _PR_DDEN,
+    _PR_DNUM,
+    _PR_SCALE,
+    g_cell_pagerank,
+    pagerank_int,
+)
+
+
+def _py_pagerank(nodes, edges, iters):
+    """Reference implementation with the same integer contract."""
+    deg = {}
+    for u, _v in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {n: _PR_SCALE for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // deg[u]
+        rank = {n: _PR_BASE + (_PR_DNUM * s[n]) // _PR_DDEN for n in nodes}
+    return rank
+
+
+def _spark_pagerank(spark, nodes, edges, iters):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "cell long")
+    edf = spark.createDataFrame(edges, "u long, v long")
+    rows = pagerank_int(ndf, edf, iters).collect()
+    return {r["cell"]: r["rank"] for r in rows}
+
+
+def _sym(pairs):
+    return [(u, v) for a, b in pairs for u, v in ((a, b), (b, a))]
+
+
+def test_pagerank_path_graph_matches_reference(spark):
+    nodes = [1, 2, 3, 4]
+    edges = _sym([(1, 2), (2, 3), (3, 4)])
+    for iters in (1, 3):
+        assert _spark_pagerank(spark, nodes, edges, iters) \
+            == _py_pagerank(nodes, edges, iters)
+
+
+def test_pagerank_star_and_isolated(spark):
+    """Hub of a star outranks leaves; an isolated node decays to BASE."""
+    nodes = [0, 1, 2, 3, 99]
+    edges = _sym([(0, 1), (0, 2), (0, 3)])
+    got = _spark_pagerank(spark, nodes, edges, 3)
+    assert got == _py_pagerank(nodes, edges, 3)
+    assert got[0] > got[1] == got[2] == got[3]
+    assert got[99] == _PR_BASE
+
+
+def test_pagerank_entry_invariants(spark):
+    """Entry-level sanity at sf0.001: every occupied cell labelled, ranks
+    positive, and the max-rank cell is not an isolated one."""
+    df = g_cell_pagerank(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["rank"] >= _PR_BASE and r["n"] >= 1 for r in rows)
+    top = max(rows, key=lambda r: r["rank"])
+    assert top["rank"] > _PR_BASE  # the densest area has in-links
+
+
+def test_pagerank_deterministic_under_partitioning(spark):
+    """The integer contract's point: identical ranks at different
+    parallelism/partitioning."""
+    nodes = list(range(12))
+    edges = _sym([(i, (i * 7 + 3) % 12) for i in range(12)])
+    edges = [(u, v) for u, v in edges if u != v]
+    a = _spark_pagerank(spark, nodes, edges, 3)
+    ndf = spark.createDataFrame([(n,) for n in nodes], "cell long").repartition(7)
+    edf = spark.createDataFrame(edges, "u long, v long").repartition(5)
+    b = {r["cell"]: r["rank"]
+         for r in pagerank_int(ndf, edf, 3).collect()}
+    assert a == b
