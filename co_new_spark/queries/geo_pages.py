@@ -219,8 +219,97 @@ SELECT qid, cid, round(dist, 3) AS dist, rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# web_geo_lang_mix — the geo x webtext fusion row: language mixture per
+# jurisdiction (pages -> live lang-ID -> live geocode -> cover join -> shares)
+# ---------------------------------------------------------------------------
+
+
+def g_lang_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-municipality language mixture of geocoded pages: the composition a
+    geo-aware curation pipeline runs to pick per-region language quotas.
+    Everything LIVE: stopword-ratio lang-ID (functions/text.py), fused
+    geoparse+TM+encode kernel, per-depth broadcast cover join.  ``share`` is
+    one double division of two BIGINTs, rounded — hash-stable."""
+    from pyspark.sql import Window
+
+    cover = load_citycover(spark)
+    pg = _fixture(spark).select("url", "text").distinct()  # url-unique (byte-identical text per url)
+    pts = pg.select(
+        "url",
+        txf.lang_guess(F.col("text")).alias("lang"),
+        geo.encode_b_cell_from_text(F.col("text"), _CV_R).alias("cell"),
+    ).filter(F.col("cell") >= 0)
+    hit = cover_lookup_best(pts, cover, keep=["url", "lang"])
+    g = hit.groupBy("isolabel_ext", "lang").agg(F.count("*").alias("n_urls"))
+    w = Window.partitionBy("isolabel_ext")
+    return g.select(
+        "isolabel_ext", "lang", "n_urls",
+        F.round(F.col("n_urls").cast("double")
+                / F.sum("n_urls").over(w).cast("double"), 6).alias("share"))
+
+
+def _sql_tok_ratio(lang: str) -> str:
+    """Stopword ratio over the word_tokens grammar (lower + split on
+    non-letter/digit runs, empties dropped) — the pages-text restatement;
+    SQL_LANG's plain-space split only holds for pre-normalized documents."""
+    words = ",".join(f"'{w}'" for w in txf._STOPWORDS[lang])  # noqa: SLF001
+    toks = r"list_filter(string_split_regex(lower(text), '[^\pL\pN]+'), x -> x <> '')"
+    return (f"CASE WHEN len({toks}) > 0 THEN"
+            f" CAST(len(list_filter({toks}, t -> list_contains([{words}], t)))"
+            f" AS DOUBLE) / len({toks}) ELSE 0.0 END")
+
+
+SQL_LANG_MIX = f"""
+WITH {_sql_xy_cells(_CV_R)},
+{_sql_csv_decode("cover", "covbits")},
+pgu AS (SELECT DISTINCT url, text FROM read_parquet('{FIXTURE_PAGES}')),
+lg AS (
+  SELECT url,
+         CASE WHEN best > 0 THEN
+           (CASE WHEN r_es = best THEN 'es' WHEN r_pt = best THEN 'pt'
+                 ELSE 'en' END)
+         ELSE 'und' END AS lang
+  FROM (
+    SELECT url, r_es, r_en, r_pt, greatest(r_es, r_en, r_pt) AS best FROM (
+      SELECT url, {_sql_tok_ratio('es')} AS r_es,
+             {_sql_tok_ratio('en')} AS r_en,
+             {_sql_tok_ratio('pt')} AS r_pt
+      FROM pgu
+    )
+  )
+),
+pcell AS (
+  SELECT DISTINCT url, cell >> 6 AS pbits FROM cells WHERE cell >= 0
+),
+deps AS (SELECT DISTINCT cdepth FROM covbits),
+panc AS (
+  SELECT url, cdepth, pbits >> ({4 + _CV_R} - cdepth) AS anc
+  FROM pcell CROSS JOIN deps
+),
+hits AS (
+  SELECT p.url, c.isolabel_ext
+  FROM panc p JOIN covbits c ON p.cdepth = c.cdepth AND p.anc = c.cbits
+),
+best AS (
+  SELECT url, min(isolabel_ext) AS isolabel_ext FROM hits GROUP BY url
+),
+g AS (
+  SELECT b.isolabel_ext, lg.lang, CAST(count(*) AS BIGINT) AS n_urls
+  FROM best b JOIN lg ON lg.url = b.url
+  GROUP BY 1, 2
+)
+SELECT isolabel_ext, lang, n_urls,
+       round(CAST(n_urls AS DOUBLE)
+             / CAST(sum(n_urls) OVER (PARTITION BY isolabel_ext) AS DOUBLE),
+             6) AS share
+FROM g
+"""
+
+
 QUERIES = {
     "geo_pages_l0_histogram": (g_pages_l0_histogram, SQL_PAGES_L0),
     "geo_cover_lookup": (g_cover_lookup, SQL_COVER_LOOKUP),
     "geo_knn_ring": (g_knn_ring, _sql_knn_ring_pages()),
+    "web_geo_lang_mix": (g_lang_mix, SQL_LANG_MIX),
 }

@@ -152,3 +152,27 @@ def test_boilerplate_partitions_templates_and_masks_digits(spark):
         else:
             assert r["chars_kept"] > 0, r  # nothing removable on tiny hosts
         assert r["chars_kept"] >= 0
+
+
+def test_geo_lang_mix_shares_and_plan(spark):
+    """Per-municipality language shares sum to 1 (exactly at rounding
+    tolerance), langs stay in the closed {es,en,pt,und} set, and the cover
+    dim joins BROADCAST (no SortMergeJoin of the fact side)."""
+    from collections import defaultdict
+
+    from co_new_spark.queries.geo_pages import g_lang_mix
+
+    df = g_lang_mix(spark, "")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    rows = df.collect()
+    assert rows
+    per_muni = defaultdict(float)
+    for r in rows:
+        assert r["lang"] in {"es", "en", "pt", "und"}
+        assert r["isolabel_ext"].startswith("CO-")
+        per_muni[r["isolabel_ext"]] += r["share"]
+    for muni, tot in per_muni.items():
+        assert abs(tot - 1.0) < 1e-4, (muni, tot)
