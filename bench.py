@@ -27,6 +27,7 @@ def run() -> dict:
     # caps before the registry modules are imported (they read env at import).
     os.environ.setdefault("CO_ND_DOCS", str(1 << 60))
     os.environ.setdefault("CO_CLUSTER_EVENTS", str(1 << 60))
+    os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 
     from pyspark.sql import functions as F
 
@@ -106,6 +107,9 @@ def run() -> dict:
         "train_split_assign", "train_e2e_pipeline",
         "geo_distance_join", "geo_od_matrix", "geo_focal_sum",
         "rel_time_interval_join", "geo_trajectory_stats", "geo_grid_cluster",
+        # round-3 operators
+        "train_substring_dedup", "train_substring_hotspans",
+        "geo_cell_pagerank", "web_geo_lang_mix",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]

@@ -17,13 +17,14 @@ Two driver-oracle-checked entries:
 Scale notes (100 TB): span generation is one codegen projection + explode
 (no Python, no UDF); "appears in >= 2 distinct docs" is decided by
 ``min(doc_id) != max(doc_id)`` per span hash — a cheap 2-value aggregate
-instead of a COUNT(DISTINCT) expansion — computed as a window over the
-span-hash partitioning so the flag + per-doc rollup costs exactly TWO
-shuffles (hash, then doc_id).  Spans are keyed by md5 (fixed 16-byte key)
-so shuffle width never depends on k or token length.  Hot spans (corpus
-stop-phrases) concentrate a partition each; AQE skew-join/salting applies
-as with any power-law key, and the window aggregate itself is
-insensitive to per-key row count.
+instead of a COUNT(DISTINCT) expansion.  The raw occurrence stream is first
+reduced to ``(h, doc_id, cnt)`` pairs, so the ONLY fact-sized shuffle gets
+map-side partial aggregation (a corpus stop-phrase collapses to one row per
+(span, doc) per mapper before the wire); the dup flag then runs as a window
+over the deduplicated pair set, whose per-key width is the span's DOC
+count, not its occurrence count — the skew a power-law phrase distribution
+actually produces.  Spans are keyed by md5 (fixed 16-byte key) so shuffle
+width never depends on k or token length.
 
 Cross-engine hash-exactness: token split, slicing and joining are
 byte-identical string ops in both engines; all counts are BIGINT; the one
@@ -68,14 +69,15 @@ def substring_profile(docs: DataFrame) -> DataFrame:
     """Per-doc repeated-substring profile: n_spans, spans duplicated in >= 2
     distinct docs, and the duplicated fraction.  Docs shorter than k tokens
     emit (0, 0, 0.0) — the left join back to the doc set keeps them."""
-    sp = _spans(docs)
+    pairs = (_spans(docs).groupBy("h", "doc_id")
+             .agg(F.count("*").alias("cnt")))  # map-side combined
     wh = Window.partitionBy("h")
-    flagged = sp.withColumn(
+    flagged = pairs.withColumn(
         "is_dup",
         (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).cast("long"))
     per_doc = flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum("is_dup").alias("dup_spans"))
+        F.sum("cnt").alias("n_spans"),
+        F.sum(F.col("is_dup") * F.col("cnt")).alias("dup_spans"))
     return (docs.select("doc_id").join(per_doc, "doc_id", "left")
                 .select(
                     "doc_id",
