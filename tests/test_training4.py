@@ -97,6 +97,9 @@ def test_plan_no_python_and_distributed_topk(spark):
         _docs(spark, ["a b c d e f g h i j"]))
     p1 = prof._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p1 and "ArrowEval" not in p1
+    # the fact-sized (h, doc_id) reduction MUST combine map-side (a hot
+    # span collapses per mapper before the wire — the skew defence)
+    assert "partial_count(1)" in p1
 
     hot = t_substring_hotspans(spark, SF_DIR)
     p2 = hot._jdf.queryExecution().executedPlan().toString()
