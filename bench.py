@@ -109,7 +109,7 @@ def run() -> dict:
         "rel_time_interval_join", "geo_trajectory_stats", "geo_grid_cluster",
         # round-3 operators
         "train_substring_dedup", "train_substring_hotspans",
-        "geo_cell_pagerank", "web_geo_lang_mix",
+        "geo_cell_pagerank", "geo_cell_hops", "web_geo_lang_mix",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]

@@ -149,6 +149,93 @@ FROM nodes nd JOIN pr{_PR_ITERS} p ON p.cell = nd.cell
 """
 
 
+# --------------------------------------------------------------------------
+# geo_cell_hops — multi-source BFS: hop distance to the nearest dense cell
+# --------------------------------------------------------------------------
+#
+# The proximity-surface primitive (accessibility analysis: "how many grid
+# steps to the nearest hotspot") — distinct from CC (min-label closure) and
+# PageRank (weighted mass): BFS tracks DISTANCE, with a fixed hop cap K so
+# the Spark side is K unrolled min-propagation rounds (no convergence
+# probes) and the oracle a bounded recursive CTE.  Unreached cells report
+# -1.  All arithmetic is small-integer — trivially hash-exact.
+
+_BFS_K = 4          # hop cap
+_BFS_MIN_PTS = 4    # seed density threshold (same convention as grid_cluster)
+
+
+def bfs_hops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+             k: int = _BFS_K) -> DataFrame:
+    """Min hop distance (<= k) from any seed over directed ``edges``;
+    non-seed unreached nodes get -1.  K unrolled rounds of
+    relax-over-neighbors, each one hash join + min aggregate on the graph
+    (never the fact table)."""
+    dist = seeds.select("cell", F.lit(0).cast("long").alias("hop"))
+    for _ in range(k):
+        relaxed = (edges.join(dist.withColumnRenamed("cell", "u"), "u")
+                        .select(F.col("v").alias("cell"),
+                                (F.col("hop") + 1).alias("hop")))
+        dist = (dist.unionByName(relaxed)
+                    .groupBy("cell").agg(F.min("hop").alias("hop")))
+    return (nodes.join(dist, "cell", "left")
+                 .select("cell", F.coalesce("hop", F.lit(-1)).alias("hop")))
+
+
+def g_cell_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Per occupied cell: king-move hop distance (<= {K}) to the nearest
+    DENSE cell (>= {MIN_PTS} points), -1 beyond the cap."""
+    pts = (_event_points(spark, sf)
+           .filter(F.col("event_id") < _PR_EVENTS)
+           .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"),
+                                                _PR_RBITS))
+           .filter(F.col("cell") >= 0))
+    nodes = pts.groupBy("cell").agg(F.count("*").alias("n")).cache()
+    nb = (nodes.select(F.col("cell").alias("u"),
+                       F.explode(ring_cells_udf(1)(F.col("cell"))).alias("v"))
+               .filter(F.col("u") != F.col("v")))
+    edges = nb.join(nodes.select(F.col("cell").alias("v")), "v").select("u", "v")
+    seeds = nodes.filter(F.col("n") >= _BFS_MIN_PTS).select("cell")
+    hops = bfs_hops(nodes.select("cell"), edges, seeds)
+    return nodes.join(hops, "cell").select("cell", "n", "hop")
+
+
+# Bounded recursive CTE: UNION dedups (cell, hop) pairs, hop < K terminates.
+SQL_CELL_HOPS = f"""
+WITH RECURSIVE raw AS (
+  SELECT {_XENG} AS x, {_YENG} AS y FROM events WHERE event_id < {_PR_EVENTS}
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_PR_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_PR_S!r}) AS BIGINT) AS gj
+  FROM raw
+), lat AS (
+  SELECT gi, gj, gi // {_PR_NSIDE} AS i, gj // {_PR_NSIDE} AS j,
+         gi % {_PR_NSIDE} AS ix, gj % {_PR_NSIDE} AS iy
+  FROM g
+), nodes AS (
+  SELECT gi, gj,
+         ((min({_PR_L0}) * {1 << _PR_RBITS} + min({_PR_MORTON})) * 64
+          + {4 + _PR_RBITS}) AS cell,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lat WHERE {_PR_L0} >= 0
+  GROUP BY gi, gj
+), ed AS (
+  SELECT a.cell AS u, b.cell AS v
+  FROM nodes a JOIN nodes b
+    ON abs(a.gi - b.gi) <= 1 AND abs(a.gj - b.gj) <= 1 AND a.cell <> b.cell
+), reach(cell, hop) AS (
+  SELECT cell, CAST(0 AS BIGINT) FROM nodes WHERE n >= {_BFS_MIN_PTS}
+  UNION
+  SELECT e.v, r.hop + 1 FROM reach r JOIN ed e ON e.u = r.cell
+  WHERE r.hop < {_BFS_K}
+), best AS (
+  SELECT cell, min(hop) AS hop FROM reach GROUP BY cell
+)
+SELECT nd.cell, nd.n, coalesce(b.hop, -1) AS hop
+FROM nodes nd LEFT JOIN best b ON b.cell = nd.cell
+"""
+
+
 QUERIES = {
     "geo_cell_pagerank": (g_cell_pagerank, SQL_CELL_PAGERANK),
+    "geo_cell_hops": (g_cell_hops, SQL_CELL_HOPS),
 }

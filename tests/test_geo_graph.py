@@ -80,3 +80,31 @@ def test_pagerank_deterministic_under_partitioning(spark):
     b = {r["cell"]: r["rank"]
          for r in pagerank_int(ndf, edf, 3).collect()}
     assert a == b
+
+
+def test_bfs_hops_path_cap_and_unreachable(spark):
+    """Line 0-1-2-3-4-5-6 seeded at 0: hops count up to the K=4 cap; beyond
+    it (and disconnected nodes) report -1."""
+    from co_new_spark.queries.geo_graph import _BFS_K, bfs_hops
+
+    nodes = list(range(7)) + [99]
+    edges = _sym([(i, i + 1) for i in range(6)])
+    ndf = spark.createDataFrame([(n,) for n in nodes], "cell long")
+    edf = spark.createDataFrame(edges, "u long, v long")
+    seeds = spark.createDataFrame([(0,)], "cell long")
+    got = {r["cell"]: r["hop"] for r in bfs_hops(ndf, edf, seeds).collect()}
+    want = {i: (i if i <= _BFS_K else -1) for i in range(7)}
+    want[99] = -1
+    assert got == want
+
+
+def test_bfs_hops_multi_source_takes_nearest(spark):
+    from co_new_spark.queries.geo_graph import bfs_hops
+
+    nodes = [1, 2, 3, 4, 5]
+    edges = _sym([(1, 2), (2, 3), (3, 4), (4, 5)])
+    ndf = spark.createDataFrame([(n,) for n in nodes], "cell long")
+    edf = spark.createDataFrame(edges, "u long, v long")
+    seeds = spark.createDataFrame([(1,), (5,)], "cell long")
+    got = {r["cell"]: r["hop"] for r in bfs_hops(ndf, edf, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
