@@ -167,16 +167,28 @@ _BFS_MIN_PTS = 4    # seed density threshold (same convention as grid_cluster)
 def bfs_hops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
              k: int = _BFS_K) -> DataFrame:
     """Min hop distance (<= k) from any seed over directed ``edges``;
-    non-seed unreached nodes get -1.  K unrolled rounds of
-    relax-over-neighbors, each one hash join + min aggregate on the graph
-    (never the fact table)."""
-    dist = seeds.select("cell", F.lit(0).cast("long").alias("hop"))
-    for _ in range(k):
-        relaxed = (edges.join(dist.withColumnRenamed("cell", "u"), "u")
-                        .select(F.col("v").alias("cell"),
-                                (F.col("hop") + 1).alias("hop")))
-        dist = (dist.unionByName(relaxed)
-                    .groupBy("cell").agg(F.min("hop").alias("hop")))
+    non-seed unreached nodes get -1.
+
+    Frontier formulation, ON PURPOSE: the textbook relax loop
+    ``dist = min(dist, relax(dist))`` references ``dist`` twice per round,
+    so the unresolved plan TREE doubles every round — O(2^K) nodes before
+    the optimizer ever runs.  Propagating only the frontier (one join +
+    one distinct per round, each frontier cached — it is cell-graph-sized)
+    keeps the plan linear in K; hop minimisation happens ONCE at the end
+    (union of the K+1 frontier levels -> min per cell).  Revisited cells
+    simply lose that min, so per-round visited-set bookkeeping — another
+    double self-reference — is unnecessary."""
+    frontier = seeds.select("cell").distinct().cache()
+    levels = [frontier.select("cell", F.lit(0).cast("long").alias("hop"))]
+    for t in range(1, k + 1):
+        frontier = (edges.join(frontier.withColumnRenamed("cell", "u"), "u")
+                         .select(F.col("v").alias("cell")).distinct().cache())
+        levels.append(
+            frontier.select("cell", F.lit(t).cast("long").alias("hop")))
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionByName(lv)
+    dist = allv.groupBy("cell").agg(F.min("hop").alias("hop"))
     return (nodes.join(dist, "cell", "left")
                  .select("cell", F.coalesce("hop", F.lit(-1)).alias("hop")))
 
