@@ -73,9 +73,11 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame,
     return ranks
 
 
-def g_cell_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    """PageRank over occupied grid cells, king-move adjacency (A17 ring-1,
-    cross-L0 handled through the global (i, j) frame)."""
+def _cell_graph(spark: SparkSession, sf: str):
+    """THE occupied-cell graph both entries run on: per-cell event counts
+    (``nodes``, cached — it feeds the edge join, the algorithm, and the
+    final rollup) and king-move adjacency (``edges``, A17 ring-1, cross-L0
+    handled through the global (i, j) frame)."""
     pts = (_event_points(spark, sf)
            .filter(F.col("event_id") < _PR_EVENTS)
            .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"),
@@ -86,6 +88,12 @@ def g_cell_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                        F.explode(ring_cells_udf(1)(F.col("cell"))).alias("v"))
                .filter(F.col("u") != F.col("v")))
     edges = nb.join(nodes.select(F.col("cell").alias("v")), "v").select("u", "v")
+    return nodes, edges
+
+
+def g_cell_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the occupied-cell king-adjacency graph."""
+    nodes, edges = _cell_graph(spark, sf)
     ranks = pagerank_int(nodes.select("cell"), edges)
     return nodes.join(ranks, "cell").select("cell", "n", "rank")
 
@@ -103,22 +111,9 @@ _PR_S = grids.L0_SIDE / _PR_NSIDE
 _PR_L0 = l0_case()
 _PR_MORTON = morton_ref(_PR_RBITS, "iy", "ix")
 
-
-def _iter_cte(k: int) -> str:
-    return f"""pr{k} AS (
-  SELECT nd.cell,
-         CAST({_PR_BASE} + ({_PR_DNUM} * coalesce(s.s, 0)) // {_PR_DDEN}
-              AS BIGINT) AS rank
-  FROM nodes nd LEFT JOIN (
-    SELECT e.v AS cell, sum(r.rank // d.deg) AS s
-    FROM pr{k - 1} r JOIN ed e ON e.u = r.cell JOIN deg d ON d.u = e.u
-    GROUP BY e.v
-  ) s ON s.cell = nd.cell
-)"""
-
-
-SQL_CELL_PAGERANK = f"""
-WITH raw AS (
+# THE one SQL restatement of _cell_graph: raw coords -> lattice -> occupied
+# cells (nodes) -> king adjacency (ed).  Both entry oracles splice this in.
+_GRAPH_CTES = f"""raw AS (
   SELECT {_XENG} AS x, {_YENG} AS y FROM events WHERE event_id < {_PR_EVENTS}
 ), g AS (
   SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_PR_S!r}) AS BIGINT) AS gi,
@@ -139,7 +134,24 @@ WITH raw AS (
   SELECT a.cell AS u, b.cell AS v
   FROM nodes a JOIN nodes b
     ON abs(a.gi - b.gi) <= 1 AND abs(a.gj - b.gj) <= 1 AND a.cell <> b.cell
-), deg AS (
+)"""
+
+
+def _iter_cte(k: int) -> str:
+    return f"""pr{k} AS (
+  SELECT nd.cell,
+         CAST({_PR_BASE} + ({_PR_DNUM} * coalesce(s.s, 0)) // {_PR_DDEN}
+              AS BIGINT) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.v AS cell, sum(r.rank // d.deg) AS s
+    FROM pr{k - 1} r JOIN ed e ON e.u = r.cell JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+  ) s ON s.cell = nd.cell
+)"""
+
+
+SQL_CELL_PAGERANK = f"""
+WITH {_GRAPH_CTES}, deg AS (
   SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY u
 ), pr0 AS (
   SELECT cell, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes
@@ -194,18 +206,9 @@ def bfs_hops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
 
 
 def g_cell_hops(spark: SparkSession, sf: str) -> DataFrame:
-    """Per occupied cell: king-move hop distance (<= {K}) to the nearest
-    DENSE cell (>= {MIN_PTS} points), -1 beyond the cap."""
-    pts = (_event_points(spark, sf)
-           .filter(F.col("event_id") < _PR_EVENTS)
-           .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"),
-                                                _PR_RBITS))
-           .filter(F.col("cell") >= 0))
-    nodes = pts.groupBy("cell").agg(F.count("*").alias("n")).cache()
-    nb = (nodes.select(F.col("cell").alias("u"),
-                       F.explode(ring_cells_udf(1)(F.col("cell"))).alias("v"))
-               .filter(F.col("u") != F.col("v")))
-    edges = nb.join(nodes.select(F.col("cell").alias("v")), "v").select("u", "v")
+    """Per occupied cell: king-move hop distance (<= _BFS_K = 4) to the
+    nearest DENSE cell (>= _BFS_MIN_PTS = 4 points), -1 beyond the cap."""
+    nodes, edges = _cell_graph(spark, sf)
     seeds = nodes.filter(F.col("n") >= _BFS_MIN_PTS).select("cell")
     hops = bfs_hops(nodes.select("cell"), edges, seeds)
     return nodes.join(hops, "cell").select("cell", "n", "hop")
@@ -213,28 +216,7 @@ def g_cell_hops(spark: SparkSession, sf: str) -> DataFrame:
 
 # Bounded recursive CTE: UNION dedups (cell, hop) pairs, hop < K terminates.
 SQL_CELL_HOPS = f"""
-WITH RECURSIVE raw AS (
-  SELECT {_XENG} AS x, {_YENG} AS y FROM events WHERE event_id < {_PR_EVENTS}
-), g AS (
-  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_PR_S!r}) AS BIGINT) AS gi,
-         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_PR_S!r}) AS BIGINT) AS gj
-  FROM raw
-), lat AS (
-  SELECT gi, gj, gi // {_PR_NSIDE} AS i, gj // {_PR_NSIDE} AS j,
-         gi % {_PR_NSIDE} AS ix, gj % {_PR_NSIDE} AS iy
-  FROM g
-), nodes AS (
-  SELECT gi, gj,
-         ((min({_PR_L0}) * {1 << _PR_RBITS} + min({_PR_MORTON})) * 64
-          + {4 + _PR_RBITS}) AS cell,
-         CAST(count(*) AS BIGINT) AS n
-  FROM lat WHERE {_PR_L0} >= 0
-  GROUP BY gi, gj
-), ed AS (
-  SELECT a.cell AS u, b.cell AS v
-  FROM nodes a JOIN nodes b
-    ON abs(a.gi - b.gi) <= 1 AND abs(a.gj - b.gj) <= 1 AND a.cell <> b.cell
-), reach(cell, hop) AS (
+WITH RECURSIVE {_GRAPH_CTES}, reach(cell, hop) AS (
   SELECT cell, CAST(0 AS BIGINT) FROM nodes WHERE n >= {_BFS_MIN_PTS}
   UNION
   SELECT e.v, r.hop + 1 FROM reach r JOIN ed e ON e.u = r.cell

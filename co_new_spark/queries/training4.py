@@ -96,9 +96,16 @@ def t_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # DuckDB restatement: identical tokenization (string_split on ' ' keeps empty
 # tokens exactly like Spark's split), identical 1-based k-slices, same md5
 # keys, same min!=max window decision.  range(1, len-k+2) is [] for short
-# docs (DuckDB's list range is empty when stop <= start — no descending trap).
-_SPANS_SQL = f"""
-SELECT doc_id, md5(array_to_string(t[i:i + {SPAN_K - 1}], ' ')) AS h
+# docs (DuckDB's list range is empty when stop <= start — no descending
+# trap).  ONE generator mirrors the Spark-side _spans(as_text=...) switch so
+# the slicing/bound arithmetic exists in exactly one SQL copy.
+
+
+def _spans_sql(as_text: bool = False) -> str:
+    span = f"array_to_string(t[i:i + {SPAN_K - 1}], ' ')"
+    proj = f"{span} AS span" if as_text else f"md5({span}) AS h"
+    return f"""
+SELECT doc_id, {proj}
 FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_K - 2})) AS i
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
 """
@@ -109,7 +116,7 @@ WITH flagged AS (
          CASE WHEN min(doc_id) OVER (PARTITION BY h)
                    <> max(doc_id) OVER (PARTITION BY h)
               THEN 1 ELSE 0 END AS is_dup
-  FROM ({_SPANS_SQL})
+  FROM ({_spans_sql()})
 ), per_doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          CAST(sum(is_dup) AS BIGINT) AS dup_spans
@@ -149,11 +156,7 @@ def t_substring_hotspans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SUBSTRING_HOTSPANS = f"""
-WITH spans AS (
-  SELECT doc_id, array_to_string(t[i:i + {SPAN_K - 1}], ' ') AS span
-  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_K - 2})) AS i
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
-), g AS (
+WITH spans AS ({_spans_sql(as_text=True)}), g AS (
   SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_occ
   FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2

@@ -64,7 +64,6 @@ def test_hotspans_brute_force_parity(spark):
     from co_new_spark.sources.tables import load
 
     docs = load(spark, SF_DIR, "documents").limit(200)
-    docs.createOrReplaceTempView("_t4docs")
     counts: dict[str, set] = {}
     occ: dict[str, int] = {}
     for r in docs.collect():
@@ -76,8 +75,6 @@ def test_hotspans_brute_force_parity(spark):
     want = sorted(
         ((s, len(d), occ[s]) for s, d in counts.items() if len(d) >= 2),
         key=lambda x: (-x[2], -x[1], x[0]))[:20]
-
-    from co_new_spark.queries.training4 import HOTSPAN_TOPK, _spans  # noqa: F401
 
     g = (_spans(docs, as_text=True).groupBy("span")
          .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
