@@ -110,6 +110,8 @@ def run() -> dict:
         # round-3 operators
         "train_substring_dedup", "train_substring_hotspans",
         "geo_cell_pagerank", "geo_cell_hops", "web_geo_lang_mix",
+        # the 100TB-shaped dedup/contamination paths (LSH-bounded, never all-pairs)
+        "train_neardup_scaled", "train_contamination_scaled",
     ]
     for name in headline:
         fn, _sql = REGISTRY[name]
