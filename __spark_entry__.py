@@ -24,9 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from co_new_spark.functions import cells_sql, geo
     from co_new_spark.functions import text as txf
-    from co_new_spark.sources.pages import pages
+    from co_new_spark.sources.pages import stored_pages
 
-    pg = pages(spark, 5_000)
+    pg = stored_pages(spark, 5_000)
     parsed = pg.select(
         "url", "lang",
         txf.parse_lat(F.col("text")).alias("lat"),
