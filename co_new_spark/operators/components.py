@@ -60,7 +60,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     e = _canon(edges).localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iter):
-        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        # lazy checkpoint: the probe's collect below is the round's ONLY job —
+        # it materializes the checkpoint as it runs (eager=True would pay a
+        # second full pass over the round's shuffles just to checkpoint)
+        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=False)
         # decimal(38,0) sum: immune to ANSI long-overflow on the hash sum
         fp = e.agg(F.count("*").alias("n"),
                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
