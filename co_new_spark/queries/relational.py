@@ -330,6 +330,30 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 """
 
 
+def q_salted_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B16/skew: two-phase SALTED top-5 per event_type (north-rule "explicit
+    salting": a window partitioned by a hot key puts the key's entire row set
+    on one reducer — events has ~5 types over the whole table, the worst
+    case).  Phase 1 ranks within (type, salt) so each hot key spreads over 16
+    reducers; phase 2 ranks the surviving 5*16 rows per key.  Must be
+    row-identical to the direct window (the oracle)."""
+    from ..operators.salt import salted_topk
+
+    ev = load(spark, sf, "events")
+    top = salted_topk(ev, ["event_type"],
+                      [F.col("value").desc(), F.col("event_id")], k=5)
+    return top.select("event_type", "event_id", "value", "rn")
+
+
+SQL_SALTED_TOPK = """
+SELECT event_type, event_id, value, rn FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 5
+"""
+
+
 def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
     """B16: frame window — 10-event moving average per user.
 
@@ -775,6 +799,7 @@ QUERIES = {
     "rel_anti_join": (q_anti_join, SQL_ANTI),
     "rel_asof_latest": (q_asof_latest, SQL_ASOF),
     "rel_window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "rel_salted_topk": (q_salted_topk, SQL_SALTED_TOPK),
     "rel_moving_avg": (q_moving_avg, SQL_MOVING),
     "rel_distinct_users": (q_distinct_users, SQL_DISTINCT),
     "rel_json_props": (q_json_props, SQL_JSON),

@@ -256,3 +256,20 @@ def test_redact_pii_is_single_projection_until_agg(spark):
     plan = _plan(w_redact_pii(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_salted_topk_spreads_hot_key(spark):
+    """The skew-safe top-k must rank in TWO window passes — phase 1
+    partitioned by (key, salt) so a hot key spreads over n_salt reducers,
+    phase 2 over the k*n_salt survivors — never one window over the raw
+    hot key alone."""
+    from co_new_spark.queries.relational import q_salted_topk
+
+    plan = _plan(q_salted_topk(spark, SF))
+    assert plan.count("Window [") == 2
+    # phase-1 window spec carries the salt alongside the key
+    salted_specs = [ln for ln in plan.splitlines()
+                    if "windowspecdefinition" in ln and "__salt" in ln]
+    assert len(salted_specs) == 1
+    # Spark's rank-limit pushdown prunes to k per (key, salt) map-side
+    assert "WindowGroupLimit" in plan and "Partial" in plan
