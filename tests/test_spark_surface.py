@@ -246,3 +246,15 @@ def test_materialize_pages_roundtrip(spark, tmp_path):
     mtime = os.path.getmtime(os.path.join(path, "_co_pages_meta.json"))
     assert materialize_pages(spark, 1_000, path=p) == path
     assert os.path.getmtime(os.path.join(path, "_co_pages_meta.json")) == mtime
+
+
+def test_bench_headline_names_resolve():
+    """Every bench-suite entry must exist in the query registry — a rename
+    in queries/ without a bench.py update would crash the driver's
+    per-round bench run."""
+    import bench
+    from co_new_spark.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dup timings
