@@ -183,8 +183,70 @@ def _sql_upsert_merge() -> str:
     """
 
 
+def p_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot time travel over the ledgered store (the Iceberg `VERSION AS
+    OF` verb, SURVEY §7 R4): two append-only commits land disjoint bucket
+    sets (incremental ingest — each run delivers new partitions), then the
+    dataset is read both AS OF the first commit and at the current head.
+
+    ``dataset_at`` resolves visibility from ledger commit times alone, so the
+    as-of view must contain exactly the first run's buckets — a bucket
+    leaking across the cutoff (or the head view missing one) breaks the
+    hash against the DuckDB re-derivation over the materialized aggregate.
+    Append-only is the contract: rewriting verbs (upsert/compaction) create
+    new snapshots that supersede time travel to older ones, as documented in
+    plans/lineage.py.
+    """
+    from .mat import materialize
+
+    base = os.path.join(tempfile.gettempdir(), "co_timetravel_ledger")
+    shutil.rmtree(base, ignore_errors=True)
+
+    pts = geocoded_pages(spark, 2_000)
+    per_cell = materialize(
+        pts.groupBy("l0", "lang").agg(F.count("*").alias("n_pages")),
+        "tt_cells")
+
+    lineage.resumable_write(per_cell.filter(F.col("l0") % 2 == 0), base, "l0")
+    run1 = lineage.snapshots(spark, base).orderBy("committed_at") \
+                  .collect()[0]["run_id"]
+    lineage.resumable_write(per_cell.filter(F.col("l0") % 2 != 0), base, "l0")
+
+    old = lineage.dataset_at(spark, base, run1, "l0").groupBy("l0").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_pages").alias("n_pages")).withColumn(
+        "view", F.lit("as_of_run1"))
+    cur = lineage.dataset(spark, base, "l0").groupBy("l0").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_pages").alias("n_pages")).withColumn(
+        "view", F.lit("head"))
+    return (old.unionByName(cur)
+               .select("view", "l0", "n_rows",
+                       F.col("n_pages").cast("long").alias("n_pages"))
+               .orderBy("view", "l0"))
+
+
+def _sql_time_travel() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        WITH cells AS (
+          SELECT l0, n_pages FROM read_parquet('{mat_glob("tt_cells")}')
+        )
+        SELECT 'as_of_run1' AS view, l0, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_pages) AS BIGINT) AS n_pages
+        FROM cells WHERE l0 % 2 = 0 GROUP BY l0
+        UNION ALL
+        SELECT 'head' AS view, l0, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_pages) AS BIGINT) AS n_pages
+        FROM cells GROUP BY l0
+        ORDER BY view, l0
+    """
+
+
 QUERIES = {
     "pipeline_resumable_flagship": (p_resumable_flagship, _sql_resumable_flagship()),
+    "pipeline_time_travel": (p_time_travel, _sql_time_travel()),
     "pipeline_sql_surface": (p_sql_surface, _sql_sql_surface()),
     "pipeline_upsert_merge": (p_upsert_merge, _sql_upsert_merge()),
 }
