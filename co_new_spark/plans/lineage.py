@@ -251,3 +251,38 @@ def compact_files(spark: SparkSession, base: str, bucket_col: str = "bucket",
             .localCheckpoint(eager=True))  # read fully BEFORE overwriting
     run_id, n = _commit_buckets(data, base, bucket_col, todo)
     return {"written": [int(b) for b in todo], "n_rows": n, "run_id": run_id}
+
+
+def cluster_files(spark: SparkSession, base: str, order_col: str,
+                  bucket_col: str = "bucket", buckets: list | None = None,
+                  files_per_bucket: int = 1) -> dict:
+    """Table maintenance: sort-order rewrite (the Iceberg
+    ``rewrite_data_files`` verb with a sort order, a.k.a. clustering) —
+    content-identical, but each bucket's rows land range-partitioned and
+    sorted by ``order_col``, so every output file/row-group carries a NARROW
+    min/max span for that column and selective scans skip most of them
+    (parquet row-group pruning locally; file-level skipping under a
+    stats-aware table format).
+
+    At 100 TB this is what makes spatial range queries cheap after many
+    arrival-ordered commits: cluster on a space-filling-curve key
+    (``functions.cells_sql.with_hilbert_index`` / the Morton cell id) and a
+    bbox scan touches only the curve-contiguous slice.  Commits through the
+    shared ledger protocol, so readers flip atomically.
+    """
+    done = completed_buckets(spark, base)
+    todo = sorted(done) if buckets is None else [b for b in buckets
+                                                 if b in done]
+    if not todo:
+        return {"written": [], "n_rows": 0, "run_id": None}
+    data = (dataset(spark, base, bucket_col, merge_schema=True)
+            .filter(F.col(bucket_col).isin(todo))
+            .localCheckpoint(eager=True))  # read fully BEFORE overwriting
+    # sort AFTER the checkpoint: a checkpointed plan loses outputOrdering, so
+    # sorting first would let the dynamic-partition writer re-sort by bucket
+    # alone (unstable) and scramble the within-bucket clustering
+    data = (data.repartitionByRange(max(len(todo) * files_per_bucket, 1),
+                                    F.col(bucket_col), F.col(order_col))
+            .sortWithinPartitions(bucket_col, order_col))
+    run_id, n = _commit_buckets(data, base, bucket_col, todo)
+    return {"written": [int(b) for b in todo], "n_rows": n, "run_id": run_id}

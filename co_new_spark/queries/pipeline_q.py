@@ -244,9 +244,59 @@ def _sql_time_travel() -> str:
     """
 
 
+def p_cluster_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Sort-order rewrite maintenance (Iceberg ``rewrite_data_files`` with a
+    sort order): commit the geocoded fact arrival-ordered, then
+    ``cluster_files`` rewrites every bucket range-partitioned + sorted by the
+    Morton cell id — the layout that makes spatial range scans skip most
+    row groups/files on min/max stats.
+
+    The oracle reads the POST-rewrite store: per-bucket counts, distinct
+    urls and the cell span must equal an independent DuckDB derivation over
+    the materialized input (a row lost/duplicated/mis-bucketed by the
+    rewrite breaks the hash), and n_commits == 2 gates the atomic ledger
+    append.  The stats-narrowing effect itself is pytest-gated
+    (tests/test_lineage_salt.py row-group min/max spans).
+    """
+    from .mat import materialize
+
+    base = os.path.join(tempfile.gettempdir(), "co_cluster_ledger")
+    shutil.rmtree(base, ignore_errors=True)
+
+    rows = materialize(
+        geocoded_pages(spark, 2_000).select("url", "lang", "cell", "l0"),
+        "cluster_rows")
+    lineage.resumable_write(rows, base, "l0")
+    lineage.cluster_files(spark, base, "cell", "l0", files_per_bucket=2)
+
+    ds = lineage.dataset(spark, base, "l0")
+    n_commits = lineage.snapshots(spark, base).count()
+    return (ds.groupBy("l0").agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("url").alias("n_urls"),
+                F.min("cell").alias("min_cell"),
+                F.max("cell").alias("max_cell"))
+              .withColumn("n_commits", F.lit(n_commits).cast("long"))
+              .orderBy("l0"))
+
+
+def _sql_cluster_layout() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        SELECT l0, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               min(cell) AS min_cell, max(cell) AS max_cell,
+               CAST(2 AS BIGINT) AS n_commits
+        FROM read_parquet('{mat_glob("cluster_rows")}')
+        GROUP BY l0 ORDER BY l0
+    """
+
+
 QUERIES = {
     "pipeline_resumable_flagship": (p_resumable_flagship, _sql_resumable_flagship()),
     "pipeline_time_travel": (p_time_travel, _sql_time_travel()),
+    "pipeline_cluster_layout": (p_cluster_layout, _sql_cluster_layout()),
     "pipeline_sql_surface": (p_sql_surface, _sql_sql_surface()),
     "pipeline_upsert_merge": (p_upsert_merge, _sql_upsert_merge()),
 }

@@ -248,3 +248,47 @@ def test_compact_files_respects_target_partitions_and_schema(spark, tmp_path):
         b = f.split("bucket=")[1].split("/")[0]
         per_bucket[b] = per_bucket.get(b, 0) + 1
     assert max(per_bucket.values()) > 1
+
+
+def test_cluster_files_narrows_rowgroup_stats(spark, tmp_path):
+    """Sort-order rewrite (cluster_files): content-identical, but each file's
+    row groups carry narrow min/max spans on the cluster column, so a
+    selective range predicate overlaps far fewer row groups than in the
+    arrival-ordered layout (the stats a parquet reader / stats-aware table
+    format prunes by)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "clu")
+    # arrival order: v = id*7 % 101 cycles, so EVERY file spans ~[0, 100]
+    lineage.resumable_write(_fact(spark, 8_000).repartition(8), base, "bucket")
+
+    def rowgroups_overlapping(lo, hi):
+        hit = total = 0
+        for f in glob.glob(f"{base}/data/bucket=*/part-*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                grp = meta.row_group(rg)
+                col = next(grp.column(i) for i in range(grp.num_columns)
+                           if grp.column(i).path_in_schema == "v")
+                total += 1
+                st = col.statistics
+                if st is None or not (st.max < lo or st.min > hi):
+                    hit += 1
+        return hit, total
+
+    before = {(r["id"], r["v"]) for r in lineage.dataset(spark, base).collect()}
+    runs_before = lineage.snapshots(spark, base).count()
+    hit_b, total_b = rowgroups_overlapping(40, 49)
+    assert hit_b == total_b  # arrival order: no row group is skippable
+
+    res = lineage.cluster_files(spark, base, "v", files_per_bucket=2)
+    after = {(r["id"], r["v"]) for r in lineage.dataset(spark, base).collect()}
+    assert after == before                                # content identical
+    assert lineage.snapshots(spark, base).count() == runs_before + 1
+    assert res["n_rows"] == len(before)
+    hit_a, total_a = rowgroups_overlapping(40, 49)
+    # a ~10%-selectivity probe must now skip at least half the row groups
+    assert hit_a <= total_a // 2
+    assert hit_a < hit_b
