@@ -49,6 +49,41 @@ SELECT doc_id, fp FROM (
 """
 
 
+def t_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup: a NEW ingest batch against the historical
+    fingerprint store.  At 100 TB a corpus is never re-deduped wholesale per
+    ingest — the seen-fingerprint set lives as a (ledgered) table and each
+    batch (1) anti-joins it, (2) window-dedups within itself.  Here the
+    documents table is split deterministically (doc_id % 5 == 4 is the
+    batch); output is the batch's surviving docs.  The anti-join hashes on
+    the fingerprint — one bounded shuffle; no historical re-read beyond the
+    fingerprint column."""
+    docs = load(spark, sf, "documents")
+    fp = F.md5(F.col("text"))
+    store = (docs.filter(F.col("doc_id") % 5 != 4)
+                 .select(fp.alias("fp")).distinct())
+    batch = docs.filter(F.col("doc_id") % 5 == 4).withColumn("fp", fp)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (batch.join(store, "fp", "left_anti")
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select("doc_id", "fp", "lang", "source"))
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH store AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4
+), batch AS (
+  SELECT doc_id, md5(text) AS fp, lang, source
+  FROM documents WHERE doc_id % 5 = 4
+), fresh AS (
+  SELECT b.*, row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+  FROM batch b WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = b.fp)
+)
+SELECT doc_id, fp, lang, source FROM fresh WHERE rn = 1
+"""
+
+
 def t_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source duplication statistics."""
     docs = load(spark, sf, "documents")
@@ -557,6 +592,7 @@ GROUP BY word ORDER BY cnt DESC, word LIMIT 20
 QUERIES = {
     "train_dedup_exact": (t_dedup_exact, SQL_DEDUP_EXACT),
     "train_dedup_stats": (t_dedup_stats, SQL_DEDUP_STATS),
+    "train_dedup_incremental": (t_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "train_ngram_jaccard": (t_ngram_jaccard_pairs, SQL_JACCARD),
     "train_minhash_lsh": (t_minhash_lsh_candidates, _sql_minhash_lsh()),
     "train_simhash": (t_simhash_candidates, _sql_simhash()),

@@ -228,6 +228,36 @@ def w_host_stats(spark: SparkSession, sf: str) -> DataFrame:
                    F.min("url").alias("first_url")))
 
 
+def w_host_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host page quota (CCNet/C4-style curation: cap the corpus at K
+    pages per host so megasites don't dominate the training mixture).
+    Selection is deterministic and RNG-free: rank within host by
+    (md5(url), url) — a content hash both engines compute identically — and
+    keep rank <= 3.  One shuffle (the host window); at scale the window is
+    skew-safe via the salted two-phase form (operators/salt.salted_topk)
+    once a host exceeds a reducer."""
+    pg = _fixture(spark)
+    w = Window.partitionBy("host").orderBy(F.md5(F.col("url")), F.col("url"))
+    return (pg.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("host", "url", "rn"))
+
+
+SQL_HOST_QUOTA = f"""
+SELECT host, url, rn FROM (
+  SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                '') AS host,
+         url,
+         row_number() OVER (
+           PARTITION BY nullif(regexp_extract(
+               url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')
+           ORDER BY md5(url), url) AS rn
+  FROM read_parquet('{FIXTURE_PAGES}')
+) WHERE rn <= 3
+"""
+
+
 SQL_HOST_STATS = f"""
 SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS host,
        CAST(count(*) AS BIGINT) AS n_pages,
@@ -396,6 +426,7 @@ GROUP BY 1 ORDER BY 1
 QUERIES = {
     "web_extract_parity": (w_extract_parity, SQL_EXTRACT_PARITY),
     "web_host_stats": (w_host_stats, SQL_HOST_STATS),
+    "web_host_quota": (w_host_quota, SQL_HOST_QUOTA),
     "web_url_canon": (w_url_canon, SQL_URL_CANON),
     "web_coord_scrub": (w_coord_scrub, SQL_COORD_SCRUB),
     "web_geoparse": (w_geoparse, SQL_GEOPARSE),
