@@ -39,3 +39,17 @@ def materialize(df: DataFrame, name: str) -> DataFrame:
     path = mat_path(name)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def mat_json_glob(name: str) -> str:
+    """The read_json() pattern for the oracle side (JSONL datasets)."""
+    return os.path.join(mat_path(name), "*.json")
+
+
+def materialize_json(df: DataFrame, name: str, schema: str) -> DataFrame:
+    """JSON-lines variant of materialize(): write ``df`` as JSONL and read it
+    back with an EXPLICIT schema — never inference, which at scale is a full
+    extra pass over the files."""
+    path = mat_path(name)
+    df.write.mode("overwrite").json(path)
+    return df.sparkSession.read.schema(schema).json(path)

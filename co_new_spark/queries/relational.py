@@ -330,6 +330,44 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 """
 
 
+def q_jsonl_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """B1-family source breadth: JSON-lines, the interchange format crawl
+    pipelines actually exchange (WARC-derived JSONL shards).  The events
+    projection lands as a JSONL dataset (mat protocol side-write), is read
+    back with an EXPLICIT schema — schema inference at 100 TB is a full
+    extra pass over the files — and aggregated integer-exact.  The oracle
+    re-reads the very same .json files with DuckDB's typed read_json."""
+    from .mat import materialize_json
+
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    j = materialize_json(
+        ev, "events_jsonl",
+        "event_id BIGINT, event_type STRING, value DOUBLE")
+    return (j.groupBy("event_type").agg(
+                F.count("*").alias("n_events"),
+                F.min("event_id").alias("min_id"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("sum_cents"))
+             .orderBy("event_type"))
+
+
+def _sql_jsonl_scan() -> str:
+    from .mat import mat_json_glob
+
+    return f"""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               min(event_id) AS min_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM read_json('{mat_json_glob("events_jsonl")}',
+                       format = 'newline_delimited',
+                       columns = {{event_id: 'BIGINT',
+                                   event_type: 'VARCHAR',
+                                   value: 'DOUBLE'}})
+        GROUP BY event_type ORDER BY event_type
+    """
+
+
 def q_salted_topk(spark: SparkSession, sf: str) -> DataFrame:
     """B16/skew: two-phase SALTED top-5 per event_type (north-rule "explicit
     salting": a window partitioned by a hot key puts the key's entire row set
@@ -800,6 +838,7 @@ QUERIES = {
     "rel_asof_latest": (q_asof_latest, SQL_ASOF),
     "rel_window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "rel_salted_topk": (q_salted_topk, SQL_SALTED_TOPK),
+    "rel_jsonl_scan": (q_jsonl_scan, _sql_jsonl_scan()),
     "rel_moving_avg": (q_moving_avg, SQL_MOVING),
     "rel_distinct_users": (q_distinct_users, SQL_DISTINCT),
     "rel_json_props": (q_json_props, SQL_JSON),
