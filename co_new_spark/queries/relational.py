@@ -368,6 +368,38 @@ def _sql_jsonl_scan() -> str:
     """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """B1-family source breadth: ORC (the other columnar interchange format;
+    Spark reads/writes it natively with pushdown like parquet).  The events
+    projection lands as an ORC dataset, is read back, and aggregated — the
+    oracle computes the SAME aggregate from the ORIGINAL parquet table, so a
+    single row lost/mangled by the format round-trip breaks the hash
+    (DuckDB cannot read ORC; content identity through the format is the
+    checkable claim)."""
+    import os
+    import tempfile
+
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    path = os.path.join(tempfile.gettempdir(), "co_oracle_mat", "events_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (back.groupBy("event_type").agg(
+                F.count("*").alias("n_events"),
+                F.min("event_id").alias("min_id"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("sum_cents"))
+             .orderBy("event_type"))
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS min_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_salted_topk(spark: SparkSession, sf: str) -> DataFrame:
     """B16/skew: two-phase SALTED top-5 per event_type (north-rule "explicit
     salting": a window partitioned by a hot key puts the key's entire row set
@@ -839,6 +871,7 @@ QUERIES = {
     "rel_window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "rel_salted_topk": (q_salted_topk, SQL_SALTED_TOPK),
     "rel_jsonl_scan": (q_jsonl_scan, _sql_jsonl_scan()),
+    "rel_orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "rel_moving_avg": (q_moving_avg, SQL_MOVING),
     "rel_distinct_users": (q_distinct_users, SQL_DISTINCT),
     "rel_json_props": (q_json_props, SQL_JSON),
