@@ -222,6 +222,26 @@ def upsert_latest(new_df: DataFrame, base: str, key: str, ts_col: str,
             "n_rows": n, "run_id": run_id}
 
 
+def _rewrite_buckets(spark: SparkSession, base: str, bucket_col: str,
+                     buckets: list | None, layout) -> dict:
+    """Shared rewrite scaffold for the ``rewrite_data_files``-style verbs:
+    resolve committed buckets, snapshot the current content (checkpoint
+    BEFORE overwriting — and before ``layout``, since a checkpointed plan
+    loses outputOrdering and the dynamic-partition writer would re-sort by
+    bucket alone, scrambling any within-bucket ordering the layout set up),
+    apply the verb's layout transform, commit through the ledger protocol."""
+    done = completed_buckets(spark, base)
+    todo = sorted(done) if buckets is None else [b for b in buckets
+                                                 if b in done]
+    if not todo:
+        return {"written": [], "n_rows": 0, "run_id": None}
+    data = (dataset(spark, base, bucket_col, merge_schema=True)
+            .filter(F.col(bucket_col).isin(todo))
+            .localCheckpoint(eager=True))  # read fully BEFORE overwriting
+    run_id, n = _commit_buckets(layout(data, todo), base, bucket_col, todo)
+    return {"written": [int(b) for b in todo], "n_rows": n, "run_id": run_id}
+
+
 def compact_files(spark: SparkSession, base: str, bucket_col: str = "bucket",
                   buckets: list | None = None,
                   target_partitions: int = 1) -> dict:
@@ -235,22 +255,15 @@ def compact_files(spark: SparkSession, base: str, bucket_col: str = "bucket",
     independent, so a scheduler can spread buckets across maintenance
     windows.  Returns {written: [...], n_rows: int, run_id: str}.
     """
-    done = completed_buckets(spark, base)
-    todo = sorted(done) if buckets is None else [b for b in buckets
-                                                 if b in done]
-    if not todo:
-        return {"written": [], "n_rows": 0, "run_id": None}
-    data = (dataset(spark, base, bucket_col, merge_schema=True)
-            .filter(F.col(bucket_col).isin(todo)))
-    # secondary content-hash spread key: repartition by bucket alone would
-    # hash every bucket into ONE task/file and ignore target_partitions
-    spread = F.pmod(F.xxhash64(*[F.col(c) for c in data.columns]),
-                    F.lit(target_partitions))
-    data = (data.repartition(max(len(todo) * target_partitions, 1),
-                             F.col(bucket_col), spread)
-            .localCheckpoint(eager=True))  # read fully BEFORE overwriting
-    run_id, n = _commit_buckets(data, base, bucket_col, todo)
-    return {"written": [int(b) for b in todo], "n_rows": n, "run_id": run_id}
+    def layout(data, todo):
+        # secondary content-hash spread key: repartition by bucket alone would
+        # hash every bucket into ONE task/file and ignore target_partitions
+        spread = F.pmod(F.xxhash64(*[F.col(c) for c in data.columns]),
+                        F.lit(target_partitions))
+        return data.repartition(max(len(todo) * target_partitions, 1),
+                                F.col(bucket_col), spread)
+
+    return _rewrite_buckets(spark, base, bucket_col, buckets, layout)
 
 
 def cluster_files(spark: SparkSession, base: str, order_col: str,
@@ -270,19 +283,9 @@ def cluster_files(spark: SparkSession, base: str, order_col: str,
     bbox scan touches only the curve-contiguous slice.  Commits through the
     shared ledger protocol, so readers flip atomically.
     """
-    done = completed_buckets(spark, base)
-    todo = sorted(done) if buckets is None else [b for b in buckets
-                                                 if b in done]
-    if not todo:
-        return {"written": [], "n_rows": 0, "run_id": None}
-    data = (dataset(spark, base, bucket_col, merge_schema=True)
-            .filter(F.col(bucket_col).isin(todo))
-            .localCheckpoint(eager=True))  # read fully BEFORE overwriting
-    # sort AFTER the checkpoint: a checkpointed plan loses outputOrdering, so
-    # sorting first would let the dynamic-partition writer re-sort by bucket
-    # alone (unstable) and scramble the within-bucket clustering
-    data = (data.repartitionByRange(max(len(todo) * files_per_bucket, 1),
-                                    F.col(bucket_col), F.col(order_col))
-            .sortWithinPartitions(bucket_col, order_col))
-    run_id, n = _commit_buckets(data, base, bucket_col, todo)
-    return {"written": [int(b) for b in todo], "n_rows": n, "run_id": run_id}
+    def layout(data, todo):
+        return (data.repartitionByRange(max(len(todo) * files_per_bucket, 1),
+                                        F.col(bucket_col), F.col(order_col))
+                .sortWithinPartitions(bucket_col, order_col))
+
+    return _rewrite_buckets(spark, base, bucket_col, buckets, layout)

@@ -376,11 +376,10 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     single row lost/mangled by the format round-trip breaks the hash
     (DuckDB cannot read ORC; content identity through the format is the
     checkable claim)."""
-    import os
-    import tempfile
+    from .mat import mat_path
 
     ev = load(spark, sf, "events").select("event_id", "event_type", "value")
-    path = os.path.join(tempfile.gettempdir(), "co_oracle_mat", "events_orc")
+    path = mat_path("events_orc")
     ev.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (back.groupBy("event_type").agg(
