@@ -54,10 +54,25 @@ _PR_DNUM, _PR_DDEN = 85, 100
 _PR_EVENTS = int(os.environ.get("CO_PR_EVENTS", "20000"))
 
 
+def _finish(df: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Eagerly localCheckpoint the (cell-graph-sized) result, then release
+    every cache the computation pinned.  .cache() entries are held by the
+    cache manager with strong refs — across a 137-entry sweep + bench in one
+    session they accumulate executor storage forever (round-3 ADVICE) —
+    whereas checkpoint blocks are freed by the ContextCleaner once the
+    returned DataFrame goes out of scope."""
+    out = df.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def pagerank_int(nodes: DataFrame, edges: DataFrame,
                  iters: int = _PR_ITERS) -> DataFrame:
     """Integer-exact PageRank: ``nodes`` (cell), ``edges`` (u, v) directed.
-    Returns (cell, rank) after ``iters`` rounds from a uniform SCALE start."""
+    Returns (cell, rank) after ``iters`` rounds from a uniform SCALE start.
+    Executes eagerly (localCheckpoint) so the round-static edge cache can be
+    released before returning."""
     deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
     ed = edges.join(deg, "u").cache()  # static across rounds
     ranks = nodes.select("cell", F.lit(_PR_SCALE).cast("long").alias("rank"))
@@ -70,7 +85,7 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame,
                  .select("cell", (F.lit(_PR_BASE) + F.expr(
                      f"({_PR_DNUM} * coalesce(s, CAST(0 AS BIGINT)))"
                      f" div {_PR_DDEN}")).cast("long").alias("rank")))
-    return ranks
+    return _finish(ranks, [ed])
 
 
 def _cell_graph(spark: SparkSession, sf: str):
@@ -95,7 +110,8 @@ def g_cell_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the occupied-cell king-adjacency graph."""
     nodes, edges = _cell_graph(spark, sf)
     ranks = pagerank_int(nodes.select("cell"), edges)
-    return nodes.join(ranks, "cell").select("cell", "n", "rank")
+    out = nodes.join(ranks, "cell").select("cell", "n", "rank")
+    return _finish(out, [nodes])
 
 
 # --------------------------------------------------------------------------
@@ -191,18 +207,21 @@ def bfs_hops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
     simply lose that min, so per-round visited-set bookkeeping — another
     double self-reference — is unnecessary."""
     frontier = seeds.select("cell").distinct().cache()
+    frontiers = [frontier]
     levels = [frontier.select("cell", F.lit(0).cast("long").alias("hop"))]
     for t in range(1, k + 1):
         frontier = (edges.join(frontier.withColumnRenamed("cell", "u"), "u")
                          .select(F.col("v").alias("cell")).distinct().cache())
+        frontiers.append(frontier)
         levels.append(
             frontier.select("cell", F.lit(t).cast("long").alias("hop")))
     allv = levels[0]
     for lv in levels[1:]:
         allv = allv.unionByName(lv)
     dist = allv.groupBy("cell").agg(F.min("hop").alias("hop"))
-    return (nodes.join(dist, "cell", "left")
-                 .select("cell", F.coalesce("hop", F.lit(-1)).alias("hop")))
+    out = (nodes.join(dist, "cell", "left")
+                .select("cell", F.coalesce("hop", F.lit(-1)).alias("hop")))
+    return _finish(out, frontiers)
 
 
 def g_cell_hops(spark: SparkSession, sf: str) -> DataFrame:
@@ -211,7 +230,8 @@ def g_cell_hops(spark: SparkSession, sf: str) -> DataFrame:
     nodes, edges = _cell_graph(spark, sf)
     seeds = nodes.filter(F.col("n") >= _BFS_MIN_PTS).select("cell")
     hops = bfs_hops(nodes.select("cell"), edges, seeds)
-    return nodes.join(hops, "cell").select("cell", "n", "hop")
+    return _finish(nodes.join(hops, "cell").select("cell", "n", "hop"),
+                   [nodes])
 
 
 # Bounded recursive CTE: UNION dedups (cell, hop) pairs, hop < K terminates.

@@ -33,11 +33,34 @@ def mat_glob(name: str) -> str:
     return os.path.join(mat_path(name), "*.parquet")
 
 
-def materialize(df: DataFrame, name: str) -> DataFrame:
+# Per-process memo (round-3 VERDICT asks #1/#2): (name, key) pairs already
+# written this session.  When a caller passes ``key`` (the sf_dir), a repeat
+# materialization of the same deterministic intermediate — e.g. the MinHash
+# band table, computed by BOTH train_minhash_lsh and train_neardup_scaled in
+# one suite run — skips the recompute+rewrite and reads the existing bytes.
+# The input is a pure function of (entry, sf_dir), so the bytes are
+# identical; callers whose input is NOT uniquely keyed by sf_dir (lineage
+# scenarios, fixture-driven tests) simply don't pass a key and always write.
+_MAT_DONE: set[tuple[str, str]] = set()
+
+
+def materialize(df: DataFrame, name: str, key: str | None = None) -> DataFrame:
     """Write ``df`` to the entry's materialization path and read it back, so
-    the Spark result provably derives from the same bytes the oracle reads."""
+    the Spark result provably derives from the same bytes the oracle reads.
+
+    With ``key`` (normally the sf_dir), the write is memoized per process:
+    the first call executes and persists, later calls for the same
+    (name, key) skip straight to the read — the lazy ``df`` is never
+    executed, so shared upstream work (signature computation) runs once per
+    suite/oracle-sweep process instead of once per entry."""
+    import os as _os
+
     path = mat_path(name)
-    df.write.mode("overwrite").parquet(path)
+    memo = (name, _os.path.realpath(key)) if key is not None else None
+    if memo is None or memo not in _MAT_DONE:
+        df.write.mode("overwrite").parquet(path)
+        if memo is not None:
+            _MAT_DONE.add(memo)
     return df.sparkSession.read.parquet(path)
 
 

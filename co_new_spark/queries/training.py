@@ -156,10 +156,15 @@ def jaccard_pairs(src: DataFrame, id_col: str = "doc_id",
     the self-join key provably rare) -> self equi-join on shingle -> pair
     intersection counts -> join per-doc shingle counts -> Jaccard.
     """
+    # corpus size for the DF cutoff: counted on the RAW source, before the
+    # shingle projection/repartition — for a parquet scan this collapses to
+    # the footer row-count (no data read), vs the previous docs.count()
+    # which re-parsed every document's text just to count rows (round-3
+    # VERDICT ask #8).
+    n_docs = src.count()
     docs = _spread(src.select(F.col(id_col).alias("doc_id"),
                               F.col(text_col).alias("text"))) \
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
-    n_docs = docs.count()
     ex_all = docs.select("doc_id", F.explode("sh").alias("shingle"))
     hot = (ex_all.groupBy("shingle").agg(F.count("*").alias("df"))
            .filter(F.col("df") > JACCARD_MAX_DF * n_docs).select("shingle"))
@@ -286,7 +291,7 @@ def t_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     ])
     ex = sig.select("doc_id", F.explode(bands).alias("bb")) \
             .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    ex = materialize(ex, "minhash_bands")
+    ex = materialize(ex, "minhash_bands", key=sf)
     ex = _cap_buckets(ex)
     a, b = ex.alias("a"), ex.alias("b")
     return (
@@ -360,7 +365,7 @@ def t_simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
     from .mat import materialize
 
     docs = load(spark, sf, "documents")
-    sh = materialize(simhash(docs), "simhash_sigs")
+    sh = materialize(simhash(docs), "simhash_sigs", key=sf)
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftrightunsigned(F.col("simhash"), b * 16)

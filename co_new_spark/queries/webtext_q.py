@@ -246,12 +246,12 @@ def w_host_quota(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_HOST_QUOTA = f"""
 SELECT host, url, rn FROM (
-  SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+  SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1),
                 '') AS host,
          url,
          row_number() OVER (
            PARTITION BY nullif(regexp_extract(
-               url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')
+               url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '')
            ORDER BY md5(url), url) AS rn
   FROM read_parquet('{FIXTURE_PAGES}')
 ) WHERE rn <= 3
@@ -259,7 +259,7 @@ SELECT host, url, rn FROM (
 
 
 SQL_HOST_STATS = f"""
-SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS host,
+SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '') AS host,
        CAST(count(*) AS BIGINT) AS n_pages,
        CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -341,7 +341,7 @@ WITH en AS (
               ELSE '' END) AS t0
   FROM (
     SELECT lang, text,
-           CAST(regexp_extract(url, 'page(\\d+)$', 1) AS INTEGER) AS p,
+           CAST(nullif(regexp_extract(url, 'page(\\d+)$', 1), '') AS INTEGER) AS p,
            regexp_extract(url, '^https?://([^/]*)', 1) AS host
     FROM read_parquet('{FIXTURE_PAGES}')
   )
@@ -378,12 +378,18 @@ FROM st3 GROUP BY lang ORDER BY lang
 
 BOILER_MIN_URLS = 5
 
+# Sentence separator shared VERBATIM by the Spark (Java regex) and DuckDB
+# (RE2) sides — an explicit class, because Java's \s includes \x0B while
+# RE2's does not (the engine-desync trap functions/text.py's _SEP rule
+# forbids; round-3 ADVICE).
+_SENT_SEP = r"\.[ \t\n\r\f]+"
+
 
 def w_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     pg = _fixture(spark)
     host = F.parse_url(F.col("url"), F.lit("HOST"))
     ex = (pg.select("url", host.alias("host"),
-                    F.explode(F.split(F.col("text"), r"\.\s+")).alias("s"))
+                    F.explode(F.split(F.col("text"), _SENT_SEP)).alias("s"))
           .filter(F.length(F.trim(F.col("s"))) > 0)
           .withColumn("m", F.regexp_replace(F.col("s"), r"\d+", "#")))
     tpl = ex.groupBy("host", "m").agg(F.countDistinct("url").alias("n_urls"))
@@ -401,9 +407,9 @@ def w_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
 SQL_BOILERPLATE = f"""
 WITH ex AS (
   SELECT url,
-         nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')
+         nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '')
            AS host,
-         unnest(regexp_split_to_array(text, '\\.\\s+')) AS s
+         unnest(regexp_split_to_array(text, '{_SENT_SEP}')) AS s
   FROM read_parquet('{FIXTURE_PAGES}')
 ), ex2 AS (
   SELECT url, host, s, regexp_replace(s, '\\d+', '#', 'g') AS m
