@@ -7,7 +7,8 @@ batch), and answer queries by probing only the ``nprobe`` nearest centroid
 buckets — a hash equi-join on centroid_id instead of a cross join — then
 exact-cosine re-rank inside the probed buckets.
 
-Centroid selection is DETERMINISTIC (the lowest-id vectors): no k-means
+Centroid selection is DETERMINISTIC (a hash-stratified min-wise sample —
+uniform over the corpus, uncorrelated with ingest order): no k-means
 iterations, no RNG — recall is gated against brute force in tests.  At 100 TB
 the centroid set stays driver-sized (|C| ~ sqrt(N) capped) and broadcasts.
 """
@@ -32,9 +33,21 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 def deterministic_centroids(emb: DataFrame, n_centroids: int,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> np.ndarray:
-    """(n_centroids, dim) unit-norm centroid matrix from the lowest-id rows."""
-    rows = (emb.orderBy(id_col).limit(n_centroids)
-            .select(vec_col).toPandas()[vec_col].tolist())
+    """(<= n_centroids, dim) unit-norm centroid matrix via a hash-stratified
+    deterministic sample: stratum = xxhash64(id) mod n, winner per stratum =
+    min (xxhash64(id, 1), id, vec) — i.e. one uniform min-wise sample per
+    hash stratum.  RNG-free and partition-invariant like the previous
+    lowest-id pick, but UNCORRELATED with ingest order (round-3 VERDICT ask
+    #5: ids usually correlate with content, so lowest-id centroids covered
+    one region).  ONE map-side-combined aggregate — no sort, no window."""
+    sel = (emb.groupBy(F.pmod(F.xxhash64(F.col(id_col)),
+                              F.lit(n_centroids)).alias("stratum"))
+           .agg(F.min(F.struct(F.xxhash64(F.col(id_col), F.lit(1)).alias("h"),
+                               F.col(id_col).alias("i"),
+                               F.col(vec_col).alias("v"))).alias("m"))
+           .orderBy("stratum")
+           .select(F.col("m.v").alias("v")))
+    rows = sel.toPandas()["v"].tolist()
     return _norm_rows(np.asarray(rows, dtype=np.float64))
 
 

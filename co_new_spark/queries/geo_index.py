@@ -278,17 +278,63 @@ def _sql_decode_geojson() -> str:
             + ") t(cell, code, n_corners_ok) ORDER BY cell")
 
 
+_GJ_RING = "$.geometry.coordinates[0]"
+
+
 def g_cell_geojson(spark: SparkSession, sf: str) -> DataFrame:
-    """§3.3 visualization sink: cells -> GeoJSON Feature strings (WGS84).
+    """§3.3 visualization sink: cells -> GeoJSON Feature strings (WGS84),
+    for the 16 L0 + all 256 depth-8 cells (the grid256*.geojson products).
 
-    Rows-only (a JSON string with inverse-projected floats isn't
-    SQL-expressible); format + geometry agreement is pytest-gated, and the
-    underlying corner geometry is oracle-gated via geo_decode_geojson."""
+    Oracle-backed via the mat.py protocol (round-3 VERDICT ask #6): the
+    Feature strings (whose floats need the inverse TM) are materialized,
+    then each engine CROSS-DERIVES the canonical columns — Spark parses the
+    JSON (get_json_object/from_json) while the oracle recomputes ``code``
+    from the cell id through the SQL base16h codec restatement and pulls the
+    rest via DuckDB's json functions.  A hash match therefore proves the
+    embedded code equals an independently-derived codec, the ring is closed
+    5-vertex, and the corner floats parse identically; corner GEOMETRY
+    accuracy stays gated by geo_decode_geojson's corner-parity oracle."""
     from ..functions import geo
+    from .mat import materialize
 
-    cells_df = spark.range(16).select((F.col("id") * 64 + 4).alias("cell"))
-    return cells_df.select(
+    cells_df = (spark.range(16).select((F.col("id") * 64 + 4).alias("cell"))
+                .unionByName(spark.range(256)
+                             .select((F.col("id") * 64 + 8).alias("cell"))))
+    feats = cells_df.select(
         "cell", geo.cell_b_geojson(F.col("cell")).alias("feature"))
+    feats = materialize(feats, "cell_geojson", key=sf)
+    return feats.select(
+        "cell",
+        F.get_json_object("feature", "$.properties.code").alias("code"),
+        F.get_json_object("feature", "$.geometry.type").alias("geom_type"),
+        F.size(F.from_json(F.get_json_object("feature", _GJ_RING),
+                           "array<array<double>>")).alias("n_vertices"),
+        (F.get_json_object("feature", _GJ_RING + "[0]")
+         == F.get_json_object("feature", _GJ_RING + "[4]")).alias("closed"),
+        F.get_json_object("feature", _GJ_RING + "[0][0]")
+         .cast("double").alias("lon0"),
+        F.get_json_object("feature", _GJ_RING + "[0][1]")
+         .cast("double").alias("lat0"),
+        "feature",
+    )
+
+
+def _sql_cell_geojson() -> str:
+    from .mat import mat_glob
+
+    return f"""
+SELECT cell,
+       lower(lpad(to_hex(cell >> 6),
+                  CAST((cell & 63) // 4 AS INTEGER), '0')) AS code,
+       json_extract_string(feature, '$.geometry.type') AS geom_type,
+       CAST(json_array_length(feature, '{_GJ_RING}') AS INTEGER) AS n_vertices,
+       json_extract(feature, '{_GJ_RING}[0]')
+         = json_extract(feature, '{_GJ_RING}[4]') AS closed,
+       CAST(json_extract(feature, '{_GJ_RING}[0][0]') AS DOUBLE) AS lon0,
+       CAST(json_extract(feature, '{_GJ_RING}[0][1]') AS DOUBLE) AS lat0,
+       feature
+FROM read_parquet('{mat_glob("cell_geojson")}')
+"""
 
 
 def g_pip_colombia(spark: SparkSession, sf: str) -> DataFrame:
@@ -389,7 +435,7 @@ FROM (SELECT unnest(features) AS f
 QUERIES = {
     "geo_pip_colombia": (g_pip_colombia, _sql_pip_colombia()),
     "geo_decode_geojson": (g_decode_geojson, _sql_decode_geojson()),
-    "geo_cell_geojson": (g_cell_geojson, None),
+    "geo_cell_geojson": (g_cell_geojson, _sql_cell_geojson()),
     "geo_global_cell": (g_global_cell, _sql_global()),
     "geo_cell_to_tile": (g_cell_to_tile, _sql_cell_to_tile()),
     "geo_tile_to_cells": (g_tile_to_cells, _sql_tile_to_cells()),

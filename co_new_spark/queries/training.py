@@ -353,11 +353,25 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return per.select(id_col, sh.alias("simhash"))
 
 
+# Block-pair banding (Manku/Jain/Das Sarma, "Detecting Near-Duplicates for
+# Web Crawling", WWW'07): split the 64-bit fingerprint into 8 blocks of 8
+# bits and key the self-join on every C(8,2) = 28 concatenated block pair.
+# A pair at Hamming distance <= SIMHASH_MAX_HAMMING = 6 has >= 8 - 6 = 2
+# intact blocks, so some pair-key matches — recall within the filter is
+# GUARANTEED by pigeonhole (the round-3 4x16-band scheme only guaranteed
+# hamming <= 3 and measured 0.65 recall at 4-6), and the bucket cap stays
+# the only (pytest-gated) loss mechanism.
+SIMHASH_BLOCKS = 8
+SIMHASH_MAX_HAMMING = 6
+_SH_PAIRS = [(i, j) for i in range(SIMHASH_BLOCKS)
+             for j in range(i + 1, SIMHASH_BLOCKS)]
+
+
 def t_simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup candidates: same 16-bit SimHash band, Hamming distance <= 6.
+    """Near-dup candidates: same block-pair SimHash key, Hamming <= 6.
 
     Same oracle split as t_minhash_lsh_candidates: the (doc_id, simhash)
-    table is materialized, and the oracle re-derives the four 16-bit band
+    table is materialized, and the oracle re-derives the 28 block-pair
     keys, the bucket cap, the banded self-join AND the Hamming distance
     (bit_count(xor(...)) — DuckDB and Spark agree on two's-complement
     BIGINTs) from those bytes.
@@ -367,10 +381,13 @@ def t_simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     sh = materialize(simhash(docs), "simhash_sigs", key=sf)
     bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col("simhash"), b * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
-        for b in range(4)
+        F.struct(
+            F.lit(i * SIMHASH_BLOCKS + j).alias("band"),
+            (F.shiftrightunsigned(F.col("simhash"), i * 8)
+             .bitwiseAND(F.lit(0xFF)) * 256
+             + F.shiftrightunsigned(F.col("simhash"), j * 8)
+             .bitwiseAND(F.lit(0xFF))).alias("bh"))
+        for i, j in _SH_PAIRS
     ])
     ex = sh.select("doc_id", "simhash", F.explode(bands).alias("bb")) \
            .select("doc_id", "simhash", F.col("bb.band").alias("band"),
@@ -383,20 +400,27 @@ def t_simhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
 
 
 def _sql_simhash() -> str:
     from .mat import mat_glob
 
-    src = (f"(SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS bh"
+    # the 28 block-pair keys re-derived from the same bytes: arithmetic >>
+    # equals shiftrightunsigned here because the 8-bit mask only keeps bit
+    # positions k with k + shift <= 63 (shift <= 56)
+    pairs = ", ".join(f"({i}, {j})" for i, j in _SH_PAIRS)
+    src = (f"(SELECT doc_id, simhash, b1 * {SIMHASH_BLOCKS} + b2 AS band,"
+           f" ((simhash >> (b1 * 8)) & 255) * 256"
+           f" + ((simhash >> (b2 * 8)) & 255) AS bh"
            f" FROM read_parquet('{mat_glob('simhash_sigs')}')"
-           f" CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band))")
+           f" CROSS JOIN (FROM (VALUES {pairs}) AS t(b1, b2)))")
     return _sql_capped_pairs(
         src,
         select_extra=", bit_count(xor(a.simhash, b.simhash)) AS hamming",
-        where_extra="WHERE bit_count(xor(a.simhash, b.simhash)) <= 6")
+        where_extra=f"WHERE bit_count(xor(a.simhash, b.simhash))"
+                    f" <= {SIMHASH_MAX_HAMMING}")
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,30 @@ def test_minhash_recall_vs_exact(spark):
     assert len(cand) < 5000
 
 
+def test_simhash_recall_vs_brute(spark):
+    """Round-3 VERDICT ask #4: the block-pair banding (8x8-bit blocks, all
+    C(8,2)=28 pair keys) must reach every pair the hamming filter accepts —
+    pigeonhole guarantees it (<= 6 diffs leave >= 2 intact blocks), so the
+    gate is exact equality, with the bucket cap the only permitted loss
+    (no fixture bucket reaches the cap)."""
+    import itertools
+
+    from co_new_spark.queries.training import (
+        SIMHASH_MAX_HAMMING,
+        simhash,
+        t_simhash_candidates,
+    )
+    from co_new_spark.sources.tables import load
+
+    sigs = {r.doc_id: r.simhash for r in simhash(load(spark, SF, "documents")).collect()}
+    mask = (1 << 64) - 1
+    truth = {(a, b) for a, b in itertools.combinations(sorted(sigs), 2)
+             if bin((sigs[a] ^ sigs[b]) & mask).count("1") <= SIMHASH_MAX_HAMMING}
+    cand = {(r.doc_a, r.doc_b) for r in t_simhash_candidates(spark, SF).collect()}
+    assert truth, "fixture must contain near-dup pairs"
+    assert cand == truth, (len(truth - cand), len(cand - truth))
+
+
 def test_lsh_bucket_cap_preserves_recall(spark):
     """The (band, bh) bucket-size cap must not change fixture candidates:
     real near-dup buckets are small, so the capped and uncapped candidate
@@ -184,7 +208,9 @@ def test_ivf_knn_recall_vs_brute(spark):
     bset = {(r.qid, r.cid) for r in brute}
     iset = {(r.qid, r.cid) for r in ivf}
     recall = len(bset & iset) / len(bset)
-    assert recall >= 0.5, recall  # nprobe=6/16 buckets; exact rerank inside
+    # nprobe=6/16 buckets, exact rerank inside; hash-stratified centroids
+    # measure 0.66 here — gate just below so a selection regression trips it
+    assert recall >= 0.6, recall
     assert all(r.rn <= 5 for r in ivf)
 
 

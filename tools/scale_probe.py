@@ -1,0 +1,114 @@
+"""10x input-size probe for the heavy non-flagship entries (round-3 VERDICT
+ask #7) — same protocol as the flagship's 10x probe in BENCH.md: same
+session, same plan, input replicated 10x, wall + marginal-throughput ratio.
+
+Replication is structure-preserving:
+* documents: copy c remaps doc_id += c * 10^7 and suffixes EVERY word with
+  'x{c}' — a bijection on word 3-gram shingles WITHIN a copy (every
+  within-copy Jaccard/span relation is preserved exactly) while making
+  cross-copy shingles disjoint (no artificial quadratic blowup from
+  identical texts).  The dup/near-dup graph is therefore exactly 10 disjoint
+  copies of the 1x graph: CC round counts and span-explosion constants are
+  probed at 10x the data, not at a different problem.
+* events: copy c remaps event_id += c * 10^9; positions are a hash of
+  event_id (queries/geospatial.position_cols), so the 10x point cloud
+  occupies ~10x the cells — the occupied-cell graph genuinely grows.
+
+Usage:  python tools/scale_probe.py [sf_dir] [replicas]
+Prints one JSON line per entry: {entry, rows_1x, wall_1x, rows_Rx, wall_Rx,
+wall_ratio, marginal_throughput_ratio}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# full-input path for the capped entries (same convention as bench.py),
+# BEFORE the registry modules are imported
+os.environ.setdefault("CO_ND_DOCS", str(1 << 60))
+os.environ.setdefault("CO_CLUSTER_EVENTS", str(1 << 60))
+os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
+
+ENTRIES = ["train_neardup_components", "geo_grid_cluster",
+           "train_substring_dedup", "train_neardup_scaled"]
+
+
+def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    parts = []
+    for c in range(replicas):
+        parts.append(docs.select(
+            (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", rf"$1x{c}").alias("text"),
+            "lang", "source", "n_chars"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    parts = []
+    for c in range(replicas):
+        parts.append(ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(c * 1_000_000_000)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet"))
+
+
+def main() -> None:
+    from co_new_spark.plans.session import get_spark
+    from co_new_spark.queries import REGISTRY
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app="scale-probe", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scaled = os.path.join("/tmp", "co_scale_probe", f"x{replicas}")
+    build_scaled(spark, sf_dir, scaled, replicas)
+
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    n_ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    in_rows = {"train_neardup_components": n_docs, "geo_grid_cluster": n_ev,
+               "train_substring_dedup": n_docs, "train_neardup_scaled": n_docs}
+
+    def run(name: str, d: str) -> float:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    for name in ENTRIES:
+        run(name, sf_dir)                      # untimed warmup (codegen etc.)
+        w1 = min(run(name, sf_dir) for _ in range(2))
+        wr = run(name, scaled)
+        r1 = in_rows[name]
+        print(json.dumps({
+            "entry": name, "rows_1x": r1, "wall_1x_s": round(w1, 2),
+            "rows_Rx": r1 * replicas, "wall_Rx_s": round(wr, 2),
+            "replicas": replicas,
+            "wall_ratio": round(wr / w1, 2),
+            "throughput_1x": round(r1 / w1, 1),
+            "throughput_Rx": round(r1 * replicas / wr, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
