@@ -118,6 +118,45 @@ FROM events GROUP BY event_type
 """
 
 
+def s_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition — the one
+    §2.C surface beyond C7: clicks x views per user within 6 hours, both
+    sides watermarked (1 h) so the join state is GC-able.  Inner joins emit
+    on match, so the AvailableNow drain yields exactly the batch-join rows;
+    the per-user rollup happens on the drained sink.  At scale the join
+    shuffles both streams on user_id once and keeps only a 7-hour state
+    window per key."""
+    clicks = (_events_stream(spark, sf)
+              .filter(F.col("event_type") == "click")
+              .withWatermark("ts", "1 hour")
+              .select("user_id", F.col("ts").alias("ts_c")))
+    views = (_events_stream(spark, sf)
+             .filter(F.col("event_type") == "view")
+             .withWatermark("ts", "1 hour")
+             .select(F.col("user_id").alias("user_v"), F.col("ts").alias("ts_v")))
+    j = clicks.join(
+        views,
+        (F.col("user_id") == F.col("user_v"))
+        & (F.col("ts_v") >= F.col("ts_c"))
+        & (F.col("ts_v") <= F.col("ts_c") + F.expr("INTERVAL 6 HOURS")))
+    sink = sp.run_available_now(
+        j.select("user_id", "ts_c", "ts_v"), "append", state_partitions=4)
+    return sink.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.max(F.unix_micros("ts_v") - F.unix_micros("ts_c")).alias("max_lag_us"))
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       max(epoch_us(b.ts) - epoch_us(a.ts)) AS max_lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+GROUP BY a.user_id
+"""
+
+
 def s_geo_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Geo x streaming composition: the Arrow/pandas encode kernel runs
     INSIDE the streaming micro-batch — derive planar positions (the shared
@@ -178,4 +217,5 @@ QUERIES = {
     "stream_session_windows": (s_session_windows, SQL_SESSION_WINDOWS),
     "stream_dedup_counts": (s_dedup_counts, SQL_DEDUP_COUNTS),
     "stream_static_join": (s_static_join, SQL_STATIC_JOIN),
+    "stream_stream_join": (s_stream_stream_join, SQL_STREAM_STREAM_JOIN),
 }

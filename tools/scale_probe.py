@@ -61,8 +61,10 @@ def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     parts = []
     for c in range(replicas):
+        # offset stays small: position_cols multiplies event_id by 2.65e9,
+        # so ids must remain < ~3.4e9 to avoid ANSI long overflow
         parts.append(ev.withColumn(
-            "event_id", F.col("event_id") + F.lit(c * 1_000_000_000)))
+            "event_id", F.col("event_id") + F.lit(c * 10_000_000)))
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
