@@ -45,6 +45,10 @@ HEADLINE = [
     "train_neardup_scaled", "train_contamination_scaled",
     # explicit salting (north rule): two-phase window over the hot key
     "rel_salted_topk",
+    # round-4 operators: stream-stream range join (C8), IVF ANN scale path,
+    # multimodal phash dedup, additive schema evolution
+    "stream_stream_join", "train_knn_ivf", "mm_phash_dedup",
+    "pipeline_schema_evolution",
 ]
 
 

@@ -293,8 +293,54 @@ def _sql_cluster_layout() -> str:
     """
 
 
+def p_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive schema evolution (the Iceberg ADD COLUMN contract): commit 1
+    lands the v1 writer's schema (url, lang, l0), commit 2 appends rows from
+    an upgraded writer carrying a NEW ``cell`` column; the head read merges
+    schemas, so v1 rows surface NULL cells with their data files untouched
+    on disk.  Returned shape: per (l0, generation) row counts + cell stats,
+    where generation is derived FROM the merged read (cell IS NULL ⇔ v1) —
+    a reader that dropped v1 buckets, failed to NULL-fill, or leaked the new
+    column into old rows breaks the hash against the DuckDB re-derivation
+    over the materialized input."""
+    from .mat import materialize
+
+    base = os.path.join(tempfile.gettempdir(), "co_schema_evo_ledger")
+    shutil.rmtree(base, ignore_errors=True)
+
+    rows = materialize(
+        geocoded_pages(spark, 2_000).select("url", "lang", "cell", "l0"),
+        "schema_evo_rows")
+    lineage.resumable_write(rows.filter(F.col("l0") % 2 == 0)
+                                .select("url", "lang", "l0"), base, "l0")
+    lineage.resumable_write(rows.filter(F.col("l0") % 2 != 0), base, "l0")
+
+    ds = lineage.dataset(spark, base, "l0", merge_schema=True)
+    return (ds.withColumn("generation",
+                          F.when(F.col("cell").isNull(), "v1").otherwise("v2"))
+              .groupBy("l0", "generation")
+              .agg(F.count("*").alias("n_rows"),
+                   F.countDistinct("url").alias("n_urls"),
+                   F.min("cell").alias("min_cell"))
+              .orderBy("l0", "generation"))
+
+
+def _sql_schema_evolution() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        WITH rows AS (SELECT * FROM read_parquet('{mat_glob("schema_evo_rows")}'))
+        SELECT l0, CASE WHEN l0 % 2 = 0 THEN 'v1' ELSE 'v2' END AS generation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               CASE WHEN l0 % 2 = 0 THEN NULL ELSE min(cell) END AS min_cell
+        FROM rows GROUP BY l0 ORDER BY l0, generation
+    """
+
+
 QUERIES = {
     "pipeline_resumable_flagship": (p_resumable_flagship, _sql_resumable_flagship()),
+    "pipeline_schema_evolution": (p_schema_evolution, _sql_schema_evolution()),
     "pipeline_time_travel": (p_time_travel, _sql_time_travel()),
     "pipeline_cluster_layout": (p_cluster_layout, _sql_cluster_layout()),
     "pipeline_sql_surface": (p_sql_surface, _sql_sql_surface()),
