@@ -126,12 +126,23 @@ def run() -> dict:
     # Per-entry timing is the BEST of BENCH_BEST_OF trials (default 2): the
     # first trial pays one-time per-plan costs a long-running cluster job
     # amortizes away (whole-stage-codegen janino compile of e.g. the 64-sum
-    # SimHash aggregate, oracle-materialization parquet writes — memoized
-    # per process in queries/mat.py), the repeat measures steady state.
-    # Each trial REBUILDS the DataFrame, so shuffle-map stages re-execute —
-    # the repeat is a real run, not a cached-reduce replay.
+    # SimHash aggregate), the repeat measures steady state.  Each trial
+    # REBUILDS the DataFrame, so shuffle-map stages re-execute, AND the
+    # entry's OWN oracle materializations are un-memoized first (MAT_OWNERS)
+    # so every trial re-executes the full upstream (signature computation),
+    # not just the post-materialization half.  Intermediates an entry merely
+    # CONSUMES from another entry (train_neardup_scaled reading
+    # train_minhash_lsh's band table) stay memo-warm — that cross-entry
+    # sharing is the point of the memo (round-3 VERDICT ask #2).
+    from co_new_spark.queries import mat
+
+    MAT_OWNERS = {"train_minhash_lsh": ["minhash_bands"],
+                  "train_simhash": ["simhash_sigs"]}
+
     def time_entry(name: str) -> float:
         fn, _sql = REGISTRY[name]
+        for owned in MAT_OWNERS.get(name, ()):
+            mat.reset(owned)
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)

@@ -33,15 +33,31 @@ def mat_glob(name: str) -> str:
     return os.path.join(mat_path(name), "*.parquet")
 
 
-# Per-process memo (round-3 VERDICT asks #1/#2): (name, key) pairs already
-# written this session.  When a caller passes ``key`` (the sf_dir), a repeat
-# materialization of the same deterministic intermediate — e.g. the MinHash
-# band table, computed by BOTH train_minhash_lsh and train_neardup_scaled in
-# one suite run — skips the recompute+rewrite and reads the existing bytes.
-# The input is a pure function of (entry, sf_dir), so the bytes are
-# identical; callers whose input is NOT uniquely keyed by sf_dir (lineage
-# scenarios, fixture-driven tests) simply don't pass a key and always write.
-_MAT_DONE: set[tuple[str, str]] = set()
+# Per-process memo (round-3 VERDICT asks #1/#2): name -> the key (sf_dir)
+# whose bytes CURRENTLY sit at mat_path(name).  When a caller passes ``key``,
+# a repeat materialization of the same deterministic intermediate — e.g. the
+# MinHash band table, computed by BOTH train_minhash_lsh and
+# train_neardup_scaled in one suite run — skips the recompute+rewrite and
+# reads the existing bytes.  The map holds one key per name because the
+# on-disk path holds one dataset per name: alternating sf dirs in a process
+# must rewrite every time the dir changes (a (name, key)-SET memo would
+# serve one sf's bytes for another on the third call).  The input is a pure
+# function of (entry, sf_dir); callers whose input is NOT uniquely keyed by
+# sf_dir (lineage scenarios, fixture-driven tests) don't pass a key and
+# always write.
+_MAT_DONE: dict[str, str] = {}
+
+
+def reset(name: str | None = None) -> None:
+    """Drop the memo (for one name, or all) so the next materialize()
+    re-executes and re-writes.  Benchmarks call this between timed trials:
+    with the memo warm, a repeat trial would time only the
+    post-materialization half of the entry (the lazy upstream — signature
+    computation — would never execute)."""
+    if name is None:
+        _MAT_DONE.clear()
+    else:
+        _MAT_DONE.pop(name, None)
 
 
 def materialize(df: DataFrame, name: str, key: str | None = None) -> DataFrame:
@@ -49,18 +65,18 @@ def materialize(df: DataFrame, name: str, key: str | None = None) -> DataFrame:
     the Spark result provably derives from the same bytes the oracle reads.
 
     With ``key`` (normally the sf_dir), the write is memoized per process:
-    the first call executes and persists, later calls for the same
+    the first call executes and persists, later calls with the same current
     (name, key) skip straight to the read — the lazy ``df`` is never
     executed, so shared upstream work (signature computation) runs once per
     suite/oracle-sweep process instead of once per entry."""
     import os as _os
 
     path = mat_path(name)
-    memo = (name, _os.path.realpath(key)) if key is not None else None
-    if memo is None or memo not in _MAT_DONE:
+    k = _os.path.realpath(key) if key is not None else None
+    if k is None or _MAT_DONE.get(name) != k:
         df.write.mode("overwrite").parquet(path)
-        if memo is not None:
-            _MAT_DONE.add(memo)
+        if k is not None:
+            _MAT_DONE[name] = k
     return df.sparkSession.read.parquet(path)
 
 

@@ -255,6 +255,32 @@ SQL_PIVOT = "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " + ", ".jo
     f" AS n_{t}" for t in _PIVOT_TYPES) + " FROM events GROUP BY 1"
 
 
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """B15c: UNPIVOT/melt — the inverse of q_pivot: the four lineitem
+    measures melted into (measure, value) rows, then summarized per
+    (returnflag, measure).  Native ``DataFrame.unpivot`` (wide->long without
+    explode-over-structs); the melt is a map-side projection — the only
+    shuffle is the final small agg."""
+    li = load(spark, sf, "lineitem")
+    long = li.unpivot(["l_returnflag"], _UNPIVOT_MEASURES, "measure", "value")
+    return (long.groupBy("l_returnflag", "measure")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 2).alias("total"))
+                .orderBy("l_returnflag", "measure"))
+
+
+SQL_UNPIVOT = "WITH long AS (" + " UNION ALL ".join(
+    f"SELECT l_returnflag, '{m}' AS measure, CAST({m} AS DOUBLE) AS value"
+    f" FROM lineitem" for m in _UNPIVOT_MEASURES) + """)
+SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM long GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure
+"""
+
+
 def q_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """B20b: time-series gap fill — a dense (day x event_type) axis built
     with sequence+explode (no driver loop), left-joined against the daily
@@ -881,6 +907,7 @@ QUERIES = {
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rel_gapfill": (q_gapfill, SQL_GAPFILL),
     "rel_pivot": (q_pivot, SQL_PIVOT),
+    "rel_unpivot": (q_unpivot, SQL_UNPIVOT),
     "rel_interval_prefix_join": (q_interval_prefix_join, SQL_INTERVAL),
     "rel_set_intersect": (q_set_intersect, SQL_INTERSECT),
     "rel_set_except": (q_set_except, SQL_EXCEPT),

@@ -10,9 +10,11 @@ Replication is structure-preserving:
   identical texts).  The dup/near-dup graph is therefore exactly 10 disjoint
   copies of the 1x graph: CC round counts and span-explosion constants are
   probed at 10x the data, not at a different problem.
-* events: copy c remaps event_id += c * 10^9; positions are a hash of
-  event_id (queries/geospatial.position_cols), so the 10x point cloud
-  occupies ~10x the cells — the occupied-cell graph genuinely grows.
+* events: copy c remaps event_id += c * 10^7 (kept under the position-hash
+  multiplier's ANSI-overflow headroom); positions are a hash of event_id
+  (queries/geospatial.position_cols), so the 10x point cloud occupies ~10x
+  the cells — the occupied-cell graph genuinely grows.  Both offsets are
+  guarded against id collisions at larger base tables.
 
 Usage:  python tools/scale_probe.py [sf_dir] [replicas]
 Prints one JSON line per entry: {entry, rows_1x, wall_1x, rows_Rx, wall_Rx,
@@ -46,6 +48,14 @@ def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # collision guard: replica offsets must exceed every base id, or copies
+    # silently merge and the 'R disjoint copies' premise breaks
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    max_ev = ev.agg(F.max("event_id")).collect()[0][0]
+    if max_doc >= 10_000_000 or max_ev >= 10_000_000:
+        raise ValueError(f"id range too large for replica offsets: "
+                         f"max doc_id={max_doc}, max event_id={max_ev}")
     parts = []
     for c in range(replicas):
         parts.append(docs.select(
@@ -58,7 +68,6 @@ def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
     u.repartition(64).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet"))
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     parts = []
     for c in range(replicas):
         # offset stays small: position_cols multiplies event_id by 2.65e9,
@@ -91,7 +100,13 @@ def main() -> None:
     in_rows = {"train_neardup_components": n_docs, "geo_grid_cluster": n_ev,
                "train_substring_dedup": n_docs, "train_neardup_scaled": n_docs}
 
+    from co_new_spark.queries import mat
+
     def run(name: str, d: str) -> float:
+        # un-memoize ALL oracle materializations so every timed run (1x and
+        # Rx alike) executes its full upstream — a memo-warm 1x vs memo-cold
+        # Rx would overstate the ratio (the artifact this probe rules out)
+        mat.reset()
         fn, _ = REGISTRY[name]
         t0 = time.time()
         fn(spark, d).write.format("noop").mode("overwrite").save()
