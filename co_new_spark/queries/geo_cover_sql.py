@@ -507,7 +507,48 @@ FROM best
 """
 
 
+def g_cover_pyds_scan(spark, sf):
+    """Custom Python data source surface (PySpark 4 DataSource V2): scan the
+    citycover grammar through `spark.read.format("citycover")` — N byte-range
+    partitions parsed executor-side (sources/pyds.py) — and roll up per
+    municipality.  The oracle re-derives the same explode from the raw CSV in
+    DuckDB, so a mis-split byte range (line lost or double-read at a
+    partition boundary) breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from ..sources.pyds import CityCoverDataSource
+
+    spark.dataSource.register(CityCoverDataSource)
+    df = (spark.read.format("citycover").option("numPartitions", "8").load())
+    return (df.groupBy("isolabel_ext")
+              .agg(F.sum(F.when(F.col("kind") == "cover", 1).otherwise(0))
+                   .alias("n_cover"),
+                   F.sum(F.when(F.col("kind") == "overlay", 1).otherwise(0))
+                   .alias("n_overlay"),
+                   F.countDistinct("code").alias("n_codes"))
+              .orderBy("isolabel_ext"))
+
+
+SQL_COVER_PYDS_SCAN = f"""
+WITH raw AS (
+  SELECT isolabel_ext, kind, unnest(string_split(val, ' ')) AS code
+  FROM (
+    SELECT isolabel_ext, 'cover' AS kind, cover AS val
+    FROM read_csv('{_REF_DATA}/citycover.csv', header=true, all_varchar=true)
+    UNION ALL
+    SELECT isolabel_ext, 'overlay', overlay
+    FROM read_csv('{_REF_DATA}/citycover.csv', header=true, all_varchar=true))
+), ex AS (SELECT * FROM raw WHERE code <> '' AND code <> 'NULL')
+SELECT isolabel_ext,
+       CAST(sum(CASE WHEN kind = 'cover' THEN 1 ELSE 0 END) AS BIGINT) AS n_cover,
+       CAST(sum(CASE WHEN kind = 'overlay' THEN 1 ELSE 0 END) AS BIGINT) AS n_overlay,
+       CAST(count(DISTINCT code) AS BIGINT) AS n_codes
+FROM ex GROUP BY isolabel_ext ORDER BY isolabel_ext
+"""
+
+
 QUERIES = {
+    "geo_cover_pyds_scan": (g_cover_pyds_scan, SQL_COVER_PYDS_SCAN),
     "geo_cover_lookup_events": (g_cover_lookup_events, SQL_COVER_LOOKUP_EVENTS),
     "geo_cover_suffix_probe": (g_cover_suffix_probe, SQL_COVER_SUFFIX_PROBE),
     "geo_cover_anti": (g_cover_anti, SQL_COVER_ANTI),

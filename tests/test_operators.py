@@ -21,6 +21,25 @@ SEATS = [
 ]
 
 
+def test_pyds_partition_invariance(spark):
+    """The custom Python data source must yield the SAME rows at any split
+    count — the byte-range convention (skip the partial record at start,
+    finish the record begun before end) parses every line exactly once."""
+    from co_new_spark.sources.pyds import CityCoverDataSource
+
+    spark.dataSource.register(CityCoverDataSource)
+
+    def rows(n):
+        df = (spark.read.format("citycover")
+              .option("numPartitions", str(n)).load())
+        return sorted(tuple(r) for r in df.collect())
+
+    one = rows(1)
+    assert len(one) == 14165 + 334  # cover + overlay tokens (NULL skipped)
+    assert rows(8) == one
+    assert rows(64) == one  # more ranges than bytes-per-line headroom
+
+
 def test_citycover_parse():
     pdf = _cover_pdf()
     assert pdf["isolabel_ext"].nunique() == 1116
