@@ -48,7 +48,7 @@ HEADLINE = [
     # round-4 operators: stream-stream range join (C8), IVF ANN scale path,
     # multimodal phash dedup, additive schema evolution
     "stream_stream_join", "train_knn_ivf", "mm_phash_dedup",
-    "pipeline_schema_evolution",
+    "pipeline_schema_evolution", "train_repetition_filter",
 ]
 
 

@@ -169,7 +169,85 @@ SELECT span, n_docs, n_occ, rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style intra-document repetition filter (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher" — public quality heuristics): a doc whose top
+# unigram dominates or whose word 3-grams are mostly repeats is boilerplate/
+# copypasta and gets dropped before training.
+# ---------------------------------------------------------------------------
+
+REP_TOP1_MAX = 0.2   # max share of the single most frequent unigram
+REP_DUP3_MAX = 0.3   # max fraction of duplicated (non-distinct) 3-grams
+
+
+def t_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc repetition metrics + keep flag.
+
+    Two map-side-combined aggregations over one token explosion each
+    (unigram counts -> top-1 share; 3-gram counts -> duplicate fraction),
+    joined on doc_id — both shuffles are (doc, term)-keyed with partial
+    aggregation, so a pathological repeated phrase collapses mapper-side.
+    No UDF, no window."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    uni = (docs.select("doc_id", F.explode(w).alias("tok"))
+               .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+               .groupBy("doc_id")
+               .agg(F.sum("c").alias("n_tok"), F.max("c").alias("top1")))
+    n3 = F.greatest(F.size(w) - 2, F.lit(0))
+    tris = F.when(n3 > 0, F.transform(
+        F.sequence(F.lit(1), n3),
+        lambda i: F.concat_ws(" ", w[i - 1], w[i], w[i + 1]))
+    ).otherwise(F.array().cast("array<string>"))
+    tri = (docs.select("doc_id", F.explode(tris).alias("tri"))
+               .groupBy("doc_id", "tri").agg(F.count("*").alias("c"))
+               .groupBy("doc_id")
+               .agg(F.sum("c").alias("n_tri"),
+                    F.count("*").alias("n_tri_distinct")))
+    top1_share = F.round(F.col("top1").cast("double") / F.col("n_tok"), 6)
+    dup3 = F.round(F.lit(1.0) - F.col("n_tri_distinct").cast("double")
+                   / F.col("n_tri"), 6)
+    return (uni.join(tri, "doc_id", "left")
+            .select("doc_id", "n_tok", top1_share.alias("top1_share"),
+                    F.coalesce(dup3, F.lit(0.0)).alias("dup3_frac"))
+            .withColumn("keep", (F.col("top1_share") <= REP_TOP1_MAX)
+                        & (F.col("dup3_frac") <= REP_DUP3_MAX))
+            .orderBy("doc_id"))
+
+
+SQL_REPETITION = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, max(c) AS top1 FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS tok FROM w) GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), tri AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+         CAST(count(*) AS BIGINT) AS n_tri_distinct FROM (
+    SELECT doc_id, tri, count(*) AS c FROM (
+      SELECT doc_id, unnest(
+        [array_to_string(w[i:i+2], ' ')
+         FOR i IN range(1, greatest(len(w) - 1, 1))]) AS tri
+      FROM w) GROUP BY doc_id, tri)
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_tok,
+       round(CAST(u.top1 AS DOUBLE) / u.n_tok, 6) AS top1_share,
+       coalesce(round(1.0 - CAST(t.n_tri_distinct AS DOUBLE) / t.n_tri, 6),
+                0.0) AS dup3_frac,
+       (round(CAST(u.top1 AS DOUBLE) / u.n_tok, 6) <= {REP_TOP1_MAX}
+        AND coalesce(round(1.0 - CAST(t.n_tri_distinct AS DOUBLE) / t.n_tri,
+                           6), 0.0) <= {REP_DUP3_MAX}) AS keep
+FROM uni u LEFT JOIN tri t ON t.doc_id = u.doc_id
+ORDER BY u.doc_id
+"""
+
+
 QUERIES = {
     "train_substring_dedup": (t_substring_dedup, SQL_SUBSTRING_DEDUP),
     "train_substring_hotspans": (t_substring_hotspans, SQL_SUBSTRING_HOTSPANS),
+    "train_repetition_filter": (t_repetition_filter, SQL_REPETITION),
 }
