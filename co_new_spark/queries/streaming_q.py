@@ -9,6 +9,9 @@ dedup == first-row-per-key.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -157,6 +160,85 @@ GROUP BY a.user_id
 """
 
 
+def s_late_data(spark: SparkSession, sf: str) -> DataFrame:
+    """C6 late-data handling, oracle-backed (upgraded from the loose pytest
+    bound): three mtime-ordered micro-batches (maxFilesPerTrigger=1),
+    append mode, over a timeline engineered to be INSENSITIVE to watermark
+    propagation lag (measured: the drop filter applies the watermark one
+    batch later than the progress log reports, and complete mode never
+    drops at all):
+
+    * every batch-3 row's window end lies OUTSIDE the candidate filter band
+      [wm after batch 1 = 14:10, wm after batch 2 = 15:10]: 05:10
+      (end 06:00, far below — MUST be dropped) and 18:40 (end 19:00, far
+      above — must be kept, and advances the final watermark);
+    * the final eviction threshold (global max 18:40 − 1 h = 17:40) falls
+      strictly between window ends, so the append-mode emission set
+      (ends 13:00..17:00) is boundary-free.
+
+    The oracle re-derives drop + emission from the materialized batch table
+    with the tighter watermark."""
+    import datetime as _dt
+    import shutil
+    import time as _time
+
+    from .mat import materialize
+
+    base = _dt.datetime(2025, 5, 1, 12, 10, 0)
+
+    def _at(minutes: float) -> _dt.datetime:
+        return base + _dt.timedelta(minutes=minutes)
+
+    batches = [
+        [(1, _at(0)), (2, _at(60)), (3, _at(120)), (4, _at(180))],
+        [(5, _at(240))],                 # 16:10 — advances the watermark
+        [(6, _at(-420)), (7, _at(390))],  # 05:10 drop; 18:40 keep (new max)
+    ]
+    src = os.path.join(tempfile.gettempdir(), "co_stream_late_src")
+    shutil.rmtree(src, ignore_errors=True)
+    tagged = None
+    for k, rows in enumerate(batches, start=1):
+        b = spark.createDataFrame(rows, "uid long, ts timestamp")
+        b.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: the file source batches in order
+        t = b.withColumn("batch", F.lit(k))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    materialize(tagged, "late_batches", key=sf)
+
+    schema = spark.read.parquet(src).schema
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (ev.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("win"))
+           .agg(F.count("*").alias("n")))
+    sink = sp.run_available_now(agg, "append", state_partitions=4)
+    return (sink.select(F.col("win.start").alias("window_start"), "n")
+                .orderBy("window_start"))
+
+
+def _sql_late_data() -> str:
+    from .mat import mat_glob
+
+    return f"""
+WITH b AS (SELECT * FROM read_parquet('{mat_glob("late_batches")}')),
+wm2 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM b WHERE batch <= 2),
+kept AS (
+  SELECT ts FROM b WHERE batch <= 2
+  UNION ALL
+  SELECT ts FROM b WHERE batch = 3
+   AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm2)
+),
+wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM kept)
+SELECT window_start, n FROM (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM kept GROUP BY 1)
+WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+ORDER BY window_start
+"""
+
+
 def s_geo_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Geo x streaming composition: the Arrow/pandas encode kernel runs
     INSIDE the streaming micro-batch — derive planar positions (the shared
@@ -218,4 +300,5 @@ QUERIES = {
     "stream_dedup_counts": (s_dedup_counts, SQL_DEDUP_COUNTS),
     "stream_static_join": (s_static_join, SQL_STATIC_JOIN),
     "stream_stream_join": (s_stream_stream_join, SQL_STREAM_STREAM_JOIN),
+    "stream_late_data": (s_late_data, _sql_late_data()),
 }
