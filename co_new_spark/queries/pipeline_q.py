@@ -338,8 +338,63 @@ def _sql_schema_evolution() -> str:
     """
 
 
+def p_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction (Iceberg ``rewrite_data_files``): the geocoded
+    fact is committed deliberately FRAGMENTED (32-way repartition before the
+    bucket write, so every L0 bucket lands as many small files), then
+    ``compact_files`` rewrites each bucket into ONE file as a new snapshot.
+
+    The returned shape proves both halves from the post-rewrite store:
+    per-bucket content stats must equal an independent DuckDB derivation
+    over the materialized input (a row lost/duplicated by the rewrite breaks
+    the hash), and ``n_files`` — counted via input_file_name() — must be
+    exactly 1 per bucket (the layout goal), with n_commits = 2 gating the
+    atomic ledger append."""
+    from .mat import materialize
+
+    base = os.path.join(tempfile.gettempdir(), "co_compact_ledger")
+    shutil.rmtree(base, ignore_errors=True)
+
+    rows = materialize(
+        geocoded_pages(spark, 2_000).select("url", "lang", "cell", "l0"),
+        "compact_rows")
+    lineage.resumable_write(rows.repartition(32), base, "l0")
+    lineage.compact_files(spark, base, "l0", target_partitions=1)
+
+    # input_file_name() only supports single-source plans, so the file count
+    # runs on the RAW store scan (not dataset()'s ledger semi-join) — after
+    # the compaction commit the raw store IS the committed content, and any
+    # leftover pre-rewrite file would break the content hash below
+    ds = spark.read.parquet(os.path.join(base, "data"))
+    n_commits = lineage.snapshots(spark, base).count()
+    return (ds.withColumn("__f", F.input_file_name())
+              .groupBy("l0").agg(
+                  F.count("*").alias("n_rows"),
+                  F.countDistinct("url").alias("n_urls"),
+                  F.min("cell").alias("min_cell"),
+                  F.max("cell").alias("max_cell"),
+                  F.countDistinct("__f").alias("n_files"))
+              .withColumn("n_commits", F.lit(n_commits).cast("long"))
+              .orderBy("l0"))
+
+
+def _sql_compaction() -> str:
+    from .mat import mat_glob
+
+    return f"""
+        SELECT l0, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               min(cell) AS min_cell, max(cell) AS max_cell,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(2 AS BIGINT) AS n_commits
+        FROM read_parquet('{mat_glob("compact_rows")}')
+        GROUP BY l0 ORDER BY l0
+    """
+
+
 QUERIES = {
     "pipeline_resumable_flagship": (p_resumable_flagship, _sql_resumable_flagship()),
+    "pipeline_compaction": (p_compaction, _sql_compaction()),
     "pipeline_schema_evolution": (p_schema_evolution, _sql_schema_evolution()),
     "pipeline_time_travel": (p_time_travel, _sql_time_travel()),
     "pipeline_cluster_layout": (p_cluster_layout, _sql_cluster_layout()),

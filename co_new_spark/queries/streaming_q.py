@@ -239,6 +239,74 @@ ORDER BY window_start
 """
 
 
+def s_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming MERGE (CDC upsert), oracle-backed: a seeded store (initial
+    snapshot commit) plus two mtime-ordered CDC micro-batches with
+    overlapping keys draining through foreachBatch + upsert_latest; the
+    final store must hold exactly the latest version per key, which the
+    DuckDB oracle re-derives from the materialized seed+update stream
+    (latest ts per uid).  Timestamps are constants, strictly increasing per
+    key across generations, so the winner set is tie-free; n_commits = 3
+    gates one snapshot per seed/batch."""
+    import datetime as _dt
+    import shutil
+    import time as _time
+
+    from ..plans import lineage
+    from .mat import materialize
+
+    base0 = _dt.datetime(2025, 6, 1, 0, 0, 0)
+
+    def _at(minutes: int) -> _dt.datetime:
+        return base0 + _dt.timedelta(minutes=minutes)
+
+    seed = [(k, _at(k), f"v0-{k}", k % 4) for k in range(40)]
+    batches = [
+        [(k, _at(100 + k), f"v1-{k}", k % 4) for k in range(0, 40, 2)],
+        [(k, _at(200 + k), f"v2-{k}", k % 4) for k in range(0, 40, 3)]
+        + [(k, _at(300 + k), f"new-{k}", k % 4) for k in range(40, 50)],
+    ]
+    src = os.path.join(tempfile.gettempdir(), "co_stream_cdc_src")
+    base = os.path.join(tempfile.gettempdir(), "co_stream_cdc_ledger")
+    ck = os.path.join(tempfile.gettempdir(), "co_stream_cdc_ck")
+    for d in (src, base, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    sdf = spark.createDataFrame(seed, "uid long, ts timestamp, val string, b long")
+    lineage.resumable_write(sdf, base, "b")  # the table CDC merges into
+    tagged = sdf.withColumn("batch", F.lit(0))
+    for i, rows in enumerate(batches, start=1):
+        b = spark.createDataFrame(
+            rows, "uid long, ts timestamp, val string, b long")
+        b.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        tagged = tagged.unionByName(b.withColumn("batch", F.lit(i)))
+    materialize(tagged, "cdc_updates", key=sf)
+
+    schema = spark.read.parquet(src).schema
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+    sp.stream_upsert_to_ledger(ev, base, key="uid", ts_col="ts",
+                               bucket_col="b", checkpoint=ck)
+    n_commits = lineage.snapshots(spark, base).count()
+    return (lineage.dataset(spark, base, "b")
+            .select("uid", "ts", "val", "b")
+            .withColumn("n_commits", F.lit(n_commits).cast("long"))
+            .orderBy("uid"))
+
+
+def _sql_cdc_merge() -> str:
+    from .mat import mat_glob
+
+    return f"""
+SELECT uid, ts, val, b, CAST(3 AS BIGINT) AS n_commits FROM (
+  SELECT uid, ts, val, b,
+         row_number() OVER (PARTITION BY uid
+                            ORDER BY ts DESC, batch DESC) AS rn
+  FROM read_parquet('{mat_glob("cdc_updates")}')
+) WHERE rn = 1 ORDER BY uid
+"""
+
+
 def s_geo_cell_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Geo x streaming composition: the Arrow/pandas encode kernel runs
     INSIDE the streaming micro-batch — derive planar positions (the shared
@@ -301,4 +369,5 @@ QUERIES = {
     "stream_static_join": (s_static_join, SQL_STATIC_JOIN),
     "stream_stream_join": (s_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     "stream_late_data": (s_late_data, _sql_late_data()),
+    "stream_cdc_merge": (s_cdc_merge, _sql_cdc_merge()),
 }
