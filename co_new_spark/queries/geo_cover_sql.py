@@ -38,7 +38,11 @@ from .sql_grid import morton_deref_x, morton_deref_y
 _PT_R = 26            # refinement bits -> point depth 30 (> max cover depth 22)
 _PT_DEPTH = 4 + _PT_R
 
-_REF_DATA = "/root/reference/data"
+# single-sourced with the Spark-side loaders (sources/reference_data.REF_DIR),
+# so an env override moves BOTH sides of every cover oracle pair together
+from ..sources.reference_data import REF_DIR as _REF_DIR  # noqa: E402
+
+_REF_DATA = f"{_REF_DIR}/data"
 
 # -- DuckDB-side decode of citycover.csv codes (base16h -> bits/depth) -------
 
@@ -514,8 +518,6 @@ def g_cover_pyds_scan(spark, sf):
     municipality.  The oracle re-derives the same explode from the raw CSV in
     DuckDB, so a mis-split byte range (line lost or double-read at a
     partition boundary) breaks the hash."""
-    from pyspark.sql import functions as F
-
     from ..sources.pyds import CityCoverDataSource
 
     spark.dataSource.register(CityCoverDataSource)

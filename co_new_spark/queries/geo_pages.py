@@ -348,8 +348,13 @@ def _sql_native_geocode() -> str:
     ny, nx = (r + 1) // 2, r // 2
     return f"""
 WITH xy AS (
+  -- bounds tested on DOUBLES before any cast, mirroring with_cell_from_xy's
+  -- inb guard: an extreme-but-finite projected coordinate must MISMATCH as
+  -- an absent row (Spark yields -1), never crash the oracle's BIGINT cast
   SELECT url, x, y FROM read_parquet('{mat_glob("native_geocode_xy")}')
   WHERE isfinite(x) AND isfinite(y)
+    AND x >= {_X0!r} AND x < {_X0 + 4 * _SIDE!r}
+    AND y >= {_Y0!r} AND y < {_Y0 + 5 * _SIDE!r}
 ), fr AS (
   SELECT url,
          CAST(floor((x - {_X0!r}) / {_SIDE!r}) AS BIGINT) AS i,

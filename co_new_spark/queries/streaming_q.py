@@ -198,9 +198,10 @@ def s_late_data(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     tagged = None
     for k, rows in enumerate(batches, start=1):
+        if k > 1:  # distinct mtimes BETWEEN files (none needed after the last)
+            _time.sleep(1.1)
         b = spark.createDataFrame(rows, "uid long, ts timestamp")
         b.coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(1.1)  # distinct mtimes: the file source batches in order
         t = b.withColumn("batch", F.lit(k))
         tagged = t if tagged is None else tagged.unionByName(t)
     materialize(tagged, "late_batches", key=sf)
@@ -275,10 +276,11 @@ def s_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     lineage.resumable_write(sdf, base, "b")  # the table CDC merges into
     tagged = sdf.withColumn("batch", F.lit(0))
     for i, rows in enumerate(batches, start=1):
+        if i > 1:  # distinct mtimes BETWEEN files (none needed after the last)
+            _time.sleep(1.1)
         b = spark.createDataFrame(
             rows, "uid long, ts timestamp, val string, b long")
         b.coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(1.1)
         tagged = tagged.unionByName(b.withColumn("batch", F.lit(i)))
     materialize(tagged, "cdc_updates", key=sf)
 

@@ -23,9 +23,9 @@ import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-DEFAULT_PATH = os.path.join(
-    os.environ.get("CO_REFERENCE_DIR", "/root/reference"),
-    "data", "citycover.csv")
+from .reference_data import REF_DIR
+
+DEFAULT_PATH = os.path.join(REF_DIR, "data", "citycover.csv")
 
 
 class _ByteRange(InputPartition):

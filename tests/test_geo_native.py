@@ -21,11 +21,16 @@ def test_xy_to_cell_native_exact_parity(spark):
     from co_new_spark.queries.geospatial import _event_points
 
     ev = _event_points(spark, SF)
-    for r in (4, 8, 11, 26):
-        d = ev.select(
-            geo.xy_to_cell_b(F.col("x"), F.col("y"), r).alias("k"),
-            geo_native.xy_to_cell_b_native(F.col("x"), F.col("y"), r).alias("n"))
-        assert d.filter(F.col("k") != F.col("n")).count() == 0, r
+    for r in (4, 8, 11, 26):  # 11 exercises odd refinement (n_first != n_second)
+        d = ev.select("x", "y",
+                      geo.xy_to_cell_b(F.col("x"), F.col("y"), r).alias("k"),
+                      geo_native.xy_to_cell_b_native(F.col("x"), F.col("y"), r)
+                      .alias("n"))
+        # the staged twin (the registered query path) must agree at EVERY
+        # depth too, not just the depth-26 end-to-end gate
+        d = geo_native.with_cell_from_xy(d, "x", "y", r, "s")
+        assert d.filter((F.col("k") != F.col("n"))
+                        | (F.col("k") != F.col("s"))).count() == 0, r
 
 
 def test_native_text_chain_parity(spark):
