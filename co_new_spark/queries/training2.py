@@ -524,7 +524,120 @@ GROUP BY lang, source ORDER BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al., "Data Selection for Language Models
+# via Importance Resampling", NeurIPS 2023 — public method): score every raw
+# doc by its importance weight under a TARGET distribution, both modeled as
+# hashed word-bigram bag distributions, and keep the top-K.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 8192          # hashed feature buckets
+_DSIR_TARGET = "es"     # the target "domain": Spanish docs
+_DSIR_TOPK = 100
+
+
+def t_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc DSIR importance weight + top-K selection flag.
+
+    Oracle split (mat.py protocol), engineered so every cross-engine step is
+    INTEGER-exact:
+      1. ``dsir_pairs`` (doc_id, is_target, h) — the xxhash64-bucketed
+         bigram stream, the only hash-dependent step, materialized.
+      2. ``dsir_scores`` (h, ct, cr, score) — per-bucket Laplace-smoothed
+         log-ratio in integer MICRO-units (round(1e6 * [log((ct+1)/(Nt+B))
+         - log((cr+1)/(Nr+B))])), computed by Spark and materialized.  The
+         oracle RE-DERIVES ct/cr from dsir_pairs and joins on (h, ct, cr),
+         so a wrong count silently drops rows and breaks the hash; only the
+         one float log stays Spark-authored (pytest-gated sanity: target
+         docs outrank non-target on the fixture).
+      3. downstream, both engines: w_micro = BIGINT sum(score) over the
+         doc's stream, n_features, w_avg = round(w_micro/n_features, 6)
+         (the LENGTH-NORMALIZED mean log-ratio — the raw sum carries the
+         smoothing baseline times doc length, so it ranks long docs, not
+         on-target docs; measured: top-100 by raw sum was 76% off-target,
+         by mean 100% on-target), rank by (w_avg desc, doc_id),
+         selected = rank <= K.
+    At 100 TB the global rank becomes a threshold selection (compute the
+    K-th weight once, broadcast it — the salted-top-k pattern); the window
+    here is correctness-scale."""
+    from .mat import materialize
+
+    docs = load(spark, sf, "documents")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    bi = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)))
+    pairs = (docs.select("doc_id",
+                         (F.col("lang") == _DSIR_TARGET).alias("is_target"),
+                         F.explode(F.when(F.size(w) > 1, bi)
+                                   .otherwise(F.array().cast("array<string>")))
+                         .alias("bg"))
+             .select("doc_id", "is_target",
+                     F.pmod(F.xxhash64("bg"), F.lit(_DSIR_B)).alias("h")))
+    pairs = materialize(pairs, "dsir_pairs", key=sf)
+
+    tot = pairs.agg(
+        F.count("*").alias("nr"),
+        F.sum(F.col("is_target").cast("long")).alias("nt")).collect()[0]
+    nr, nt = tot["nr"], tot["nt"]
+    counts = pairs.groupBy("h").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("is_target").cast("long")).alias("ct"))
+    score = F.round(
+        (F.log((F.col("ct") + 1) / F.lit(float(nt + _DSIR_B)))
+         - F.log((F.col("cr") + 1) / F.lit(float(nr + _DSIR_B))))
+        * 1_000_000).cast("long")
+    scores = materialize(counts.withColumn("score", score),
+                         "dsir_scores", key=sf)
+
+    ww = (pairs.join(scores.select("h", "score"), "h")
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_features"),
+               F.sum("score").alias("w_micro")))
+    ww = ww.withColumn(
+        "w_avg", F.round(F.col("w_micro") / F.col("n_features"), 6))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("w_avg").desc(), F.col("doc_id")))
+    return (ww.withColumn("rn", rk)
+              .select("doc_id", "n_features", "w_micro", "w_avg",
+                      (F.col("rn") <= _DSIR_TOPK).alias("selected"))
+              .orderBy("doc_id"))
+
+
+def _sql_dsir() -> str:
+    from .mat import mat_glob
+
+    return f"""
+WITH p AS (SELECT * FROM read_parquet('{mat_glob("dsir_pairs")}')),
+s AS (SELECT * FROM read_parquet('{mat_glob("dsir_scores")}')),
+chk AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM p GROUP BY h
+),
+v AS (  -- count mismatch -> dropped bucket -> hash break
+  SELECT s.h, s.score FROM s
+  JOIN chk ON chk.h = s.h AND chk.cr = s.cr AND chk.ct = s.ct
+),
+w AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(v.score) AS BIGINT) AS w_micro
+  FROM p JOIN v ON v.h = p.h GROUP BY p.doc_id
+),
+wa AS (
+  SELECT doc_id, n_features, w_micro,
+         round(CAST(w_micro AS DOUBLE) / n_features, 6) AS w_avg
+  FROM w
+)
+SELECT doc_id, n_features, w_micro, w_avg,
+       (row_number() OVER (ORDER BY w_avg DESC, doc_id) <= {_DSIR_TOPK})
+         AS selected
+FROM wa ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "train_dsir_weights": (t_dsir_weights, _sql_dsir()),
     "mm_embed_knn": (t_mm_embed_knn, _sql_mm_knn()),
     "train_mix_weights": (t_mix_weights, SQL_MIX_WEIGHTS),
     "train_contamination": (t_contamination, SQL_CONTAMINATION),

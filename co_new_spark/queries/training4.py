@@ -183,11 +183,15 @@ REP_DUP3_MAX = 0.3   # max fraction of duplicated (non-distinct) 3-grams
 def t_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc repetition metrics + keep flag.
 
-    Two map-side-combined aggregations over one token explosion each
-    (unigram counts -> top-1 share; 3-gram counts -> duplicate fraction),
-    joined on doc_id — both shuffles are (doc, term)-keyed with partial
-    aggregation, so a pathological repeated phrase collapses mapper-side.
-    No UDF, no window."""
+    Complements train_repetition (training2.py), which computes duplicate
+    FRACTIONS via per-row list algebra (right for normal docs, no shuffle):
+    this entry adds the Gopher top-1-unigram SHARE and the keep DECISION,
+    and uses the aggregation formulation — two map-side-combined
+    aggregations over one token explosion each (unigram counts -> top-1
+    share; 3-gram counts -> duplicate fraction), joined on doc_id.  Both
+    shuffles are (doc, term)-keyed with partial aggregation, so a
+    pathological repeated phrase (or a document too large for in-memory
+    list algebra) collapses mapper-side.  No UDF, no window."""
     docs = load(spark, sf, "documents").select("doc_id", "text")
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     uni = (docs.select("doc_id", F.explode(w).alias("tok"))

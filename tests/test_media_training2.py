@@ -124,3 +124,26 @@ def test_mix_weights_rates_and_full_keep(spark):
         elif n >= 200:  # enough mass for the rate to concentrate
             rate, target = k / n, thr / 256
             assert abs(rate - target) < 0.12, (lang, rate, target)
+
+
+def test_dsir_weights_prefer_target_lang(spark):
+    """DSIR sanity (the float-log half of the oracle split): docs of the
+    target language must outrank the rest — the mean importance weight of
+    target docs exceeds the non-target mean, and the top-K selection is
+    majority-target on the fixture."""
+    from pyspark.sql import functions as F
+
+    from co_new_spark.queries.training2 import _DSIR_TARGET, t_dsir_weights
+    from co_new_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    w = t_dsir_weights(spark, sf)
+    langs = load(spark, sf, "documents").select("doc_id", "lang")
+    j = w.join(langs, "doc_id")
+    rows = j.groupBy(F.col("lang") == _DSIR_TARGET).agg(
+        F.avg("w_micro").alias("avg_w")).collect()
+    avg = {r[0]: r["avg_w"] for r in rows}
+    assert avg[True] > avg[False], avg
+    sel = j.filter("selected").groupBy(F.col("lang") == _DSIR_TARGET).count()
+    got = {r[0]: r["count"] for r in sel.collect()}
+    assert got.get(True, 0) > got.get(False, 0), got
