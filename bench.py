@@ -49,6 +49,7 @@ HEADLINE = [
     # multimodal phash dedup, additive schema evolution
     "stream_stream_join", "train_knn_ivf", "mm_phash_dedup",
     "pipeline_schema_evolution", "train_repetition_filter",
+    "train_dsir_weights",
 ]
 
 
