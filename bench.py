@@ -138,7 +138,8 @@ def run() -> dict:
     from co_new_spark.queries import mat
 
     MAT_OWNERS = {"train_minhash_lsh": ["minhash_bands"],
-                  "train_simhash": ["simhash_sigs"]}
+                  "train_simhash": ["simhash_sigs"],
+                  "train_dsir_weights": ["dsir_pairs", "dsir_scores"]}
 
     def time_entry(name: str) -> float:
         fn, _sql = REGISTRY[name]
