@@ -13,7 +13,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cells_sql, geo
@@ -70,12 +70,15 @@ def p_resumable_flagship(spark: SparkSession, sf: str) -> DataFrame:
     lineage.resumable_write(per_cell, base, "l0", max_buckets=2)  # simulated crash
     lineage.resumable_write(per_cell, base, "l0")                 # resume
     led = lineage.metrics(spark, base)
-    n_runs = F.size(F.collect_set("run_id").over(Window.partitionBy()))
-    return led.select(
-        F.col("bucket").alias("l0"),
-        "n_rows",
-        (n_runs >= 2).alias("resumed"),
-    ).orderBy("l0")
+    # distinct-run count as a broadcast scalar join, not a global window —
+    # the ledger is bucket-sized, but the registry-wide plan gate
+    # (tests/test_plan_shapes.py) bans unpartitioned windows outright
+    runs = led.agg(F.countDistinct("run_id").alias("__n_runs"))
+    return (led.crossJoin(F.broadcast(runs))
+            .select(F.col("bucket").alias("l0"),
+                    "n_rows",
+                    (F.col("__n_runs") >= 2).alias("resumed"))
+            .orderBy("l0"))
 
 
 def _sql_resumable_flagship() -> str:

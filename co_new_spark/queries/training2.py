@@ -555,11 +555,14 @@ def t_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
          (the LENGTH-NORMALIZED mean log-ratio — the raw sum carries the
          smoothing baseline times doc length, so it ranks long docs, not
          on-target docs; measured: top-100 by raw sum was 76% off-target,
-         by mean 100% on-target), rank by (w_avg desc, doc_id),
-         selected = rank <= K.
-    At 100 TB the global rank becomes a threshold selection (compute the
-    K-th weight once, broadcast it — the salted-top-k pattern); the window
-    here is correctness-scale."""
+         by mean 100% on-target), selected = doc is in the top K by
+         (w_avg desc, doc_id).
+    Scale: the top-K is a distributed ``orderBy().limit(K)``
+    (TakeOrderedAndProject — each task keeps K rows, the driver merges
+    n_partitions*K, never a single-partition global sort), and the K
+    winners broadcast back onto the per-doc weight table as a flag join.
+    No Window ever sees the unlimited fact table (plan-gated in
+    tests/test_plan_shapes.py::test_dsir_selection_has_no_global_window)."""
     from .mat import materialize
 
     docs = load(spark, sf, "documents")
@@ -596,11 +599,12 @@ def t_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
                F.sum("score").alias("w_micro")))
     ww = ww.withColumn(
         "w_avg", F.round(F.col("w_micro") / F.col("n_features"), 6))
-    rk = F.row_number().over(
-        Window.orderBy(F.col("w_avg").desc(), F.col("doc_id")))
-    return (ww.withColumn("rn", rk)
+    winners = (ww.orderBy(F.col("w_avg").desc(), F.col("doc_id"))
+                 .limit(_DSIR_TOPK)
+                 .select("doc_id", F.lit(True).alias("selected")))
+    return (ww.join(F.broadcast(winners), "doc_id", "left")
               .select("doc_id", "n_features", "w_micro", "w_avg",
-                      (F.col("rn") <= _DSIR_TOPK).alias("selected"))
+                      F.coalesce("selected", F.lit(False)).alias("selected"))
               .orderBy("doc_id"))
 
 

@@ -2,6 +2,9 @@
 pushdown, partition pruning, no stray shuffles) asserted on `.explain` output
 so perf regressions fail CI, not production."""
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from co_new_spark.functions import geo
@@ -10,6 +13,7 @@ from co_new_spark.sources.pages import pages
 from co_new_spark.sources.reference_data import load_citycover
 
 SF = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
@@ -273,3 +277,40 @@ def test_salted_topk_spreads_hot_key(spark):
     assert len(salted_specs) == 1
     # Spark's rank-limit pushdown prunes to k per (key, salt) map-side
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_dsir_selection_has_no_global_window(spark):
+    """Round-4 verdict ask #1: DSIR's top-K selection must be the
+    distributed TakeOrderedAndProject + broadcast-flag-join shape, never a
+    row_number() over an unpartitioned Window spanning the per-doc weight
+    table (single-partition global sort at 100 TB)."""
+    from co_new_spark.plans.audit import unbounded_global_windows
+    from co_new_spark.queries.training2 import t_dsir_weights
+
+    df = t_dsir_weights(spark, SF_SMALL)
+    assert unbounded_global_windows(df) == []
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.slow
+def test_registry_no_unbounded_global_windows():
+    """Registry-wide gate (round-4 verdict ask #1): NO queries() entry may
+    plan an unpartitioned Window over an input not bounded by a Limit.
+    Builds every entry at sf0.001 (materialize intermediates run; streaming
+    entries execute their micro-batches), so slow-marked like the full
+    oracle sweep."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "tools/scan_global_windows.py", SF_SMALL],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=3600)
+    lines = [ln for ln in r.stdout.splitlines()
+             if ln.startswith(("WIN", "ERR"))]
+    assert r.returncode == 0 and "done" in r.stdout, r.stdout[-2000:]
+    assert not [ln for ln in lines if "UNBOUNDED" in ln or
+                ln.startswith("ERR")], "\n".join(lines)
