@@ -158,10 +158,25 @@ def run() -> dict:
     # extra tie-breaker trial (host-noise spikes die here), and whatever
     # still exceeds 1.5x is machine-flagged in the output JSON.
     import glob as _glob
+    import re as _re
 
+    def _round_of(path: str) -> int:
+        m = _re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    repo = os.path.dirname(os.path.abspath(__file__))
     regressions: list[dict] = []
-    prior_files = sorted(_glob.glob(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    # Baseline = the newest BENCH file from a PRIOR round, by parsed round
+    # number (lexicographic sort breaks past r99 / unpadded names).  The
+    # current round is inferred from the driver's CORRECTNESS_r*.json trail
+    # (max + 1), so a re-run inside a round never diffs against the
+    # BENCH_r{N}.json the same round already wrote.
+    bench_files = _glob.glob(os.path.join(repo, "BENCH_r*.json"))
+    cur_round = 1 + max(
+        (_round_of(p) for p in _glob.glob(
+            os.path.join(repo, "CORRECTNESS_r*.json"))), default=10**9 - 1)
+    priors = [p for p in bench_files if 0 <= _round_of(p) < cur_round]
+    prior_files = sorted(priors or bench_files, key=_round_of)
     prev_q: dict[str, float] = {}
     if prior_files:
         try:

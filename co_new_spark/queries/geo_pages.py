@@ -350,11 +350,17 @@ def _sql_native_geocode() -> str:
 WITH xy AS (
   -- bounds tested on DOUBLES before any cast, mirroring with_cell_from_xy's
   -- inb guard: an extreme-but-finite projected coordinate must MISMATCH as
-  -- an absent row (Spark yields -1), never crash the oracle's BIGINT cast
+  -- an absent row (Spark yields -1), never crash the oracle's BIGINT cast.
+  -- The guard tests the DERIVED (x-X0)/SIDE — the exact expression Spark's
+  -- fi/fj check uses — so both engines share the same IEEE rounding at the
+  -- cell-matrix edge (raw-x bounds could round across the boundary within
+  -- ~1 ulp and admit a row on one side only)
   SELECT url, x, y FROM read_parquet('{mat_glob("native_geocode_xy")}')
   WHERE isfinite(x) AND isfinite(y)
-    AND x >= {_X0!r} AND x < {_X0 + 4 * _SIDE!r}
-    AND y >= {_Y0!r} AND y < {_Y0 + 5 * _SIDE!r}
+    AND (x - {_X0!r}) / {_SIDE!r} >= 0.0
+    AND (x - {_X0!r}) / {_SIDE!r} < 4.0
+    AND (y - {_Y0!r}) / {_SIDE!r} >= 0.0
+    AND (y - {_Y0!r}) / {_SIDE!r} < 5.0
 ), fr AS (
   SELECT url,
          CAST(floor((x - {_X0!r}) / {_SIDE!r}) AS BIGINT) AS i,

@@ -77,6 +77,10 @@ def materialize(df: DataFrame, name: str, key: str | None = None) -> DataFrame:
         df.write.mode("overwrite").parquet(path)
         if k is not None:
             _MAT_DONE[name] = k
+        else:
+            # a keyless write replaced the bytes for this name — a later
+            # KEYED call must not serve the stale memo entry
+            _MAT_DONE.pop(name, None)
     return df.sparkSession.read.parquet(path)
 
 

@@ -64,8 +64,14 @@ class CityCoverReader(DataSourceReader):
                 line = f.readline()
                 if not line:
                     break
+                if not line.strip():  # blank/trailing newline: no CSV record
+                    continue
                 row = next(csv.reader(io.StringIO(line.decode("utf-8"))))
                 # columns: isolabel_ext,status,base_intlevel,cover,overlay,...
+                if len(row) < 5:
+                    raise ValueError(
+                        f"citycover row with {len(row)} < 5 fields in "
+                        f"{self.path} near byte {part.start}: {row!r}")
                 iso = row[0]
                 for kind, col in (("cover", 3), ("overlay", 4)):
                     for code in (row[col] or "").split():
