@@ -60,26 +60,16 @@ def cover_best_with_cell(points: DataFrame, cover: DataFrame,
     shape as cover_lookup_best, but carries WHICH cover cell won — the
     prefix the short-code suffix is computed against (A23).
     """
-    spark = points.sparkSession
-    cov = cover.filter(F.col("kind") == "cover") if "kind" in cover.columns else cover
-    dim_pdf = (cov.groupBy("cell", "depth")
-               .agg(F.min("isolabel_ext").alias("__iso")).toPandas())
-    depths = sorted((int(d) for d in dim_pdf["depth"].unique()), reverse=True)
-    if not depths:
+    joined = _per_depth_left_joins(points, cover, cell_col,
+                                   keep_anchor=True, descending=True)
+    if joined is None:
         return (points.withColumn("isolabel_ext", F.lit(None).cast("string"))
                 .withColumn("cover_cell", F.lit(None).cast("long")).limit(0))
-    out = points
-    structs = []
-    for d in depths:
-        pdf_d = dim_pdf[dim_pdf.depth == d][["cell", "__iso"]].rename(
-            columns={"cell": f"__a{d}", "__iso": f"__i{d}"})
-        out = (out.withColumn(f"__a{d}",
-                              cells_sql.cell_ancestor_at(F.col(cell_col), d))
-               .join(F.broadcast(spark.createDataFrame(pdf_d)), f"__a{d}", "left"))
-        structs.append(F.when(
-            F.col(f"__i{d}").isNotNull(),
-            F.struct(F.col(f"__i{d}").alias("iso"),
-                     F.col(f"__a{d}").alias("cc"))))
+    out, _iso_cols, depths = joined
+    structs = [F.when(
+        F.col(f"__i{d}").isNotNull(),
+        F.struct(F.col(f"__i{d}").alias("iso"),
+                 F.col(f"__a{d}").alias("cc"))) for d in depths]
     best = F.coalesce(*structs) if len(structs) > 1 else structs[0]
     return (out.withColumn("__best", best)
             .filter(F.col("__best").isNotNull())
@@ -89,18 +79,26 @@ def cover_best_with_cell(points: DataFrame, cover: DataFrame,
 
 
 def _per_depth_left_joins(points: DataFrame, cover: DataFrame,
-                          cell_col: str = "cell"):
-    """Shared plan core: one broadcast LEFT join per distinct cover depth
-    against a per-cell pre-minimized dim (min isolabel per cover cell —
-    driver-tiny).  Returns (df, per-depth iso Columns, depths), or None for
-    an empty cover dim.  ZERO shuffle of the fact table."""
+                          cell_col: str = "cell", keep_anchor: bool = False,
+                          descending: bool = False):
+    """Shared plan core (the ONLY builder of the per-depth min-iso dim):
+    one broadcast LEFT join per distinct cover depth against a per-cell
+    pre-minimized dim (min isolabel per cover cell — driver-tiny).
+    Returns (df, per-depth iso Columns, depths in join order), or None for
+    an empty cover dim.  ZERO shuffle of the fact table.
+
+    ``keep_anchor`` keeps the per-depth ancestor column ``__a{d}`` (callers
+    that need WHICH cover cell won, e.g. cover_best_with_cell); otherwise
+    it is dropped after each join.  ``descending`` joins deepest-first (the
+    coalesce order for deepest-match semantics)."""
     spark = points.sparkSession
     cov = cover.filter(F.col("kind") == "cover") if "kind" in cover.columns else cover
     # ONE driver-side job builds the minimized dim; per-depth slices become
     # local relations, so the N broadcast exchanges cost no extra Spark jobs.
     dim_pdf = (cov.groupBy("cell", "depth")
                .agg(F.min("isolabel_ext").alias("__iso")).toPandas())
-    depths = sorted(int(d) for d in dim_pdf["depth"].unique())
+    depths = sorted((int(d) for d in dim_pdf["depth"].unique()),
+                    reverse=descending)
     if not depths:
         return None
     out = points
@@ -110,8 +108,9 @@ def _per_depth_left_joins(points: DataFrame, cover: DataFrame,
             columns={"cell": f"__a{d}", "__iso": f"__i{d}"})
         dim_d = spark.createDataFrame(pdf_d)
         out = (out.withColumn(f"__a{d}", cells_sql.cell_ancestor_at(F.col(cell_col), d))
-               .join(F.broadcast(dim_d), f"__a{d}", "left")
-               .drop(f"__a{d}"))
+               .join(F.broadcast(dim_d), f"__a{d}", "left"))
+        if not keep_anchor:
+            out = out.drop(f"__a{d}")
         iso_cols.append(F.col(f"__i{d}"))
     return out, iso_cols, depths
 
