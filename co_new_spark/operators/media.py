@@ -5,12 +5,15 @@ via Arrow-batched ``mapInPandas`` so each executor core streams record
 batches through Python once — the pattern a 100 TB multimodal pipeline needs
 (decode / feature-extract / frame-sample per batch, never per row).
 
-The actual codec step is STUBBED (this environment ships no image/audio
-libraries): ``decode_image`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it derives stable pseudo-features
-from the payload bytes (sha256-seeded), so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is real and fully tested while the
-codec is swappable.
+Codec status (round-4 verdict ask #4): UNCOMPRESSED containers decode for
+real, in pure numpy — BMP (24/32-bit BI_RGB, top-down and bottom-up) and
+binary PGM/PPM (P5/P6) — yielding true width/height/channels and an 8x8
+block-mean average-hash over the actual pixels.  Compressed formats
+(PNG/JPEG/GIF) still STUB: ``decode_image`` raises ``NotImplementedError``
+unless ``deterministic_fake=True``, in which case it derives stable
+pseudo-features from the payload bytes (sha256-seeded), so the Spark-side
+plumbing — schema, batching, partitioning, UDF signatures — stays real and
+fully tested while those codecs remain swappable.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from pyspark.sql.types import (
 _MAGIC = [
     (b"\x89PNG", "png"), (b"\xff\xd8\xff", "jpeg"), (b"GIF8", "gif"),
     (b"RIFF", "riff"), (b"<html", "html"), (b"<!doc", "html"),
+    (b"BM", "bmp"), (b"P5", "pgm"), (b"P6", "ppm"),
 ]
 
 
@@ -40,17 +44,133 @@ def sniff_format(payload: bytes) -> str:
     return "unknown"
 
 
-def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
-    """Stub decode: real codec not available in this environment.
+# --------------------------------------------------------------------------
+# Real decoders for uncompressed containers (pure numpy, no external libs)
+# --------------------------------------------------------------------------
 
-    With ``deterministic_fake`` the 'decoded' features are a pure function of
-    the payload bytes (stable across runs/partitionings), which is what the
-    pipeline tests and the dedup contract need.
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Windows BMP -> (H, W, C) uint8 RGB(A).  24/32-bit BI_RGB only
+    (uncompressed); bottom-up (positive height) and top-down rows; 4-byte
+    row stride padding honored.  Format reference: the public BITMAPFILEHEADER
+    / BITMAPINFOHEADER layout."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    hgt = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP decodes natively "
+            f"(bpp={bpp}, compression={comp})")
+    if w <= 0 or hgt == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{hgt}")
+    top_down, h = hgt < 0, abs(hgt)
+    nch = bpp // 8
+    stride = ((w * nch + 3) // 4) * 4
+    px = payload[data_off:data_off + stride * h]
+    if len(px) < stride * h:
+        raise ValueError("truncated BMP pixel array")
+    arr = (np.frombuffer(px, dtype=np.uint8)
+           .reshape(h, stride)[:, : w * nch].reshape(h, w, nch))
+    if not top_down:
+        arr = arr[::-1]
+    order = [2, 1, 0] + ([3] if nch == 4 else [])  # BGR(A) -> RGB(A)
+    return np.ascontiguousarray(arr[..., order])
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 RGB, maxval <= 255) -> (H, W[, 3]) uint8."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    # header = magic + 3 ints (width height maxval), '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    nch = 3 if payload[:2] == b"P6" else 1
+    need = w * h * nch
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    arr = raster.reshape(h, w, nch)
+    return np.ascontiguousarray(arr[..., 0] if nch == 1 else arr)
+
+
+def average_hash(gray: np.ndarray) -> int:
+    """64-bit average hash: 8x8 exact block means (integral image) of the
+    grayscale plane, bit = block mean > global mean of the 64 means.  Pure
+    numpy; any H, W >= 1 (degenerate blocks contribute 0)."""
+    g = gray.astype(np.float64)
+    h, w = g.shape
+    bi = (np.arange(9) * h) // 8
+    bj = (np.arange(9) * w) // 8
+    c = np.zeros((h + 1, w + 1))
+    np.cumsum(np.cumsum(g, 0), 1, out=c[1:, 1:])
+    blocks = (c[bi[1:], :][:, bj[1:]] - c[bi[:-1], :][:, bj[1:]]
+              - c[bi[1:], :][:, bj[:-1]] + c[bi[:-1], :][:, bj[:-1]])
+    areas = (bi[1:] - bi[:-1])[:, None] * (bj[1:] - bj[:-1])[None, :]
+    means = blocks / np.maximum(areas, 1)
+    val = 0
+    for bit in (means > means.mean()).ravel():
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _grayscale(px: np.ndarray) -> np.ndarray:
+    if px.ndim == 2:
+        return px
+    # Rec.601 luma over the RGB planes (alpha ignored)
+    return (px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114)
+
+
+_REAL_DECODERS = {"bmp": decode_bmp, "pgm": decode_pnm, "ppm": decode_pnm}
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
+    """Decode a payload to typed image features.
+
+    Uncompressed containers (BMP, binary PGM/PPM) decode FOR REAL — true
+    dimensions and an average-hash over the actual pixels.  Compressed
+    formats have no codec library in this environment: they raise
+    ``NotImplementedError`` unless ``deterministic_fake=True``, which
+    derives stable pseudo-features from the payload bytes (sha256-seeded) —
+    a pure function of the payload, which is what the pipeline tests and
+    the dedup contract need.
     """
+    fmt = sniff_format(payload)
+    decoder = _REAL_DECODERS.get(fmt)
+    if decoder is not None:
+        try:
+            px = decoder(payload)
+        except (ValueError, NotImplementedError):
+            # sniff false-positive (text starting "BM…"), truncated bytes,
+            # or an unsupported variant (compressed/16-bit): same contract
+            # as a compressed format — fake features or a loud error
+            if not deterministic_fake:
+                raise
+        else:
+            return {
+                "width": int(px.shape[1]),
+                "height": int(px.shape[0]),
+                "n_channels": 1 if px.ndim == 2 else int(px.shape[2]),
+                "phash": average_hash(_grayscale(px)),
+            }
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires a codec library not present in this "
-            "environment; pass deterministic_fake=True for the test double")
+            "compressed-image decode requires a codec library not present "
+            "in this environment; pass deterministic_fake=True for the "
+            "test double")
     h = hashlib.sha256(payload or b"").digest()
     return {
         "width": 64 + h[0] * 8,
@@ -58,6 +178,28 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
         "n_channels": 1 + (h[2] % 4),
         "phash": int.from_bytes(h[3:11], "big", signed=True),
     }
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes.  The test
+    fixture generator for the real decode path (and a usable sink)."""
+    h, w, nch = px.shape
+    assert nch == 3 and px.dtype == np.uint8
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    raster = rows.tobytes()
+    off, size = 54, 54 + len(raster)
+    header = (b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+              + off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+              + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
+    return header + raster
 
 
 MEDIA_META_SCHEMA = StructType([

@@ -147,3 +147,80 @@ def test_dsir_weights_prefer_target_lang(spark):
     sel = j.filter("selected").groupBy(F.col("lang") == _DSIR_TARGET).count()
     got = {r[0]: r["count"] for r in sel.collect()}
     assert got.get(True, 0) > got.get(False, 0), got
+
+
+# --- real uncompressed-codec path (round-4 verdict ask #4) -----------------
+
+def _rng_img(h, w, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    for h, w in [(8, 8), (5, 7), (1, 1), (13, 3)]:  # odd widths hit stride pad
+        px = _rng_img(h, w, h * 100 + w)
+        out = media.decode_bmp(media.encode_bmp(px))
+        assert out.shape == (h, w, 3)
+        assert (out == px).all()
+
+
+def test_bmp_topdown_and_32bit():
+    px = _rng_img(4, 6, 7)
+    b = bytearray(media.encode_bmp(px))
+    # flip to top-down: negate height, reverse raster rows
+    b[22:26] = (-4).to_bytes(4, "little", signed=True)
+    stride = ((6 * 3 + 3) // 4) * 4
+    rows = [bytes(b[54 + i * stride:54 + (i + 1) * stride]) for i in range(4)]
+    td = bytes(b[:54]) + b"".join(reversed(rows))
+    assert (media.decode_bmp(td) == px).all()
+    with pytest.raises(NotImplementedError):
+        comp = bytearray(media.encode_bmp(px))
+        comp[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+        media.decode_bmp(bytes(comp))
+
+
+def test_pnm_decode():
+    px = _rng_img(9, 4, 3)
+    ppm = b"P6\n# comment\n4 9\n255\n" + px.tobytes()
+    assert (media.decode_pnm(ppm) == px).all()
+    gray = px[..., 0]
+    pgm = b"P5 4 9 255\n" + gray.tobytes()
+    assert (media.decode_pnm(pgm) == gray).all()
+
+
+def test_decode_image_real_vs_fake_dispatch():
+    px = _rng_img(16, 16, 1)
+    real = media.decode_image(media.encode_bmp(px))  # no fake flag needed
+    assert (real["width"], real["height"], real["n_channels"]) == (16, 16, 3)
+    # average hash is invariant to a constant brightness shift that doesn't
+    # cross the mean threshold ordering but differs for unrelated images
+    other = media.decode_image(media.encode_bmp(_rng_img(16, 16, 2)))
+    assert real["phash"] != other["phash"]
+    # a sniff false-positive ("BM" text) must keep the stub contract
+    assert media.decode_image(b"BMW motorrad", deterministic_fake=True)
+    with pytest.raises(ValueError):
+        media.decode_image(b"BMW motorrad")
+
+
+def test_average_hash_similarity_ordering():
+    base = _rng_img(32, 32, 5).astype(np.int16)
+    noisy = np.clip(base + np.random.default_rng(6).integers(-8, 9, base.shape),
+                    0, 255).astype(np.uint8)
+    h0 = media.average_hash(media._grayscale(base.astype(np.uint8)))
+    h1 = media.average_hash(media._grayscale(noisy))
+    h2 = media.average_hash(media._grayscale(_rng_img(32, 32, 9)))
+    d = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert d(h0, h1) < d(h0, h2)  # near-dup closer than unrelated
+
+
+def test_media_meta_real_bmp_payloads(spark):
+    rows = [(f"img://{i}", bytes(media.encode_bmp(_rng_img(8 + i, 8, i))))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = media.media_meta(df).orderBy("url").toPandas()
+    assert (out["format"] == "bmp").all()
+    assert list(out["height"]) == [8 + i for i in range(6)]
+    assert (out["width"] == 8).all() and (out["n_channels"] == 3).all()
+    # phash must be the REAL pixel hash, not the sha-seeded fake
+    exp = media.average_hash(media._grayscale(_rng_img(8, 8, 0)))
+    assert out.loc[0, "phash"] == exp
