@@ -32,6 +32,39 @@ from pyspark.sql import functions as F
 LEDGER_SCHEMA = "bucket BIGINT, n_rows BIGINT, run_wall_s DOUBLE, run_id STRING, finished_at TIMESTAMP"
 
 
+# INVARIANT: the ledger is keyed on a BOUNDED-cardinality bucket column —
+# a partition-unit key (L0 cell digit: <= 20; 4^k cell prefix: 4^k;
+# pmod(hash(url), N): N), never a data-carrying column like url or cell.
+# Every commit collects the distinct bucket list to the driver (the resume
+# anti-join and the per-bucket metrics need it), so an unbounded key would
+# turn the driver into the bottleneck and the ledger into a second fact
+# table.  _distinct_buckets enforces the bound; raise the cap consciously
+# if a legitimate layout needs more partitions.
+MAX_LEDGER_BUCKETS = 65536
+
+
+def _distinct_buckets(df: DataFrame, bucket_col: str, op: str) -> list:
+    """The ONLY reader of a commit's distinct-bucket list.  Guards the two
+    failure modes a future caller could introduce: NULL buckets (silently
+    dropped by the later isin filters) and unbounded bucket cardinality
+    (driver-side collect of a fact-sized key).  The limit(+1) bounds what
+    the driver materializes even when the column IS unbounded."""
+    rows = (df.select(bucket_col).distinct()
+            .limit(MAX_LEDGER_BUCKETS + 1).collect())
+    if len(rows) > MAX_LEDGER_BUCKETS:
+        raise ValueError(
+            f"{op}: {bucket_col!r} has > {MAX_LEDGER_BUCKETS} distinct "
+            "values — the ledger must be keyed on a bounded partition-unit "
+            "column (cell prefix, hash-mod bucket), not a data column; "
+            "re-bucket upstream or raise lineage.MAX_LEDGER_BUCKETS")
+    buckets = [r[0] for r in rows]
+    if any(b is None for b in buckets):
+        raise ValueError(
+            f"{op}: {bucket_col!r} contains NULL — refusing to silently "
+            "drop rows; clean or re-bucket upstream")
+    return buckets
+
+
 def _ledger_path(base: str) -> str:
     return os.path.join(base, "_ledger")
 
@@ -72,11 +105,7 @@ def resumable_write(df: DataFrame, base: str, bucket_col: str = "bucket",
     done = completed_buckets(spark, base)
     # distinct buckets BEFORE any done-filter: a NULL bucket must fail loud
     # here — `~isin(done)` would evaluate NULL and silently drop those rows
-    all_buckets = [r[0] for r in df.select(bucket_col).distinct().collect()]
-    if any(b is None for b in all_buckets):
-        raise ValueError(
-            f"resumable_write: {bucket_col!r} contains NULL — refusing to "
-            "silently drop rows; clean or re-bucket upstream")
+    all_buckets = _distinct_buckets(df, bucket_col, "resumable_write")
     pending = sorted(b for b in all_buckets if b not in done)
     if max_buckets is not None:
         pending = pending[:max_buckets]
@@ -198,9 +227,7 @@ def upsert_latest(new_df: DataFrame, base: str, key: str, ts_col: str,
     """
     spark = new_df.sparkSession
     new_df = new_df.localCheckpoint(eager=True)
-    buckets = [r[0] for r in new_df.select(bucket_col).distinct().collect()]
-    if any(b is None for b in buckets):
-        raise ValueError(f"upsert_latest: {bucket_col!r} contains NULL")
+    buckets = _distinct_buckets(new_df, bucket_col, "upsert_latest")
     if not buckets:
         return {"written": [], "n_rows": 0, "run_id": None}
     from pyspark.sql import Window

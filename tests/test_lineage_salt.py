@@ -1,5 +1,6 @@
 """Tests: resumable ledgered writes (crash/resume) + salted aggregation parity."""
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -292,3 +293,23 @@ def test_cluster_files_narrows_rowgroup_stats(spark, tmp_path):
     # a ~10%-selectivity probe must now skip at least half the row groups
     assert hit_a <= total_a // 2
     assert hit_a < hit_b
+
+
+def test_ledger_rejects_unbounded_bucket_column(spark, tmp_path, monkeypatch):
+    """Round-4 verdict ask #7: the ledger must refuse a bucket column whose
+    cardinality exceeds the bound — keying commits on a data column (url,
+    cell id) would collect a fact-sized list to the driver every commit."""
+    monkeypatch.setattr(lineage, "MAX_LEDGER_BUCKETS", 10)
+    df = spark.range(200).select(
+        F.col("id").alias("bucket"), (F.col("id") * 2).alias("v"))
+    with pytest.raises(ValueError, match="distinct"):
+        lineage.resumable_write(df, str(tmp_path / "unbounded"))
+    with pytest.raises(ValueError, match="distinct"):
+        lineage.upsert_latest(
+            df.withColumn("ts", F.current_timestamp()),
+            str(tmp_path / "unbounded2"), key="v", ts_col="ts")
+    # a bounded column at the same row count commits fine
+    ok = spark.range(200).select(
+        F.pmod(F.col("id"), F.lit(8)).alias("bucket"), F.col("id").alias("v"))
+    res = lineage.resumable_write(ok, str(tmp_path / "bounded"))
+    assert len(res["written"]) == 8 and res["n_rows"] == 200
