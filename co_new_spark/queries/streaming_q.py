@@ -19,6 +19,27 @@ from ..sources.tables import load
 from ..streaming import pipeline as sp
 
 
+def _append_mtime_ordered(src: str, batch_dfs) -> None:
+    """Write each batch DataFrame as one parquet file under ``src`` with a
+    STAMPED strictly-increasing mtime (os.utime), so a file stream with
+    ``maxFilesPerTrigger=1`` replays the batches in order.  The file source
+    orders by modification time; stamping replaces the former wall-clock
+    sleeps between writes (round-4 verdict ask #6: the stream entries'
+    sweep cost was dominated by fixed waits, not work)."""
+    import time as _time
+
+    seen: set[str] = set()
+    t0 = _time.time() - 3600  # strictly past, so nothing looks 'future'
+    for k, b in enumerate(batch_dfs):
+        b.coalesce(1).write.mode("append").parquet(src)
+        for root, _dirs, files in os.walk(src):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if p not in seen:
+                    seen.add(p)
+                    os.utime(p, (t0 + k, t0 + k))
+
+
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     # watermarks require TIMESTAMP (with tz); parquet carries TIMESTAMP_NTZ.
     # Session tz is UTC (plans.session), so the cast is value-preserving.
@@ -180,7 +201,6 @@ def s_late_data(spark: SparkSession, sf: str) -> DataFrame:
     with the tighter watermark."""
     import datetime as _dt
     import shutil
-    import time as _time
 
     from .mat import materialize
 
@@ -196,12 +216,11 @@ def s_late_data(spark: SparkSession, sf: str) -> DataFrame:
     ]
     src = os.path.join(tempfile.gettempdir(), "co_stream_late_src")
     shutil.rmtree(src, ignore_errors=True)
+    bdfs = [spark.createDataFrame(rows, "uid long, ts timestamp")
+            for rows in batches]
+    _append_mtime_ordered(src, bdfs)
     tagged = None
-    for k, rows in enumerate(batches, start=1):
-        if k > 1:  # distinct mtimes BETWEEN files (none needed after the last)
-            _time.sleep(1.1)
-        b = spark.createDataFrame(rows, "uid long, ts timestamp")
-        b.coalesce(1).write.mode("append").parquet(src)
+    for k, b in enumerate(bdfs, start=1):
         t = b.withColumn("batch", F.lit(k))
         tagged = t if tagged is None else tagged.unionByName(t)
     materialize(tagged, "late_batches", key=sf)
@@ -251,7 +270,6 @@ def s_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     gates one snapshot per seed/batch."""
     import datetime as _dt
     import shutil
-    import time as _time
 
     from ..plans import lineage
     from .mat import materialize
@@ -273,14 +291,15 @@ def s_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     for d in (src, base, ck):
         shutil.rmtree(d, ignore_errors=True)
     sdf = spark.createDataFrame(seed, "uid long, ts timestamp, val string, b long")
-    lineage.resumable_write(sdf, base, "b")  # the table CDC merges into
+    # coalesce(1): the seed commit writes 4 bucket files instead of
+    # n_partitions x 4 — the committer/readback cost, not the 40 rows,
+    # dominates this entry's wall time at test scale
+    lineage.resumable_write(sdf.coalesce(1), base, "b")  # CDC merge target
+    bdfs = [spark.createDataFrame(rows, "uid long, ts timestamp, val string, b long")
+            for rows in batches]
+    _append_mtime_ordered(src, bdfs)
     tagged = sdf.withColumn("batch", F.lit(0))
-    for i, rows in enumerate(batches, start=1):
-        if i > 1:  # distinct mtimes BETWEEN files (none needed after the last)
-            _time.sleep(1.1)
-        b = spark.createDataFrame(
-            rows, "uid long, ts timestamp, val string, b long")
-        b.coalesce(1).write.mode("append").parquet(src)
+    for i, b in enumerate(bdfs, start=1):
         tagged = tagged.unionByName(b.withColumn("batch", F.lit(i)))
     materialize(tagged, "cdc_updates", key=sf)
 
