@@ -37,8 +37,12 @@ os.environ.setdefault("CO_ND_DOCS", str(1 << 60))
 os.environ.setdefault("CO_CLUSTER_EVENTS", str(1 << 60))
 os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 
+# train_simhash added round 5 (VERDICT ask #3): the guaranteed-recall
+# banding explodes 28 block-pair keys per doc — probe that the candidate
+# join stays sub-linear at 10x like its peers
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
-           "train_substring_dedup", "train_neardup_scaled"]
+           "train_substring_dedup", "train_neardup_scaled",
+           "train_simhash"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -87,6 +91,7 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3:])  # optional entry-name filter
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app="scale-probe", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
@@ -98,7 +103,8 @@ def main() -> None:
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     n_ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     in_rows = {"train_neardup_components": n_docs, "geo_grid_cluster": n_ev,
-               "train_substring_dedup": n_docs, "train_neardup_scaled": n_docs}
+               "train_substring_dedup": n_docs, "train_neardup_scaled": n_docs,
+               "train_simhash": n_docs}
 
     from co_new_spark.queries import mat
 
@@ -113,6 +119,8 @@ def main() -> None:
         return time.time() - t0
 
     for name in ENTRIES:
+        if only and name not in only:
+            continue
         run(name, sf_dir)                      # untimed warmup (codegen etc.)
         w1 = min(run(name, sf_dir) for _ in range(2))
         wr = run(name, scaled)
