@@ -40,6 +40,8 @@ def sniff_format(payload: bytes) -> str:
     head = (payload or b"")[:8].lower()
     for magic, name in _MAGIC:
         if head[: len(magic)].lower() == magic.lower():
+            if name == "riff" and (payload or b"")[8:12] == b"WAVE":
+                return "wav"
             return name
     return "unknown"
 
@@ -178,6 +180,64 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
         "n_channels": 1 + (h[2] % 4),
         "phash": int.from_bytes(h[3:11], "big", signed=True),
     }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM -> {n_channels, sample_rate, bits, n_frames, samples}.
+
+    Pure-numpy chunk walk (no external libs): validates the RIFF/WAVE
+    container, reads 'fmt ' (PCM only, 8/16-bit), decodes the 'data' chunk
+    to an int16 numpy array of INTERLEAVED samples (8-bit unsigned is
+    centered to signed).  Unknown chunks are skipped by their declared size,
+    as the container requires."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"only PCM WAV decodes natively (format={audio_fmt})")
+            fmt = {
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt["bits"] == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif fmt["bits"] == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128)
+    else:
+        raise NotImplementedError(f"{fmt['bits']}-bit PCM not supported")
+    nch = max(fmt["n_channels"], 1)
+    n_frames = len(samples) // nch
+    return {**fmt, "n_frames": n_frames,
+            "samples": samples[: n_frames * nch]}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int) -> bytes:
+    """Interleaved int16 samples -> 16-bit PCM RIFF/WAVE bytes (the test
+    fixture generator for the real decode path, and a usable sink)."""
+    assert samples.dtype == np.int16
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+           + (n_channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
 
 
 def encode_bmp(px: np.ndarray) -> bytes:

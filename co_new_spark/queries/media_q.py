@@ -1,0 +1,147 @@
+"""Real-codec multimodal entries (round-4 verdict ask #4, extended).
+
+Each entry synthesizes a REAL uncompressed media payload per document
+(deterministic pure function of doc_id), pushes it through the real
+pure-numpy decoder (operators/media.py: RIFF/WAVE PCM, 24-bit BMP), and
+emits features computed FROM THE DECODED SAMPLES/PIXELS.  The DuckDB oracle
+re-derives the same features arithmetically from doc_id — it never sees the
+payload — so the two engines agree only if encode -> container bytes ->
+decode is lossless and correctly ordered:
+
+* mm_wav_decode: a byte-order, header-offset, or chunk-walk bug changes
+  n_frames/sumsq;
+* mm_bmp_decode: a BGR<->RGB mixup changes corner_red, a bottom-up row-flip
+  bug changes it too (the pixel function depends on y), and stride-padding
+  mistakes change pix_sum.
+
+Scale shape: one projection of doc_id into mapInPandas (Arrow batches,
+partition-parallel, no shuffle until the driver's comparison sort); the
+synthesize step stands in for reading a binary column off the fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import media
+from ..sources.tables import load
+
+# WAV synthesis parameters (shared constants between engine and oracle —
+# the FEATURES are computed independently on each side)
+_WAV_MOD = 2001
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    return (1 + doc_id % 2,            # n_channels
+            8000 + 1000 * (doc_id % 3),  # sample_rate
+            64 + doc_id % 64)          # n_frames
+
+
+def t_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc audio features from a REAL WAV decode of synthesized PCM."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nch, rate, nf = _wav_params(did)
+                i = np.arange(nch * nf, dtype=np.int64)
+                flat = ((did * 31 + i * 7) % _WAV_MOD - 1000).astype(np.int16)
+                payload = media.encode_wav(flat, rate, nch)
+                m = media.decode_wav(payload)  # features from DECODED bytes
+                s = m["samples"].astype(np.int64)
+                rows.append((did, m["n_channels"], m["sample_rate"],
+                             m["n_frames"],
+                             m["n_frames"] * 1_000_000 // m["sample_rate"],
+                             int((s * s).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_channels", "sample_rate", "n_frames",
+                "duration_us", "sumsq"])
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = ("doc_id long, n_channels long, sample_rate long, "
+              "n_frames long, duration_us long, sumsq long")
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+SQL_WAV_DECODE = f"""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 2 AS nch,
+         8000 + 1000 * (doc_id % 3) AS rate,
+         64 + doc_id % 64 AS n_frames
+  FROM documents
+),
+s AS (SELECT i FROM generate_series(0, 253) AS t(i)),
+x AS (
+  SELECT p.doc_id, p.nch, p.rate, p.n_frames,
+         (p.doc_id * 31 + s.i * 7) % {_WAV_MOD} - 1000 AS v
+  FROM p JOIN s ON s.i < p.nch * p.n_frames
+)
+SELECT doc_id, CAST(nch AS BIGINT) AS n_channels,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1000000 // rate AS BIGINT) AS duration_us,
+       CAST(sum(v * v) AS BIGINT) AS sumsq
+FROM x GROUP BY doc_id, nch, rate, n_frames ORDER BY doc_id
+"""
+
+
+def t_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc image features from a REAL BMP decode of synthesized pixels.
+
+    corner_red = decoded[0, 0, red]: catches BGR<->RGB channel mixups AND
+    bottom-up/top-down row-flip bugs (the pixel value depends on y)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                ys, xs = np.mgrid[0:h, 0:w]
+                r = (did * 7 + ys * 13 + xs * 3) % 256
+                px = np.stack([r, (r + 11) % 256, (r + 5) % 256],
+                              axis=-1).astype(np.uint8)
+                dec = media.decode_bmp(media.encode_bmp(px))
+                rows.append((did, dec.shape[1], dec.shape[0], dec.shape[2],
+                             int(dec.astype(np.int64).sum()),
+                             int(dec[0, 0, 0])))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_channels", "pix_sum",
+                "corner_red"])
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = ("doc_id long, width long, height long, n_channels long, "
+              "pix_sum long, corner_red long")
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+SQL_BMP_DECODE = """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+g AS (SELECT x, y FROM generate_series(0, 8) AS gx(x),
+                       generate_series(0, 6) AS gy(y)),
+px AS (
+  SELECT p.doc_id, p.w, p.h,
+         (p.doc_id * 7 + g.y * 13 + g.x * 3) % 256 AS r
+  FROM p JOIN g ON g.x < p.w AND g.y < p.h
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(sum(r + (r + 11) % 256 + (r + 5) % 256) AS BIGINT) AS pix_sum,
+       CAST(doc_id * 7 % 256 AS BIGINT) AS corner_red
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "mm_wav_decode": (t_wav_decode, SQL_WAV_DECODE),
+    "mm_bmp_decode": (t_bmp_decode, SQL_BMP_DECODE),
+}

@@ -224,3 +224,35 @@ def test_media_meta_real_bmp_payloads(spark):
     # phash must be the REAL pixel hash, not the sha-seeded fake
     exp = media.average_hash(media._grayscale(_rng_img(8, 8, 0)))
     assert out.loc[0, "phash"] == exp
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    for nch, rate, nf in [(1, 8000, 100), (2, 44100, 64), (1, 16000, 1)]:
+        flat = rng.integers(-32768, 32768, size=nch * nf).astype(np.int16)
+        m = media.decode_wav(media.encode_wav(flat, rate, nch))
+        assert (m["n_channels"], m["sample_rate"], m["bits"], m["n_frames"]) \
+            == (nch, rate, 16, nf)
+        assert (m["samples"] == flat).all()
+
+
+def test_wav_decode_contracts():
+    assert media.sniff_format(media.encode_wav(
+        np.zeros(4, dtype=np.int16), 8000, 1)) == "wav"
+    with pytest.raises(ValueError):
+        media.decode_wav(b"RIFFxxxxJUNK")
+    # 8-bit unsigned PCM decodes centered
+    payload = bytearray(media.encode_wav(np.zeros(0, dtype=np.int16), 8000, 1))
+    fmt_off = payload.index(b"fmt ") + 8
+    payload[fmt_off + 14:fmt_off + 16] = (8).to_bytes(2, "little")
+    data_off = payload.index(b"data")
+    payload[data_off + 4:data_off + 8] = (3).to_bytes(4, "little")
+    payload += bytes([0, 128, 255])
+    m = media.decode_wav(bytes(payload))
+    assert list(m["samples"]) == [-128, 0, 127]
+    # non-PCM format refuses loudly
+    bad = bytearray(media.encode_wav(np.zeros(2, dtype=np.int16), 8000, 1))
+    off = bad.index(b"fmt ") + 8
+    bad[off:off + 2] = (3).to_bytes(2, "little")  # IEEE float
+    with pytest.raises(NotImplementedError):
+        media.decode_wav(bytes(bad))
