@@ -139,7 +139,8 @@ def run() -> dict:
 
     MAT_OWNERS = {"train_minhash_lsh": ["minhash_bands"],
                   "train_simhash": ["simhash_sigs"],
-                  "train_dsir_weights": ["dsir_pairs", "dsir_scores"]}
+                  "train_dsir_weights": ["dsir_pairs", "dsir_scores",
+                                         "dsir_weights"]}
 
     def time_entry(name: str) -> float:
         fn, _sql = REGISTRY[name]
@@ -177,11 +178,36 @@ def run() -> dict:
             os.path.join(repo, "CORRECTNESS_r*.json"))), default=10**9 - 1)
     priors = [p for p in bench_files if 0 <= _round_of(p) < cur_round]
     prior_files = sorted(priors or bench_files, key=_round_of)
+
+    def _prev_queries(path: str) -> dict[str, float]:
+        """Per-entry timings from a driver BENCH file.  The driver stores
+        only the LAST 2000 chars of bench output as "tail" and sets
+        "parsed" to null when that window clips the head of the JSON line
+        (it does from ~50 suite entries on) — so fall back to brace-parsing
+        the "queries" object straight out of the tail."""
+        with open(path) as f:
+            obj = json.load(f)
+        q = (obj.get("parsed") or {}).get("queries")
+        if q:
+            return q
+        tail = obj.get("tail", "")
+        at = tail.find('"queries": {')
+        if at < 0:
+            return {}
+        s, depth = tail[at + len('"queries": '):], 0
+        for i, ch in enumerate(s):
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    return json.loads(s[: i + 1])
+        return {}
+
     prev_q: dict[str, float] = {}
     if prior_files:
         try:
-            with open(prior_files[-1]) as f:
-                prev_q = json.load(f).get("parsed", {}).get("queries", {})
+            prev_q = _prev_queries(prior_files[-1])
         except Exception as e:  # a malformed prior file must not kill the bench
             print(f"bench: could not parse {prior_files[-1]}: {e}", file=sys.stderr)
     for name, prev in prev_q.items():
@@ -288,4 +314,13 @@ def run() -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    line = json.dumps(run())
+    # the driver keeps only the LAST 2000 chars of output; persist the full
+    # line repo-side so per-entry timings survive for later rounds' diffs
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local_latest.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"bench: could not persist local copy: {e}", file=sys.stderr)
+    print(line)

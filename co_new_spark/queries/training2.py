@@ -557,11 +557,15 @@ def t_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
          on-target docs; measured: top-100 by raw sum was 76% off-target,
          by mean 100% on-target), selected = doc is in the top K by
          (w_avg desc, doc_id).
-    Scale: the top-K is a distributed ``orderBy().limit(K)``
+    Scale: the per-doc weight table is materialized ONCE (it has two
+    consumers — the top-K probe and the flag join — and Spark does not
+    share common subplans, so without the barrier the pairs-scores join
+    would execute twice; measured 2x entry cost at sf0.1).  The top-K is
+    then a distributed ``orderBy().limit(K)`` over that parquet
     (TakeOrderedAndProject — each task keeps K rows, the driver merges
     n_partitions*K, never a single-partition global sort), and the K
-    winners broadcast back onto the per-doc weight table as a flag join.
-    No Window ever sees the unlimited fact table (plan-gated in
+    winners broadcast back onto the weight table as a flag join.  No
+    Window ever sees the unlimited fact table (plan-gated in
     tests/test_plan_shapes.py::test_dsir_selection_has_no_global_window)."""
     from .mat import materialize
 
@@ -599,6 +603,7 @@ def t_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
                F.sum("score").alias("w_micro")))
     ww = ww.withColumn(
         "w_avg", F.round(F.col("w_micro") / F.col("n_features"), 6))
+    ww = materialize(ww, "dsir_weights", key=sf)
     winners = (ww.orderBy(F.col("w_avg").desc(), F.col("doc_id"))
                  .limit(_DSIR_TOPK)
                  .select("doc_id", F.lit(True).alias("selected")))
