@@ -40,9 +40,13 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # train_simhash added round 5 (VERDICT ask #3): the guaranteed-recall
 # banding explodes 28 block-pair keys per doc — probe that the candidate
 # join stays sub-linear at 10x like its peers
+# train_dsir_weights added round 5 (VERDICT ask #1 follow-through): the
+# rebuilt scale-safe selection (TakeOrderedAndProject + broadcast flag
+# join over a once-materialized weight table) — probe that the whole
+# pairs→scores→weights→top-K chain grows with rows, not rows²
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
-           "train_simhash"]
+           "train_simhash", "train_dsir_weights"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -104,7 +108,7 @@ def main() -> None:
     n_ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     in_rows = {"train_neardup_components": n_docs, "geo_grid_cluster": n_ev,
                "train_substring_dedup": n_docs, "train_neardup_scaled": n_docs,
-               "train_simhash": n_docs}
+               "train_simhash": n_docs, "train_dsir_weights": n_docs}
 
     from co_new_spark.queries import mat
 
