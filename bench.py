@@ -50,6 +50,8 @@ HEADLINE = [
     "stream_stream_join", "train_knn_ivf", "mm_phash_dedup",
     "pipeline_schema_evolution", "train_repetition_filter",
     "train_dsir_weights",
+    # round-5 operator: Bloom-sketch incremental dedup (store never shuffles)
+    "train_dedup_bloom",
 ]
 
 
