@@ -25,7 +25,15 @@ from pyspark.sql import DataFrame
 
 
 def mat_path(name: str) -> str:
-    return os.path.join(tempfile.gettempdir(), "co_oracle_mat", name)
+    # pid-suffixed root: the Spark query and its DuckDB oracle always resolve
+    # the path in ONE process (driver contract, bench, check_oracle), so a
+    # per-process root costs nothing — and two concurrent processes (e.g. a
+    # pytest run next to an oracle sweep) can no longer overwrite each
+    # other's in-flight intermediates (observed: FAILED_READ_FILE mid-scan
+    # when a parallel run rewrote simhash_sigs).  Dirs are small (MBs at
+    # oracle sf) and /tmp-ephemeral; no cleanup pass needed.
+    return os.path.join(tempfile.gettempdir(),
+                        f"co_oracle_mat_{os.getpid()}", name)
 
 
 def mat_glob(name: str) -> str:
