@@ -44,9 +44,12 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # rebuilt scale-safe selection (TakeOrderedAndProject + broadcast flag
 # join over a once-materialized weight table) — probe that the whole
 # pairs→scores→weights→top-K chain grows with rows, not rows²
+# train_dedup_bloom added round 5: the bucket-partitioned Bloom prefilter —
+# probe that growing the store 10x grows only the sketch build + the
+# verified sliver, not any all-rows join
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
-           "train_simhash", "train_dsir_weights"]
+           "train_simhash", "train_dsir_weights", "train_dedup_bloom"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -108,7 +111,8 @@ def main() -> None:
     n_ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     in_rows = {"train_neardup_components": n_docs, "geo_grid_cluster": n_ev,
                "train_substring_dedup": n_docs, "train_neardup_scaled": n_docs,
-               "train_simhash": n_docs, "train_dsir_weights": n_docs}
+               "train_simhash": n_docs, "train_dsir_weights": n_docs,
+               "train_dedup_bloom": n_docs}
 
     from co_new_spark.queries import mat
 
