@@ -15,11 +15,15 @@ Plan, and where every byte moves:
    the driver.
 2. batch rows cogroup with their bucket's bloom: rows the filter rejects
    are PROVABLY new (no false negatives) and skip verification entirely.
-3. only the "maybe" sliver (true dups + ~1% FPR) is verified exactly —
-   and the store side of that verification NEVER shuffles: the candidate
-   fingerprints (small by construction) broadcast into a left-semi scan
-   of the store, and the matched set broadcasts back into a left-anti
-   over the candidates.  Two broadcast joins, zero store exchange.
+3. only the "maybe" sliver (true dups + ~1% FPR) is verified exactly.
+   In the expected regime (mostly-novel batches) the sliver is tiny, AQE
+   broadcasts it at runtime, and the store side of the verification never
+   shuffles: a left-semi scan of the store driven by the candidate
+   fingerprints, then the matched set back into a left-anti over the
+   candidates.  The broadcast is AQE-sized, not hinted — the sliver grows
+   with the batch's dup ratio, which is unbounded in principle, so an
+   all-duplicate batch degrades to one bounded pruned-column shuffle
+   instead of a forced batch-sized broadcast.
 4. within-batch dedup is the standard per-fingerprint window, running on
    batch-sized data only.
 
@@ -57,13 +61,19 @@ def t_dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
     definite_new = flagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
     candidates = flagged.filter(F.col("bloom_maybe")).drop("bloom_maybe")
 
-    # exact verification WITHOUT a store shuffle: candidates are small
-    # (true dups + FPR of the batch), so they drive two broadcast joins
-    # while the store is only ever scanned map-side
+    # exact verification: in the expected regime the candidate sliver is
+    # small (true dups + ~1% FPR of the batch), so AQE sizes BOTH joins as
+    # broadcasts at runtime and the store is only ever scanned map-side.
+    # Deliberately NO F.broadcast hint: the sliver's size is bounded by the
+    # batch's dup ratio, which an ingest pipeline does not control — a
+    # pathological all-duplicate batch would make a forced broadcast
+    # batch-sized (driver/executor OOM at 100 TB), whereas AQE degrades
+    # that tail to one bounded shuffle of the pruned fp columns and keeps
+    # the common case identical to the hinted plan.
     cand_fps = candidates.select("fp").distinct()
-    dup_fps = (store.join(F.broadcast(cand_fps), "fp", "left_semi")
+    dup_fps = (store.join(cand_fps, "fp", "left_semi")
                     .select("fp").distinct())
-    verified_new = candidates.join(F.broadcast(dup_fps), "fp", "left_anti")
+    verified_new = candidates.join(dup_fps, "fp", "left_anti")
 
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (definite_new.unionByName(verified_new)
