@@ -6,7 +6,11 @@ Aggregated doubles are rounded identically on both sides to absorb
 summation-order differences between Spark partial aggregation and DuckDB.
 
 Plan notes (the 100 TB story):
-* dimension joins are explicit ``broadcast()`` — no shuffle of the fact side;
+* FIXED-cardinality dims (nation, region, date spines) are explicit
+  ``broadcast()`` — no shuffle of the fact side; SF-proportional sides
+  (customer, supplier — billions of rows at 100 TB) are deliberately
+  un-hinted so AQE sizes them: runtime broadcast at bench scale, hash
+  join at scale;
 * top-k uses sort+limit (TakeOrderedAndProject — no global sort);
 * the interval join is expressed as a *prefix equi-join* on the Spark side
   (hash join, shuffle-free vs broadcast dim) while the oracle states the
@@ -59,7 +63,9 @@ def q_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF (billions of rows at 100 TB) — AQE-sized,
+        # not hinted: runtime broadcast at bench scale, hash join at scale
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -85,7 +91,9 @@ def q_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
     region = load(spark, sf, "region")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-proportional — AQE-sized (see q_topk_revenue);
+        # nation/region are FIXED-cardinality dims, hinted
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )

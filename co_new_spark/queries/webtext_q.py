@@ -370,10 +370,11 @@ FROM st3 GROUP BY lang ORDER BY lang
 # Boilerplate template removal (CCNet/RefinedWeb-style): sentences are masked
 # (digit runs -> '#') and a template that appears on >= BOILER_MIN_URLS
 # distinct urls of the SAME host is boilerplate.  At 100 TB: the template
-# count is one map-side-combined aggregate keyed (host, template) — template
-# cardinality is dim-sized even when the corpus isn't — and the filter joins
-# back on the same key (broadcast here; hash join on (host, template) at
-# scale).  No driver-side state.
+# count is one map-side-combined aggregate keyed (host, template), and the
+# filter joins back on the same key — AQE-sized, never hinted: (host,
+# template) cardinality grows with the corpus, so the join is a runtime
+# broadcast at small scale and a hash join on (host, template) at 100 TB.
+# No driver-side state.
 # ---------------------------------------------------------------------------
 
 BOILER_MIN_URLS = 5
@@ -393,7 +394,11 @@ def w_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
           .filter(F.length(F.trim(F.col("s"))) > 0)
           .withColumn("m", F.regexp_replace(F.col("s"), r"\d+", "#")))
     tpl = ex.groupBy("host", "m").agg(F.countDistinct("url").alias("n_urls"))
-    joined = ex.join(F.broadcast(tpl), ["host", "m"])
+    # no broadcast hint: (host, template) cardinality grows with the corpus
+    # (one row per distinct masked sentence), so the join must be AQE-sized —
+    # runtime-broadcast at fixture/bench scale, hash join on (host, m) at
+    # 100 TB, exactly the two plans the module comment names
+    joined = ex.join(tpl, ["host", "m"])
     is_b = F.col("n_urls") >= BOILER_MIN_URLS
     return (joined.groupBy("host").agg(
         F.countDistinct("url").alias("n_pages"),

@@ -243,8 +243,11 @@ def test_stored_pages_filter_pushdown(spark):
 
 
 def test_boilerplate_template_join_is_broadcast(spark):
-    """The template-count join-back must broadcast the dim-sized template
-    aggregate — the exploded sentence fact side is never shuffled for it."""
+    """The template-count join-back is statistics/AQE-sized, not hinted
+    ((host, template) cardinality grows with the corpus, so a forced
+    broadcast would be corpus-sized at 100 TB).  At fixture scale the
+    sizing must still pick a broadcast — the exploded sentence fact side
+    is never shuffled for a small template table."""
     from co_new_spark.queries.webtext_q import w_boilerplate
 
     plan = _plan(w_boilerplate(spark, SF))
