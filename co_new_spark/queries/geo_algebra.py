@@ -52,11 +52,19 @@ def _digit_to_i_case(d: str = "digit") -> str:
 from .sql_grid import morton_ref as _sql_ref  # single-source Morton SQL
 
 
-def _sql_cells_cte(r: int) -> str:
-    """CTE chain computing the depth-(4+r) packed cell per event (SQL spec)."""
+def _sql_cells_cte(r: int, src: str | None = None) -> str:
+    """CTE chain computing the depth-(4+r) packed cell per point (SQL spec).
+
+    ``src``: a SELECT yielding (event_id, x, y); defaults to the shared
+    event-point derivation, so every caller shares ONE copy of the
+    floor/Morton/L0-case arithmetic regardless of where its points come from
+    (events, raster-cell centers, ...).
+    """
     ny, nx = (r + 1) // 2, r // 2
+    if src is None:
+        src = f"SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events"
     return f"""
-pts AS (SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events),
+pts AS ({src}),
 fr AS (
   SELECT event_id, x, y,
          CAST(floor((x - {X0!r}) / {SIDE!r}) AS BIGINT) AS i,

@@ -33,6 +33,7 @@ from ..operators.cover import cover_anti, cover_best_with_cell, cover_lookup_bes
 from ..sources.reference_data import load_citycover, load_synonym, load_synonym_ref
 from .geo_algebra import (SIDE, X0, Y0, _d, _digit_to_i_case, _digit_to_j_case,
                           _sql_cells_cte)
+from .geospatial import _XENG, _YENG
 from .sql_grid import morton_deref_x, morton_deref_y
 
 _PT_R = 26            # refinement bits -> point depth 30 (> max cover depth 22)
@@ -549,8 +550,94 @@ FROM ex GROUP BY isolabel_ext ORDER BY isolabel_ext
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_zonal_stats — raster -> vector zonal statistics (the canonical
+# raster<->vector analysis op): per-cell event raster aggregated into
+# jurisdiction zones by the cell-CENTER rule (the standard GIS rasterization
+# rule), zones resolved through the same per-depth broadcast cover join as
+# A21.  Reference semantics: the jurisdiction covers of
+# /root/reference/data/citycover.csv are the zone layer.
+#
+# Plan shape at 100 TB: the ONLY fact-sized exchange is the raster build —
+# one groupBy (gi, gj) with map-side partial aggregation (a dense hot cell
+# collapses mapper-side).  Everything after operates on the raster (bounded
+# by the occupied-cell count, << points): one Arrow crossing encodes the
+# 16,384 m cell centers at depth 30, the zone lookup is per-depth BROADCAST
+# left joins (zero raster shuffle), and the zonal agg shuffles only
+# (zone, stats) rows.  Values are integer cents so every engine sums exactly.
+# ---------------------------------------------------------------------------
+
+_Z_RBITS = 10                 # 32x32 sub-L0 -> 16,384 m raster cells
+_Z_NS = 1 << (_Z_RBITS // 2)  # 32 per axis
+_Z_S = SIDE / _Z_NS           # 16384.0 m — exact power of two
+
+
+def g_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Zonal statistics of the event-value raster per jurisdiction."""
+    from .geospatial import _event_points
+
+    pts = _event_points(spark, sf, extra=("value",))
+    g = pts.select(
+        F.floor((F.col("x") - X0) / _Z_S).cast("long").alias("gi"),
+        F.floor((F.col("y") - Y0) / _Z_S).cast("long").alias("gj"),
+        F.round(F.col("value") * 100).cast("long").alias("v"))
+    occ = g.groupBy("gi", "gj").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"))
+    ctr = occ.select(
+        "gi", "gj", "n", "sv",
+        (F.lit(X0) + F.col("gi") * _Z_S + _Z_S / 2).alias("cx"),
+        (F.lit(Y0) + F.col("gj") * _Z_S + _Z_S / 2).alias("cy"))
+    rast = (ctr.withColumn("cell",
+                           geo.xy_to_cell_b(F.col("cx"), F.col("cy"), _PT_R))
+               .filter(F.col("cell") >= 0))
+    zoned = cover_lookup_best(rast, load_citycover(spark),
+                              keep=["gi", "gj", "n", "sv"], dedup=False)
+    agg = zoned.groupBy("isolabel_ext").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").alias("n_events"),
+        F.sum("sv").alias("sum_cents"))
+    return (agg.select(
+                "isolabel_ext", "n_cells", "n_events", "sum_cents",
+                F.round(F.col("sum_cents") / 100.0 / F.col("n_events"), 6)
+                 .alias("mean_value"))
+            .orderBy("isolabel_ext"))
+
+
+_Z_SRC = f"""SELECT gi * 1024 + gj AS event_id,
+       {X0!r} + gi * {_Z_S!r} + {_Z_S / 2!r} AS x,
+       {Y0!r} + gj * {_Z_S!r} + {_Z_S / 2!r} AS y FROM occ"""
+
+SQL_ZONAL_STATS = f"""
+WITH raw AS (
+  SELECT {_XENG} AS x, {_YENG} AS y,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), grz AS (
+  SELECT CAST(floor((x - {X0!r}) / {_Z_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {Y0!r}) / {_Z_S!r}) AS BIGINT) AS gj, v
+  FROM raw
+), occ AS (SELECT gi, gj, count(*) AS n, sum(v) AS sv FROM grz GROUP BY 1, 2),
+{_sql_cells_cte(_PT_R, src=_Z_SRC)},
+{_SQL_COV},
+best AS (SELECT event_id, min(isolabel_ext) AS isolabel_ext
+         FROM hits GROUP BY 1),
+z AS (
+  SELECT b.isolabel_ext, o.n, o.sv
+  FROM best b JOIN occ o ON b.event_id = o.gi * 1024 + o.gj
+)
+SELECT isolabel_ext, n_cells, n_events, sum_cents,
+       round(sum_cents / 100.0 / n_events, 6) AS mean_value
+FROM (SELECT isolabel_ext, CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(sv) AS BIGINT) AS sum_cents
+      FROM z GROUP BY 1)
+ORDER BY isolabel_ext
+"""
+
+
 QUERIES = {
     "geo_cover_pyds_scan": (g_cover_pyds_scan, SQL_COVER_PYDS_SCAN),
+    "geo_zonal_stats": (g_zonal_stats, SQL_ZONAL_STATS),
     "geo_cover_lookup_events": (g_cover_lookup_events, SQL_COVER_LOOKUP_EVENTS),
     "geo_cover_suffix_probe": (g_cover_suffix_probe, SQL_COVER_SUFFIX_PROBE),
     "geo_cover_anti": (g_cover_anti, SQL_COVER_ANTI),
