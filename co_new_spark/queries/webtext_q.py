@@ -434,8 +434,78 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-global paragraph-unit dedup with document recomposition (the CCNet
+# dedup stage, Wenzek et al. 2020: hash every paragraph over the WHOLE
+# corpus, keep only the first occurrence, rebuild each document from its
+# surviving units).  Distinct from web_boilerplate (per-host masked-template
+# REMOVAL, no recomposition): here the key is the verbatim unit, the scope is
+# corpus-global, the winner is deterministic (min (url, pos) per hash), and
+# the output is the recomposed document.  The extraction spec joins <p>
+# blocks with spaces, so the dedup unit is the _SENT_SEP sentence — the same
+# unit web_boilerplate masks.
+#
+# Plan shape at 100 TB: three keyed exchanges, all map-side combinable or
+# AQE-sized — (1) winner per hash = one groupBy(h) with min(struct(url,pos))
+# (a corpus stop-sentence collapses mapper-side), (2) occurrences ⋈ winners
+# on h (AQE: runtime broadcast at small scale, hash join at 100 TB — winner
+# cardinality grows with the corpus), (3) per-url recomposition groupBy.
+# No windows over the fact table, no driver-side state.
+# ---------------------------------------------------------------------------
+
+
+def w_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    pg = _fixture(spark)
+    ex = (pg.select("url",
+                    F.posexplode(F.split(F.col("text"), _SENT_SEP))
+                     .alias("pos", "s"))
+          .filter(F.length(F.trim(F.col("s"))) > 0)
+          .withColumn("h", F.md5(F.col("s"))))
+    win = ex.groupBy("h").agg(F.min(F.struct("url", "pos")).alias("w"))
+    # no broadcast hint: distinct-unit cardinality grows with the corpus
+    flagged = (ex.join(win, "h")
+                 .withColumn("kept",
+                             (F.col("url") == F.col("w.url"))
+                             & (F.col("pos") == F.col("w.pos"))))
+    return (flagged.groupBy("url").agg(
+                F.count("*").alias("n_sents"),
+                F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                F.md5(F.array_join(
+                    F.expr("transform(array_sort(collect_list("
+                           "CASE WHEN kept THEN struct(pos, s) END)), "
+                           "x -> x.s)"),
+                    ". ")).alias("kept_md5"))
+            .orderBy("url"))
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH ex AS (
+  SELECT url, i - 1 AS pos, L[i] AS s, md5(L[i]) AS h
+  FROM (SELECT url, regexp_split_to_array(text, '{_SENT_SEP}') AS L
+        FROM read_parquet('{FIXTURE_PAGES}')),
+       unnest(range(1, len(L) + 1)) AS t(i)
+  WHERE length(trim(L[i])) > 0
+), win AS (
+  SELECT h, url AS wurl, pos AS wpos FROM (
+    SELECT h, url, pos,
+           row_number() OVER (PARTITION BY h ORDER BY url, pos) AS rn
+    FROM ex) WHERE rn = 1
+), flagged AS (
+  SELECT e.url, e.pos, e.s,
+         (e.url = w.wurl AND e.pos = w.wpos) AS kept
+  FROM ex e JOIN win w ON e.h = w.h
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN kept THEN s END, '. '
+                               ORDER BY pos), '')) AS kept_md5
+FROM flagged GROUP BY url ORDER BY url
+"""
+
+
 QUERIES = {
     "web_extract_parity": (w_extract_parity, SQL_EXTRACT_PARITY),
+    "web_paragraph_dedup": (w_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "web_host_stats": (w_host_stats, SQL_HOST_STATS),
     "web_host_quota": (w_host_quota, SQL_HOST_QUOTA),
     "web_url_canon": (w_url_canon, SQL_URL_CANON),
