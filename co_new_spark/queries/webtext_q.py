@@ -503,8 +503,190 @@ FROM flagged GROUP BY url ORDER BY url
 """
 
 
+# ---------------------------------------------------------------------------
+# CCNet-style curation FUNNEL as one hash-verified entry (Wenzek et al. 2020
+# pipeline order): latest-snapshot-per-url -> pinned-spec html extraction ->
+# corpus-global unit dedup with document recomposition -> boilerplate-ratio
+# quality gate -> per-host quota.  Output is the per-lang funnel (a count at
+# every stage) plus an order-insensitive corpus fingerprint of the final
+# recomposed documents, so a value change in ANY stage fails the hash.
+#
+# Distinct from train_e2e_pipeline (e2e_q.py), which chains the DOC-level
+# stages (quality score, exact/near dedup, split, packing); this one chains
+# the UNIT-level web stages and measures the funnel itself.
+#
+# The fixture's only verbatim cross-doc duplication is snapshot replay (the
+# latest-window stage removes it), so the unit-dedup stage is exercised by a
+# deterministic in-query enrichment — per-host legal/rights boilerplate
+# sentences gated on the page number (the established w_redact_pii pattern):
+# identical across a host's pages, hence corpus-deduped down to one winner,
+# and the oracle re-derives the enrichment independently.
+#
+# Plan shape at 100 TB, stage by stage: snapshot pick = keyed window over
+# url (bounded by snapshots-per-url, never global); extraction+enrichment =
+# narrow codegen projection; unit dedup = one map-side-combinable
+# groupBy(h).min(struct) + an AQE-sized join back (winner cardinality grows
+# with the corpus — forcing broadcast would OOM); recomposition = keyed
+# groupBy(url); quality gate = narrow integer filter (2*n_kept > n_sents);
+# host quota = keyed window over host (salted two-phase form,
+# operators/salt.py, once a host exceeds a reducer); funnel aggs = per-lang
+# map-side-combined rollups joined on a 3-row key.  The corpus fingerprint
+# is bit_xor over per-doc 60-bit hash prefixes — associative/commutative,
+# so it combines map-side and never needs an ordered concat at scale.
+# ---------------------------------------------------------------------------
+
+_E2E_QUOTA = 3
+_B1 = " Aviso legal y condiciones de uso del sitio "
+_B2 = " Todos los derechos reservados por el portal "
+_HOST_SQL = ("nullif(regexp_extract(url, "
+             "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '')")
+
+
+def _ccnet_enrich(txt, url):
+    """txt + per-host boilerplate sentences gated on the page number.
+    Each sentence ends '. ' so the _SENT_SEP split yields the identical
+    unit string in every position (a trailing-dot final unit would differ
+    per doc and silently defeat the dedup)."""
+    p = F.regexp_extract(url, r"page(\d+)$", 1).cast("int")
+    host = F.parse_url(url, F.lit("HOST"))
+    b1 = F.when(p % 2 == 0, F.concat(F.lit(_B1), host, F.lit(". "))) \
+          .otherwise(F.lit(""))
+    b2 = F.when(p % 3 == 0, F.concat(F.lit(_B2), host, F.lit(". "))) \
+          .otherwise(F.lit(""))
+    return F.concat(txt, b1, b2)
+
+
+def w_ccnet_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    pg = _fixture(spark)
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    latest = (pg.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+    doc = latest.select(
+        "url", "lang",
+        _ccnet_enrich(tx.extract_text(F.col("html")), F.col("url")).alias("t"))
+    ex = (doc.select("url", "lang",
+                     F.posexplode(F.split(F.col("t"), _SENT_SEP))
+                      .alias("pos", "s"))
+             .filter(F.length(F.trim(F.col("s"))) > 0)
+             .withColumn("h", F.md5(F.col("s"))))
+    win = ex.groupBy("h").agg(F.min(F.struct("url", "pos")).alias("w"))
+    # fl keeps EVERY unit row (inner join on h always matches); checkpointed
+    # because four funnel consumers fan out from it
+    fl = (ex.join(win, "h")
+            .withColumn("kept",
+                        (F.col("url") == F.col("w.url"))
+                        & (F.col("pos") == F.col("w.pos")))
+            .select("url", "lang", "pos", "s", "kept")
+            .localCheckpoint(eager=False))
+    per = fl.groupBy("url", "lang").agg(
+        F.count("*").alias("n_sents"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.md5(F.array_join(
+            F.expr("transform(array_sort(collect_list("
+                   "CASE WHEN kept THEN struct(pos, s) END)), "
+                   "x -> x.s)"),
+            ". ")).alias("doc_md5"))
+    qual = per.filter(F.col("n_kept") * 2 > F.col("n_sents"))
+    hw = Window.partitionBy(F.parse_url(F.col("url"), F.lit("HOST"))) \
+               .orderBy(F.md5(F.col("url")), F.col("url"))
+    final = (qual.withColumn("hrn", F.row_number().over(hw))
+                 .filter(F.col("hrn") <= _E2E_QUOTA))
+    fp = F.conv(F.substring("doc_md5", 1, 15), 16, 10).cast("long")
+
+    s0 = pg.groupBy("lang").agg(F.count("*").alias("n_snapshots"))
+    s1 = latest.groupBy("lang").agg(F.count("*").alias("n_urls"))
+    s2 = fl.groupBy("lang").agg(
+        F.count("*").alias("n_units"),
+        F.sum(F.col("kept").cast("long")).alias("n_units_kept"))
+    s4 = qual.groupBy("lang").agg(F.count("*").alias("n_docs_quality"))
+    s5 = final.withColumn("fp", fp).groupBy("lang").agg(
+        F.count("*").alias("n_docs_final"),
+        F.expr("bit_xor(fp)").alias("corpus_fp"))
+    return (s0.join(s1, "lang", "left").join(s2, "lang", "left")
+              .join(s4, "lang", "left").join(s5, "lang", "left")
+              .select("lang", "n_snapshots",
+                      F.coalesce("n_urls", F.lit(0)).alias("n_urls"),
+                      F.coalesce("n_units", F.lit(0)).alias("n_units"),
+                      F.coalesce("n_units_kept", F.lit(0))
+                       .alias("n_units_kept"),
+                      F.coalesce("n_docs_quality", F.lit(0))
+                       .alias("n_docs_quality"),
+                      F.coalesce("n_docs_final", F.lit(0))
+                       .alias("n_docs_final"),
+                      F.coalesce("corpus_fp", F.lit(0)).alias("corpus_fp"))
+              .orderBy("lang"))
+
+
+SQL_CCNET_FUNNEL = f"""
+WITH latest AS (
+  SELECT url, lang, html FROM (
+    SELECT url, lang, html,
+           row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM read_parquet('{FIXTURE_PAGES}')) WHERE rn = 1
+), en AS (
+  SELECT url, lang,
+         {_sql_extract_expr('decode(html)')}
+         || CASE WHEN p % 2 = 0 THEN '{_B1}' || host || '. ' ELSE '' END
+         || CASE WHEN p % 3 = 0 THEN '{_B2}' || host || '. ' ELSE '' END AS t
+  FROM (SELECT url, lang, html,
+               CAST(regexp_extract(url, 'page(\\d+)$', 1) AS INT) AS p,
+               {_HOST_SQL} AS host
+        FROM latest)
+), ex AS (
+  SELECT url, lang, i - 1 AS pos, L[i] AS s, md5(L[i]) AS h
+  FROM (SELECT url, lang, regexp_split_to_array(t, '{_SENT_SEP}') AS L
+        FROM en),
+       unnest(range(1, len(L) + 1)) AS u(i)
+  WHERE length(trim(L[i])) > 0
+), win AS (
+  SELECT h, url AS wurl, pos AS wpos FROM (
+    SELECT h, url, pos,
+           row_number() OVER (PARTITION BY h ORDER BY url, pos) AS rn
+    FROM ex) WHERE rn = 1
+), fl AS (
+  SELECT e.url, e.lang, e.pos, e.s,
+         (e.url = w.wurl AND e.pos = w.wpos) AS kept
+  FROM ex e JOIN win w ON e.h = w.h
+), per AS (
+  SELECT url, lang, count(*) AS n_sents,
+         sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+         md5(coalesce(string_agg(CASE WHEN kept THEN s END, '. '
+                                 ORDER BY pos), '')) AS doc_md5
+  FROM fl GROUP BY 1, 2
+), qual AS (
+  SELECT * FROM per WHERE 2 * n_kept > n_sents
+), final AS (
+  SELECT * FROM (
+    SELECT qual.*, row_number() OVER (
+             PARTITION BY {_HOST_SQL} ORDER BY md5(url), url) AS hrn
+    FROM qual) WHERE hrn <= {_E2E_QUOTA}
+), s0 AS (SELECT lang, count(*) AS n_snapshots
+          FROM read_parquet('{FIXTURE_PAGES}') GROUP BY 1),
+s1 AS (SELECT lang, count(*) AS n_urls FROM latest GROUP BY 1),
+s2 AS (SELECT lang, count(*) AS n_units,
+              sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_units_kept
+       FROM fl GROUP BY 1),
+s4 AS (SELECT lang, count(*) AS n_docs_quality FROM qual GROUP BY 1),
+s5 AS (SELECT lang, count(*) AS n_docs_final,
+              bit_xor(('0x' || substring(doc_md5, 1, 15))::BIGINT)
+                AS corpus_fp
+       FROM final GROUP BY 1)
+SELECT s0.lang, CAST(n_snapshots AS BIGINT) AS n_snapshots,
+       CAST(coalesce(n_urls, 0) AS BIGINT) AS n_urls,
+       CAST(coalesce(n_units, 0) AS BIGINT) AS n_units,
+       CAST(coalesce(n_units_kept, 0) AS BIGINT) AS n_units_kept,
+       CAST(coalesce(n_docs_quality, 0) AS BIGINT) AS n_docs_quality,
+       CAST(coalesce(n_docs_final, 0) AS BIGINT) AS n_docs_final,
+       CAST(coalesce(corpus_fp, 0) AS BIGINT) AS corpus_fp
+FROM s0 LEFT JOIN s1 USING (lang) LEFT JOIN s2 USING (lang)
+        LEFT JOIN s4 USING (lang) LEFT JOIN s5 USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "web_extract_parity": (w_extract_parity, SQL_EXTRACT_PARITY),
+    "web_ccnet_funnel": (w_ccnet_funnel, SQL_CCNET_FUNNEL),
     "web_paragraph_dedup": (w_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "web_host_stats": (w_host_stats, SQL_HOST_STATS),
     "web_host_quota": (w_host_quota, SQL_HOST_QUOTA),
