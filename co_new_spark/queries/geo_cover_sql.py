@@ -635,7 +635,80 @@ ORDER BY isolabel_ext
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_dissolve — attribute dissolve (ST_Union ... GROUP BY, re-expressed on
+# the cell algebra): union every department's municipality covers
+# (/root/reference/data/citycover.csv isolabel_ext 'CO-DEP-City' -> DEP),
+# drop cells contained in a coarser cell of the same department (adjacent
+# municipalities' covers overlap at mixed depths along shared boundaries —
+# measured: 3,858 duplicate cells + 16,344 proper-containment pairs within
+# departments), then quad-compact per department.  The oracle restates the
+# whole chain in DuckDB: CSV grammar decode, NOT-EXISTS ancestor pruning via
+# bit shifts, and (max_depth 22 - min_depth 4) / 2 = 9 unrolled grouped
+# merge levels (Spark's loop fixpoints early; extra levels are idempotent).
+# ---------------------------------------------------------------------------
+
+_DIS_MIN_DEPTH = 4
+_DIS_LEVELS = (22 - _DIS_MIN_DEPTH) // 2  # citycover max cover depth is 22
+
+
+def g_dissolve(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.compact import dissolve_cover
+
+    cc = (load_citycover(spark)
+          .filter(F.col("kind") == "cover")
+          .select(F.split("isolabel_ext", "-")[1].alias("dept"), "cell"))
+    out = dissolve_cover(cc, group_cols=("dept",), min_depth=_DIS_MIN_DEPTH)
+    return (out.select("dept", "cell",
+                       F.col("depth").cast("long").alias("depth"))
+               .orderBy("dept", "cell"))
+
+
+def _sql_dissolve_merge(prev: str) -> str:
+    """One simultaneous per-group quad-merge pass (min_depth 4 -> merge
+    cells of depth >= 6 whose sibling quad is complete)."""
+    return f"""
+  SELECT DISTINCT dept, CASE WHEN mrg THEN par ELSE cell END AS cell FROM (
+    SELECT dept, cell, par,
+           par IS NOT NULL AND count(*) OVER (PARTITION BY dept, par) = 4
+             AS mrg
+    FROM (SELECT dept, cell,
+                 CASE WHEN cell % 64 >= {_DIS_MIN_DEPTH + 2}
+                      THEN ((cell // 64) // 4) * 64 + (cell % 64 - 2) END
+                   AS par
+          FROM {prev}))"""
+
+
+def _sql_dissolve() -> str:
+    lvls, prev = [], "pruned"
+    for i in range(_DIS_LEVELS):
+        lvls.append(f"m{i} AS ({_sql_dissolve_merge(prev)})")
+        prev = f"m{i}"
+    return f"""
+WITH {_sql_csv_decode("cover", "dvd")},
+base AS (
+  SELECT DISTINCT string_split(isolabel_ext, '-')[2] AS dept,
+         cbits * 64 + cdepth AS cell
+  FROM dvd),
+pruned AS (
+  SELECT dept, cell FROM base b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM base a
+    WHERE a.dept = b.dept
+      AND (a.cell % 64) < (b.cell % 64)
+      AND (b.cell // 64) >> CAST((b.cell % 64) - (a.cell % 64) AS INT)
+          = a.cell // 64)),
+{",".join(lvls)}
+SELECT dept, cell, CAST(cell % 64 AS BIGINT) AS depth
+FROM {prev} ORDER BY dept, cell
+"""
+
+
+SQL_DISSOLVE = _sql_dissolve()
+
+
 QUERIES = {
+    "geo_dissolve": (g_dissolve, SQL_DISSOLVE),
     "geo_cover_pyds_scan": (g_cover_pyds_scan, SQL_COVER_PYDS_SCAN),
     "geo_zonal_stats": (g_zonal_stats, SQL_ZONAL_STATS),
     "geo_cover_lookup_events": (g_cover_lookup_events, SQL_COVER_LOOKUP_EVENTS),

@@ -69,6 +69,58 @@ def test_leaf_count_preserved_on_events(spark):
             assert out.count() < n_leaves
 
 
+def _dissolve(spark, rows, min_depth=4):
+    from co_new_spark.operators.compact import dissolve_cover
+
+    df = spark.createDataFrame(rows, "g string, cell long")
+    out = dissolve_cover(df, group_cols=("g",), min_depth=min_depth)
+    return sorted((r["g"], r["cell"]) for r in out.collect())
+
+
+def test_dissolve_unions_dedups_and_merges_across_members(spark):
+    # two members each contribute 2 of a quad's 4 children (plus one shared
+    # duplicate) -> union completes the quad -> parent survives
+    parent = _pack(0b101101, 6)
+    kids = [_pack((0b101101 << 2) | k, 8) for k in range(4)]
+    rows = [("A", kids[0]), ("A", kids[1]), ("A", kids[2]),
+            ("A", kids[2]), ("A", kids[3])]
+    assert _dissolve(spark, rows) == [("A", parent)]
+
+
+def test_dissolve_prunes_contained_descendants(spark):
+    # a coarse cell plus a deeper descendant from a sibling member: the
+    # descendant must vanish (pruned), NOT block or duplicate coverage
+    coarse = _pack(0b101101, 6)
+    desc = _pack((0b101101 << 4) | 0b0110, 10)
+    other = _pack(0b0001, 4)
+    assert _dissolve(spark, [("A", coarse), ("A", desc), ("A", other)]) == \
+        sorted([("A", coarse), ("A", other)])
+
+
+def test_dissolve_groups_independent(spark):
+    # the same complete quad split across two groups must NOT merge
+    kids = [_pack((0b101101 << 2) | k, 8) for k in range(4)]
+    rows = [("A", kids[0]), ("A", kids[1]), ("B", kids[2]), ("B", kids[3])]
+    assert _dissolve(spark, rows) == sorted(
+        [("A", kids[0]), ("A", kids[1]), ("B", kids[2]), ("B", kids[3])])
+
+
+def test_dissolve_output_is_antichain_on_citycover(spark):
+    """geo_dissolve over the real dim: no output cell may contain another
+    of the same department (the union is a partition, not a multi-cover)."""
+    from co_new_spark.functions import cells_sql
+    from co_new_spark.queries.geo_cover_sql import g_dissolve
+
+    out = g_dissolve(spark, SF_DIR).localCheckpoint(eager=True)
+    a = out.select("dept", F.col("cell").alias("ca"))
+    b = out.select("dept", F.col("cell").alias("cb"))
+    viol = (a.join(b, "dept")
+             .filter((F.col("ca") != F.col("cb"))
+                     & cells_sql.cell_contains(F.col("ca"), F.col("cb"))))
+    assert viol.count() == 0
+    assert out.count() > 0
+
+
 def test_dilate_adds_shell_and_keeps_core(spark):
     from co_new_spark.queries.geo_algebra import g_cover_dilate
     from co_new_spark.queries.geospatial import _event_points
