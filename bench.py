@@ -50,8 +50,11 @@ HEADLINE = [
     "stream_stream_join", "train_knn_ivf", "mm_phash_dedup",
     "pipeline_schema_evolution", "train_repetition_filter",
     "train_dsir_weights",
-    # round-5 operator: Bloom-sketch incremental dedup (store never shuffles)
-    "train_dedup_bloom",
+    # round-5 operators: Bloom-sketch incremental dedup (store never
+    # shuffles), raster->vector zonal stats, CCNet curation funnel,
+    # corpus-global paragraph dedup, attribute dissolve
+    "train_dedup_bloom", "geo_zonal_stats", "web_ccnet_funnel",
+    "web_paragraph_dedup", "geo_dissolve",
 ]
 
 

@@ -790,6 +790,48 @@ FROM dil d LEFT JOIN (SELECT DISTINCT cell FROM cc) o ON d.cell = o.cell
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_cover_erode — morphological erosion (dual of geo_cover_dilate): a
+# member cell is INTERIOR iff its full 3x3 king block (self + 8 lattice
+# neighbors at the same depth) is made of members; off-grid slots are
+# background, so grid-edge members always erode.  Members that are not
+# interior are the morphological BOUNDARY (member minus erosion).
+#
+# Scale shape: one narrow 9x explode of the (already distinct) cover emits
+# a vote per in-grid block slot; king adjacency is symmetric and off-grid
+# slots are never members, so votes(c) == count of members in c's block —
+# one map-side-combined count keyed by cell plus one cell-keyed join back.
+# No all-pairs, no window.  The oracle restates it as the abs<=1 self-join
+# over the global (gy, gx) lattice coordinates.
+# ---------------------------------------------------------------------------
+
+
+def g_cover_erode(spark: SparkSession, sf: str) -> DataFrame:
+    pts = _event_points(spark, sf)
+    core = (pts.withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), 4))
+               .filter(F.col("cell") >= 0).select("cell").distinct()
+               .localCheckpoint(eager=True))  # two consumers: votes + join back
+    votes = (core.select(F.explode(ring_cells_udf(1)(F.col("cell"))).alias("nb"))
+                 .groupBy("nb").agg(F.count("*").alias("n")))
+    return (core.join(votes, core["cell"] == votes["nb"])  # self-vote => inner always matches
+                .select("cell", (F.col("n") == 9).alias("is_interior"))
+                .orderBy("cell"))
+
+
+SQL_COVER_ERODE = f"""
+WITH {_sql_cells_cte(4)},
+cc AS (SELECT DISTINCT cell, j * 4 + iy AS gy, i * 4 + ix AS gx
+       FROM cells WHERE cell >= 0),
+er AS (
+  SELECT a.cell, count(*) AS n
+  FROM cc a JOIN cc b
+    ON abs(a.gy - b.gy) <= 1 AND abs(a.gx - b.gx) <= 1
+  GROUP BY 1
+)
+SELECT cell, (n = 9) AS is_interior FROM er ORDER BY cell
+"""
+
+
 _GRIDLIB_ASSERTS = [
     ("geo:3.46103000261,-76.57770034945", "GF1ZDW6NY"),
     ("geo:3.46103208489,-76.57391243547", "GF1ZSNQV7"),
@@ -917,6 +959,7 @@ QUERIES = {
     "geo_children": (g_children, SQL_CHILDREN),
     "geo_neighbors": (g_neighbors, SQL_NEIGHBORS),
     "geo_cover_dilate": (g_cover_dilate, SQL_COVER_DILATE),
+    "geo_cover_erode": (g_cover_erode, SQL_COVER_ERODE),
     "geo_cell_box": (g_cell_box, SQL_CELL_BOX),
     "geo_cell_codec": (g_cell_codec, SQL_CELL_CODEC),
     "geo_grid_generate": (g_grid_generate, SQL_GRID_GENERATE),

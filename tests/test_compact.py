@@ -121,6 +121,31 @@ def test_dissolve_output_is_antichain_on_citycover(spark):
     assert out.count() > 0
 
 
+def test_erode_matches_numpy_king_blocks(spark):
+    """g_cover_erode vs a driver-side numpy restatement: a member is
+    interior iff all 8 in-grid king neighbors are members (off-grid =
+    background).  Run at sf0.01 so BOTH classes occur (sf0.001 is too
+    sparse for any complete 3x3 block — all-boundary there, also checked)."""
+    import numpy as np
+
+    from co_new_spark.grid import cells as ncells
+    from co_new_spark.queries.geo_algebra import g_cover_erode
+
+    for sf_dir, expect_interior in (("/root/testdata/sf0.01", True),
+                                    (SF_DIR, False)):
+        got = {r["cell"]: r["is_interior"]
+               for r in g_cover_erode(spark, sf_dir).collect()}
+        members = np.array(sorted(got), dtype=np.int64)
+        nb = ncells.neighbors_b(members, ring=1)
+        mset = set(members.tolist())
+        for me, row in zip(members.tolist(), nb):
+            ingrid = [int(v) for v in row if v >= 0]
+            want = len(ingrid) == 8 and all(v in mset for v in ingrid)
+            assert got[me] == want, me
+        assert any(got.values()) == expect_interior
+        assert not all(got.values())
+
+
 def test_dilate_adds_shell_and_keeps_core(spark):
     from co_new_spark.queries.geo_algebra import g_cover_dilate
     from co_new_spark.queries.geospatial import _event_points
