@@ -219,7 +219,11 @@ def run() -> dict:
         cur = timings.get(name)
         if cur is None or prev <= 0 or cur <= prev * 1.5:
             continue
-        timings[name] = min(cur, time_entry(name))
+        # tie-breaker trial only for registry entries; the flagship's key is
+        # timed by its own multi-trial block above, so a >1.5x flagship
+        # number is flagged as-is rather than re-run here
+        if name in REGISTRY:
+            timings[name] = min(cur, time_entry(name))
         if timings[name] > prev * 1.5:
             regressions.append({"name": name, "prev_s": prev,
                                 "cur_s": timings[name],

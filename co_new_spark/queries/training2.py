@@ -645,7 +645,67 @@ FROM wa ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# train_quality_calibrate — per-language quantile GATE: keep the top 20% of
+# each language by quality score, with the threshold derived from a BOUNDED
+# score histogram so no sort/window/percentile-buffer ever sees the fact
+# table (the failure mode the registry's window audit bans: at 100 TB a
+# per-lang Window.orderBy is 3 reducers sorting the corpus; a percentile()
+# agg buffers a language's every value on one reducer).
+#
+# Plan: (1) narrow codegen score projection (micro-int, the 6-dp-rounded
+# quality_score is already cross-engine hash-proven); (2) ONE map-side-
+# combined groupBy(lang, q_micro) — output is bounded by lang x 1e6+1
+# distinct scores, CORPUS-INDEPENDENT; (3) threshold = max q_micro whose
+# top-down cumulative count >= k, k = ceil(n/5) in integer arithmetic,
+# computed by a window over the bounded histogram only; (4) the per-lang
+# thresholds broadcast back as a flag join.  Ties AT the threshold are all
+# kept (>= semantics) — deterministic without ranking the tied docs.
+# ---------------------------------------------------------------------------
+
+
+def t_quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    q = docs.select(
+        "doc_id", "lang",
+        F.round(tx.quality_score(F.col("text")) * 1_000_000)
+         .cast("long").alias("q_micro"))
+    hist = q.groupBy("lang", "q_micro").agg(F.count("*").alias("c"))
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    k = tot.select("lang", ((F.col("n") + 4) / 5).cast("long").alias("k"))
+    cum = hist.join(F.broadcast(k), "lang").withColumn(
+        "cum", F.sum("c").over(
+            Window.partitionBy("lang").orderBy(F.col("q_micro").desc())))
+    thr = (cum.filter(F.col("cum") >= F.col("k"))
+              .groupBy("lang").agg(F.max("q_micro").alias("thr")))
+    return (q.join(F.broadcast(thr), "lang")
+             .select("doc_id", "lang", "q_micro",
+                     (F.col("q_micro") >= F.col("thr")).alias("kept"))
+             .orderBy("doc_id"))
+
+
+SQL_QUALITY_CALIBRATE = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(round({sql_quality_expr('text')} * 1000000) AS BIGINT)
+           AS q_micro
+  FROM documents),
+n AS (SELECT lang, count(*) AS n FROM q GROUP BY 1),
+r AS (SELECT lang, q_micro,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY q_micro DESC, doc_id) AS rn
+      FROM q),
+thr AS (
+  SELECT r.lang, r.q_micro AS thr
+  FROM r JOIN n ON r.lang = n.lang AND r.rn = (n.n + 4) // 5)
+SELECT q.doc_id, q.lang, q.q_micro, q.q_micro >= t.thr AS kept
+FROM q JOIN thr t ON q.lang = t.lang
+ORDER BY q.doc_id
+"""
+
+
 QUERIES = {
+    "train_quality_calibrate": (t_quality_calibrate, SQL_QUALITY_CALIBRATE),
     "train_dsir_weights": (t_dsir_weights, _sql_dsir()),
     "mm_embed_knn": (t_mm_embed_knn, _sql_mm_knn()),
     "train_mix_weights": (t_mix_weights, SQL_MIX_WEIGHTS),

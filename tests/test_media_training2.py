@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
+
 from co_new_spark.functions import text as tx
 from co_new_spark.operators import media
 from co_new_spark.sources.pages import pages
@@ -234,6 +236,28 @@ def test_wav_roundtrip_exact():
         assert (m["n_channels"], m["sample_rate"], m["bits"], m["n_frames"]) \
             == (nch, rate, 16, nf)
         assert (m["samples"] == flat).all()
+
+
+def test_quality_calibrate_gate_semantics(spark):
+    """Per-lang quantile gate: every kept score >= every dropped score,
+    kept count >= ceil(n/5), and removing the threshold ties drops below
+    the quota (i.e. the gate keeps the MINIMAL >=-closed top-20% set)."""
+    from co_new_spark.queries.training2 import t_quality_calibrate
+
+    rows = t_quality_calibrate(spark, SF_DIR).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        kept = [r["q_micro"] for r in rs if r["kept"]]
+        dropped = [r["q_micro"] for r in rs if not r["kept"]]
+        quota = (len(rs) + 4) // 5
+        assert len(kept) >= quota, lang
+        if dropped:
+            assert min(kept) > max(dropped), lang
+        thr = min(kept)
+        assert len([q for q in kept if q > thr]) < quota, lang
 
 
 def test_wav_decode_contracts():
