@@ -54,7 +54,8 @@ HEADLINE = [
     # shuffles), raster->vector zonal stats, CCNet curation funnel,
     # corpus-global paragraph dedup, attribute dissolve
     "train_dedup_bloom", "geo_zonal_stats", "web_ccnet_funnel",
-    "web_paragraph_dedup", "geo_dissolve",
+    "web_paragraph_dedup", "geo_dissolve", "geo_cover_erode",
+    "train_quality_calibrate", "train_perplexity_buckets",
 ]
 
 
@@ -145,7 +146,8 @@ def run() -> dict:
     MAT_OWNERS = {"train_minhash_lsh": ["minhash_bands"],
                   "train_simhash": ["simhash_sigs"],
                   "train_dsir_weights": ["dsir_pairs", "dsir_scores",
-                                         "dsir_weights"]}
+                                         "dsir_weights"],
+                  "train_perplexity_buckets": ["ppl_pairs", "ppl_scores"]}
 
     def time_entry(name: str) -> float:
         fn, _sql = REGISTRY[name]

@@ -250,8 +250,140 @@ ORDER BY u.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# train_perplexity_buckets — CCNet-style LM-perplexity bucketing (Wenzek et
+# al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+# Crawl Data" — public method): score every doc under a character-trigram
+# unigram LM trained on the TARGET language's own docs (Laplace-smoothed,
+# hashed feature buckets), then split each language into head / middle /
+# tail TERCILES by mean negative log-likelihood (low NLL = head = closest
+# to the target distribution).
+#
+# Cross-engine protocol (the train_dsir_weights recipe, training2.py):
+#   1. ``ppl_pairs`` (doc_id, lang, h) — the xxhash64-bucketed trigram
+#      stream, the only hash-dependent step, materialized (mat.py).
+#   2. ``ppl_scores`` (h, ct, score) — per-bucket Laplace NLL in integer
+#      MICRO-nats (round(-1e6 * log((ct+1)/(NT+B)))), Spark-authored; the
+#      oracle RE-DERIVES ct from ppl_pairs and joins on (h, ct), so a
+#      wrong count silently drops buckets and breaks the hash.
+#   3. downstream, both engines, integer-exact: nll_micro = BIGINT sum,
+#      q = round(nll_micro / n_tg) micro-nats/trigram; tercile cut values
+#      are the k-th smallest q per lang with k = ceil(n/3), ceil(2n/3) in
+#      INTEGER arithmetic; ties at a cut go to the better bucket.
+#
+# Scale: the tercile thresholds come from the BOUNDED (lang, q) histogram
+# (q's domain is score-bounded, corpus-independent) — the window runs over
+# the histogram, never the fact table (same design as
+# train_quality_calibrate); thresholds broadcast back as a flag join.
+# Docs shorter than one trigram have no distribution evidence and are
+# excluded by construction (no pairs rows), identically in both engines.
+# ---------------------------------------------------------------------------
+
+_PPL_B = 8192          # hashed trigram buckets
+_PPL_TARGET = "es"     # the LM's training slice: Spanish docs
+
+
+def t_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from .mat import materialize
+
+    docs = load(spark, sf, "documents")
+    n = F.length("text")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.substr(F.col("text"), i, F.lit(3)))
+    pairs = (docs.select(
+                 "doc_id", "lang",
+                 F.explode(F.when(n >= 3, tri)
+                           .otherwise(F.array().cast("array<string>")))
+                  .alias("tg"))
+             .select("doc_id", "lang",
+                     F.pmod(F.xxhash64("tg"), F.lit(_PPL_B)).alias("h")))
+    pairs = materialize(pairs, "ppl_pairs", key=sf)
+
+    nt = pairs.filter(F.col("lang") == _PPL_TARGET).count()
+    counts = (pairs.filter(F.col("lang") == _PPL_TARGET)
+                   .groupBy("h").agg(F.count("*").alias("ct")))
+    hs = pairs.select("h").distinct()
+    score = F.round(
+        -F.log((F.col("ct") + 1) / F.lit(float(nt + _PPL_B)))
+        * 1_000_000).cast("long")
+    scores = (hs.join(counts, "h", "left")
+                .select("h", F.coalesce("ct", F.lit(0)).alias("ct"))
+                .withColumn("score", score))
+    scores = materialize(scores, "ppl_scores", key=sf)
+
+    ww = (pairs.join(scores.select("h", "score"), "h")
+          .groupBy("doc_id", "lang")
+          .agg(F.count("*").alias("n_tg"), F.sum("score").alias("nll_micro")))
+    q = ww.withColumn(
+        "q", F.round(F.col("nll_micro") / F.col("n_tg")).cast("long"))
+
+    hist = q.groupBy("lang", "q").agg(F.count("*").alias("c"))
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    ks = tot.select("lang",
+                    ((F.col("n") + 2) / 3).cast("long").alias("k1"),
+                    ((2 * F.col("n") + 2) / 3).cast("long").alias("k2"))
+    cum = hist.join(F.broadcast(ks), "lang").withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("q")))
+    t1 = (cum.filter(F.col("cum") >= F.col("k1"))
+             .groupBy("lang").agg(F.min("q").alias("t1")))
+    t2 = (cum.filter(F.col("cum") >= F.col("k2"))
+             .groupBy("lang").agg(F.min("q").alias("t2")))
+    thr = t1.join(t2, "lang")
+    bucket = (F.when(F.col("q") <= F.col("t1"), "head")
+               .when(F.col("q") <= F.col("t2"), "middle")
+               .otherwise("tail"))
+    return (q.join(F.broadcast(thr), "lang")
+             .select("doc_id", "lang", "n_tg", "nll_micro", "q",
+                     bucket.alias("bucket"))
+             .orderBy("doc_id"))
+
+
+def _sql_perplexity() -> str:
+    from .mat import mat_glob
+
+    return f"""
+WITH p AS (SELECT * FROM read_parquet('{mat_glob("ppl_pairs")}')),
+s AS (SELECT * FROM read_parquet('{mat_glob("ppl_scores")}')),
+chk AS (
+  SELECT h, CAST(sum(CASE WHEN lang = '{_PPL_TARGET}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ct
+  FROM p GROUP BY h
+),
+v AS (  -- count mismatch -> dropped bucket -> hash break
+  SELECT s.h, s.score FROM s
+  JOIN chk ON chk.h = s.h AND chk.ct = s.ct
+),
+w AS (
+  SELECT p.doc_id, p.lang, CAST(count(*) AS BIGINT) AS n_tg,
+         CAST(sum(v.score) AS BIGINT) AS nll_micro
+  FROM p JOIN v ON v.h = p.h GROUP BY 1, 2
+),
+q AS (
+  SELECT doc_id, lang, n_tg, nll_micro,
+         CAST(round(CAST(nll_micro AS DOUBLE) / n_tg) AS BIGINT) AS q
+  FROM w
+),
+n AS (SELECT lang, count(*) AS n FROM q GROUP BY 1),
+r AS (SELECT lang, q, row_number() OVER (PARTITION BY lang
+                                         ORDER BY q, doc_id) AS rn
+      FROM q),
+t1 AS (SELECT r.lang, r.q AS t1 FROM r JOIN n ON r.lang = n.lang
+       AND r.rn = (n.n + 2) // 3),
+t2 AS (SELECT r.lang, r.q AS t2 FROM r JOIN n ON r.lang = n.lang
+       AND r.rn = (2 * n.n + 2) // 3)
+SELECT q.doc_id, q.lang, q.n_tg, q.nll_micro, q.q,
+       CASE WHEN q.q <= t1.t1 THEN 'head'
+            WHEN q.q <= t2.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM q JOIN t1 ON q.lang = t1.lang JOIN t2 ON q.lang = t2.lang
+ORDER BY q.doc_id
+"""
+
+
 QUERIES = {
     "train_substring_dedup": (t_substring_dedup, SQL_SUBSTRING_DEDUP),
     "train_substring_hotspans": (t_substring_hotspans, SQL_SUBSTRING_HOTSPANS),
     "train_repetition_filter": (t_repetition_filter, SQL_REPETITION),
+    "train_perplexity_buckets": (t_perplexity_buckets, _sql_perplexity()),
 }

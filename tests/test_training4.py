@@ -102,3 +102,30 @@ def test_plan_no_python_and_distributed_topk(spark):
     p2 = hot._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p2
     assert "BatchEvalPython" not in p2 and "ArrowEval" not in p2
+
+
+def test_perplexity_buckets_semantics(spark):
+    """The es-trained trigram LM must (a) score Spanish docs lower-NLL on
+    average than non-Spanish docs, (b) produce value-ordered terciles with
+    ties-to-better-bucket, (c) bucket every doc of every language."""
+    from co_new_spark.queries.training4 import t_perplexity_buckets
+
+    rows = t_perplexity_buckets(spark, SF_DIR).collect()
+    assert rows
+    es = [r["q"] for r in rows if r["lang"] == "es"]
+    other = [r["q"] for r in rows if r["lang"] != "es"]
+    assert es and other
+    assert sum(es) / len(es) < sum(other) / len(other)
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        qs = {"head": [], "middle": [], "tail": []}
+        for r in rs:
+            qs[r["bucket"]].append(r["q"])
+        n = len(rs)
+        assert len(qs["head"]) >= (n + 2) // 3, lang          # ties inflate head
+        if qs["middle"]:
+            assert max(qs["head"]) < min(qs["middle"]), lang  # strict: ties went head
+        if qs["tail"]:
+            assert max(qs["middle"] or qs["head"]) < min(qs["tail"]), lang
