@@ -47,9 +47,16 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # train_dedup_bloom added round 5: the bucket-partitioned Bloom prefilter —
 # probe that growing the store 10x grows only the sketch build + the
 # verified sliver, not any all-rows join
+# train_perplexity_buckets added round 5: the trigram-LM pairs→scores→
+# terciles chain — probe that the only fact exchanges (pairs groupBys +
+# the score join) grow with rows, with the tercile window staying on the
+# bounded histogram.  Note the 'x{c}' word suffixing shifts every copy's
+# trigram DISTRIBUTION identically, so the LM's bucket table stays
+# bounded while the stream grows 10x — exactly the production shape.
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
-           "train_simhash", "train_dsir_weights", "train_dedup_bloom"]
+           "train_simhash", "train_dsir_weights", "train_dedup_bloom",
+           "train_perplexity_buckets"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -112,7 +119,8 @@ def main() -> None:
     in_rows = {"train_neardup_components": n_docs, "geo_grid_cluster": n_ev,
                "train_substring_dedup": n_docs, "train_neardup_scaled": n_docs,
                "train_simhash": n_docs, "train_dsir_weights": n_docs,
-               "train_dedup_bloom": n_docs}
+               "train_dedup_bloom": n_docs,
+               "train_perplexity_buckets": n_docs}
 
     from co_new_spark.queries import mat
 
