@@ -121,6 +121,49 @@ def test_dissolve_output_is_antichain_on_citycover(spark):
     assert out.count() > 0
 
 
+def test_dissolve_preserves_group_leaf_union_random(spark):
+    """Dissolve on seeded-random mixed-depth cell sets (overlaps, duplicates,
+    containments included by construction): per group, the output must be an
+    ANTICHAIN covering EXACTLY the input's leaf-set union — dedup, descendant
+    pruning and quad compaction may repartition area but never create or
+    destroy it."""
+    import random
+
+    from co_new_spark.operators.compact import dissolve_cover
+
+    rnd = random.Random(7)
+    maxd = 10
+    rows = []
+    for g in "ABC":
+        for _ in range(40):
+            d = rnd.choice([4, 6, 7, 8, 9, 10])
+            rows.append((g, (rnd.randrange(1 << d) << 6) | d))
+
+    def leaves(cells):
+        out = set()
+        for c in cells:
+            bits, d = c >> 6, c & 63
+            for off in range(1 << (maxd - d)):
+                out.add((bits << (maxd - d)) | off)
+        return out
+
+    df = spark.createDataFrame(rows, "g string, cell long")
+    got = {}
+    for r in dissolve_cover(df, group_cols=("g",), min_depth=4).collect():
+        got.setdefault(r["g"], []).append(r["cell"])
+    for g in "ABC":
+        want = leaves(c for grp, c in rows if grp == g)
+        assert leaves(got[g]) == want, g
+        # antichain: no output cell contains another
+        cs = sorted(got[g])
+        for i, a in enumerate(cs):
+            ab, ad = a >> 6, a & 63
+            for b in cs:
+                if a != b:
+                    bd = b & 63
+                    assert not (bd > ad and (b >> 6) >> (bd - ad) == ab), (a, b)
+
+
 def test_erode_matches_numpy_king_blocks(spark):
     """g_cover_erode vs a driver-side numpy restatement: a member is
     interior iff all 8 in-grid king neighbors are members (off-grid =
