@@ -1,0 +1,73 @@
+"""Distributed k-means (operators/kmeans.py): numpy-mirror parity and the
+empty-cluster carry path."""
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from co_new_spark.operators.kmeans import kmeans_lloyd, quantize
+
+K, T = 8, 3
+
+
+def _mirror(ids, Q, k, rounds):
+    """Independent integer reimplementation of the whole algorithm."""
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), ids[i]))
+    cents = Q[order[:k]].copy()
+    alive = list(range(min(k, len(order))))
+
+    def assign(c):
+        d2 = ((Q[:, None, :].astype(np.int64) - c[None, :, :]) ** 2).sum(2)
+        lab = d2.argmin(1)  # argmin returns the FIRST (lowest cid) minimum
+        return lab, d2[np.arange(len(Q)), lab]
+
+    for _ in range(rounds):
+        lab, _ = assign(cents)
+        for j in alive:
+            m = lab == j
+            if m.any():  # empty cluster keeps its previous centroid
+                cents[j] = np.floor_divide(Q[m].sum(0), m.sum())
+    return assign(cents)
+
+
+def test_kmeans_matches_numpy_mirror(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = quantize(emb).select("vec_id", "q").collect()
+    ids = [r["vec_id"] for r in rows]
+    Q = np.array([r["q"] for r in rows], dtype=np.int64)
+    lab, d2 = _mirror(ids, Q, K, T)
+    want = {ids[i]: (int(lab[i]), int(d2[i])) for i in range(len(ids))}
+
+    vecs = quantize(emb).select("vec_id", "q")
+    got = {r["vec_id"]: (r["cluster"], r["d2"])
+           for r in kmeans_lloyd(vecs, k=K, rounds=T).collect()}
+    assert got == want
+    assert len(set(l for l, _ in got.values())) > 1  # non-degenerate
+
+
+def test_kmeans_partitioning_invariant(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = quantize(emb).select("vec_id", "q")
+    a = {r["vec_id"]: (r["cluster"], r["d2"])
+         for r in kmeans_lloyd(vecs, k=K, rounds=T).collect()}
+    b = {r["vec_id"]: (r["cluster"], r["d2"])
+         for r in kmeans_lloyd(vecs.repartition(7), k=K, rounds=T).collect()}
+    assert a == b
+
+
+def test_kmeans_empty_cluster_carries_seed(spark):
+    # 2 distinct points, k=3: at least one seed is a duplicate, its cluster
+    # loses every tie (min-cid) and goes empty -> must carry, not crash/NaN
+    df = spark.createDataFrame(
+        [(i, [float(0 if i % 2 else 1)]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    vecs = quantize(df).select("vec_id", "q")
+    out = kmeans_lloyd(vecs, k=3, rounds=2).collect()
+    assert len(out) == 6
+    assert all(r["d2"] == 0 for r in out)           # converged exactly
+    assert len({r["cluster"] for r in out}) == 2    # one cluster starved
