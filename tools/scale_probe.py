@@ -53,10 +53,14 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # bounded histogram.  Note the 'x{c}' word suffixing shifts every copy's
 # trigram DISTRIBUTION identically, so the LM's bucket table stays
 # bounded while the stream grows 10x — exactly the production shape.
+# train_kmeans_lloyd added round 5: the iterative clustering rounds —
+# probe that T rounds over 10x vectors cost ~10x the per-round exchanges
+# (replicated vectors keep the SAME optimum, so round structure is
+# comparable; the K x D model side is constant)
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
            "train_simhash", "train_dsir_weights", "train_dedup_bloom",
-           "train_perplexity_buckets"]
+           "train_perplexity_buckets", "train_kmeans_lloyd"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -98,6 +102,18 @@ def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
     u.repartition(64).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet"))
 
+    # embeddings: fresh vec_ids, vectors verbatim — R exact copies of the
+    # point cloud share the 1x optimum, so k-means probes cost, not a
+    # different problem (seeding differs with the new id set; harmless)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    parts = [emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * 10_000_000))
+             for c in range(replicas)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet"))
+
 
 def main() -> None:
     from co_new_spark.plans.session import get_spark
@@ -116,11 +132,13 @@ def main() -> None:
 
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     n_ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    n_emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
     in_rows = {"train_neardup_components": n_docs, "geo_grid_cluster": n_ev,
                "train_substring_dedup": n_docs, "train_neardup_scaled": n_docs,
                "train_simhash": n_docs, "train_dsir_weights": n_docs,
                "train_dedup_bloom": n_docs,
-               "train_perplexity_buckets": n_docs}
+               "train_perplexity_buckets": n_docs,
+               "train_kmeans_lloyd": n_emb}
 
     from co_new_spark.queries import mat
 
