@@ -88,11 +88,13 @@ def recompute(asn: DataFrame, prev: DataFrame) -> DataFrame:
 
 
 def kmeans_lloyd(vecs: DataFrame, k: int, rounds: int,
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id", with_vec: bool = False) -> DataFrame:
     """T Lloyd rounds; returns the assignment under the FINAL model:
-    (vec_id, cluster, d2)."""
+    (vec_id, cluster, d2) — plus the quantized vector ``q`` when
+    ``with_vec`` (consumers like SemDeDup pair within the cluster)."""
     cents = seed_centroids(vecs, k, id_col).localCheckpoint(eager=True)
     for _ in range(rounds):
         asn = assign(vecs, cents, id_col)
         cents = recompute(asn, cents).localCheckpoint(eager=True)
-    return assign(vecs, cents, id_col).select(id_col, "cluster", "d2")
+    cols = [id_col, "cluster", "d2"] + (["q"] if with_vec else [])
+    return assign(vecs, cents, id_col).select(*cols)

@@ -8,6 +8,18 @@ sample / diagnose a training mixture (the clustering stage of
 semantic-dedup-style pipelines), here as a first-class oracle-checked
 operator.
 
+``train_semdedup`` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540) on top
+of that clustering: pair vectors ONLY within their k-means cluster, call a
+pair a semantic duplicate when its exact integer squared distance is at
+most ``_SD_EPS2`` micro-units², and keep, per duplicate relation, the
+vector FARTHEST from its centroid (the paper's keep-low-centroid-similarity
+rule), ties broken on vec_id.  Scale shape: the quadratic pair compare is
+confined to one cluster (an equi-join on the cluster id — never all-pairs);
+at corpus scale K grows with N so cluster populations stay bounded, which
+is exactly the paper's reason for clustering first.  The drop rule is a
+local tournament (EXISTS a better in-eps neighbour), not a global CC — one
+self-join + one anti-join semantics, no iteration.
+
 Cross-engine exactness (no materialized intermediates needed, unlike the
 hash-seeded DSIR/perplexity entries): quantization, distances, argmin
 tie-breaks and floor-division means are ALL integer-deterministic, and the
@@ -19,6 +31,7 @@ hash-match the final assignment bit for bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.kmeans import kmeans_lloyd, quantize
 from ..sources.tables import load
@@ -61,7 +74,9 @@ def _sql_update(asn: str, prev: str, new: str) -> str:
       GROUP BY cid, pos) GROUP BY cid) n ON n.cid = c.cid)"""
 
 
-def _sql_kmeans() -> str:
+def _sql_kmeans_ctes() -> str:
+    """The full unrolled clustering as a CTE chain ending in ``afin``
+    (vec_id, q, cid, d2) — shared by the k-means entry and train_semdedup."""
     parts = [f"""e AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -77,13 +92,71 @@ c0 AS (
         parts.append(_sql_assign(f"c{r}", f"a{r}"))
         parts.append(_sql_update(f"a{r}", f"c{r}", f"c{r + 1}"))
     parts.append(_sql_assign(f"c{_KM_T}", "afin"))
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _sql_kmeans() -> str:
     return f"""
-WITH {body}
+WITH {_sql_kmeans_ctes()}
 SELECT vec_id, cid AS cluster, d2 FROM afin ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# train_semdedup — within-cluster semantic dedup over the final assignment
+# ---------------------------------------------------------------------------
+
+_SD_EPS2 = 1_300_000_000_000  # micro-units²; ~p1 of within-cluster pair d2
+# (drops ~17% of sf0.001 vectors — a dedup-like rate on synthetic data)
+
+
+def t_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    vecs = quantize(emb).select("vec_id", "q")
+    asn = (kmeans_lloyd(vecs, k=_KM_K, rounds=_KM_T, with_vec=True)
+           .localCheckpoint(eager=True))  # pair both sides off ONE run
+    a = asn.select(F.col("cluster").alias("cl"), F.col("vec_id").alias("ia"),
+                   F.col("q").alias("qa"), F.col("d2").alias("da"))
+    b = asn.select(F.col("cluster").alias("cl"), F.col("vec_id").alias("ib"),
+                   F.col("q").alias("qb"), F.col("d2").alias("db"))
+    pd2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # b is dropped when an in-eps a beats it: farther from the centroid,
+    # ties to the smaller vec_id (a strict total order, so one survivor
+    # always remains in every duplicate clique).
+    beats = (F.col("da") > F.col("db")) | \
+            ((F.col("da") == F.col("db")) & (F.col("ia") < F.col("ib")))
+    dropped = (a.join(b, "cl")
+                .where((F.col("ia") != F.col("ib")) & beats
+                       & (pd2 <= F.lit(_SD_EPS2)))
+                .select(F.col("ib").alias("vec_id"))
+                .distinct()
+                .withColumn("drop", F.lit(True)))
+    return (asn.join(dropped, "vec_id", "left")
+               .select("vec_id", "cluster", "d2",
+                       F.coalesce(~F.col("drop"), F.lit(True)).alias("kept"))
+               .orderBy("vec_id"))
+
+
+def _sql_semdedup() -> str:
+    pd2 = ("CAST(list_sum(list_transform(list_zip(a.q, b.q), "
+           "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    return f"""
+WITH {_sql_kmeans_ctes()},
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  WHERE {pd2} <= {_SD_EPS2}
+    AND (a.d2 > b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id)))
+SELECT f.vec_id, f.cid AS cluster, f.d2,
+       (d.vec_id IS NULL) AS kept
+FROM afin f LEFT JOIN drops d ON d.vec_id = f.vec_id
+ORDER BY f.vec_id
 """
 
 
 QUERIES = {
     "train_kmeans_lloyd": (t_kmeans_lloyd, _sql_kmeans()),
+    "train_semdedup": (t_semdedup, _sql_semdedup()),
 }

@@ -60,6 +60,43 @@ def test_kmeans_partitioning_invariant(spark):
     assert a == b
 
 
+def test_semdedup_matches_numpy_mirror(spark):
+    """train_semdedup's drop rule re-derived independently in numpy from the
+    mirrored clustering: drop v iff some in-eps same-cluster u beats it
+    (farther from centroid, ties to smaller id)."""
+    from co_new_spark.queries.training6 import _SD_EPS2, t_semdedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = quantize(emb).select("vec_id", "q").collect()
+    ids = [r["vec_id"] for r in rows]
+    Q = np.array([r["q"] for r in rows], dtype=np.int64)
+    lab, d2 = _mirror(ids, Q, K, T)
+
+    want = {}
+    for c in set(lab.tolist()):
+        idx = np.flatnonzero(lab == c)
+        pd2 = ((Q[idx, None, :] - Q[None, idx, :]) ** 2).sum(2)
+        for bi, b in enumerate(idx):
+            beaten = any(
+                ai != bi and pd2[ai, bi] <= _SD_EPS2
+                and (d2[a] > d2[b] or (d2[a] == d2[b] and ids[a] < ids[b]))
+                for ai, a in enumerate(idx))
+            want[ids[b]] = not beaten
+
+    got = {r["vec_id"]: r["kept"]
+           for r in t_semdedup(spark, SF_DIR).collect()}
+    assert got == want
+    assert 0 < sum(got.values()) < len(got)  # both classes present
+
+    # "beats" is a strict total order, so each cluster's maximal element
+    # (farthest from centroid, ties to smaller id) is beaten by nobody and
+    # MUST be kept — the guarantee that every duplicate clique keeps one.
+    for c in set(lab.tolist()):
+        idx = np.flatnonzero(lab == c)
+        top = max(idx, key=lambda i: (d2[i], -ids[i]))
+        assert got[ids[top]]
+
+
 def test_kmeans_empty_cluster_carries_seed(spark):
     # 2 distinct points, k=3: at least one seed is a duplicate, its cluster
     # loses every tie (min-cid) and goes empty -> must carry, not crash/NaN
