@@ -87,14 +87,21 @@ def recompute(asn: DataFrame, prev: DataFrame) -> DataFrame:
                 .select("cid", F.coalesce("nq", "cq").alias("cq")))
 
 
+def kmeans_fit(vecs: DataFrame, k: int, rounds: int,
+               id_col: str = "vec_id") -> DataFrame:
+    """T Lloyd rounds; returns the FINAL model: (cid, cq) centroids."""
+    cents = seed_centroids(vecs, k, id_col).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        asn = assign(vecs, cents, id_col)
+        cents = recompute(asn, cents).localCheckpoint(eager=True)
+    return cents
+
+
 def kmeans_lloyd(vecs: DataFrame, k: int, rounds: int,
                  id_col: str = "vec_id", with_vec: bool = False) -> DataFrame:
     """T Lloyd rounds; returns the assignment under the FINAL model:
     (vec_id, cluster, d2) — plus the quantized vector ``q`` when
     ``with_vec`` (consumers like SemDeDup pair within the cluster)."""
-    cents = seed_centroids(vecs, k, id_col).localCheckpoint(eager=True)
-    for _ in range(rounds):
-        asn = assign(vecs, cents, id_col)
-        cents = recompute(asn, cents).localCheckpoint(eager=True)
+    cents = kmeans_fit(vecs, k, rounds, id_col)
     cols = [id_col, "cluster", "d2"] + (["q"] if with_vec else [])
     return assign(vecs, cents, id_col).select(*cols)

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.kmeans import kmeans_lloyd, quantize
+from ..operators.kmeans import assign, kmeans_fit, kmeans_lloyd, quantize
 from ..sources.tables import load
 
 _KM_K = 8
@@ -156,7 +156,76 @@ ORDER BY f.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# train_cluster_metrics — clustering validity report over the fitted model
+# ---------------------------------------------------------------------------
+
+def t_cluster_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster size / inertia / mean-d2 plus a Davies–Bouldin-style
+    worst-ratio index (Davies & Bouldin 1979, restated on SQUARED integer
+    distances so it stays cross-engine exact: R_ij = (s_i + s_j) / m_ij with
+    s = floor-mean within-cluster d2 and m = centroid-pair d2; db_milli =
+    floor(1000 * max_j R_ij)).  Scale shape: ONE map-side-combined
+    groupBy(cluster) is the only fact-sized exchange; everything after —
+    centroid pair distances, ratio, max — lives on K-row frames (the model
+    is broadcast-sized by construction)."""
+    emb = load(spark, sf, "embeddings")
+    vecs = quantize(emb).select("vec_id", "q")
+    cents = kmeans_fit(vecs, k=_KM_K, rounds=_KM_T).localCheckpoint(eager=True)
+    asn = assign(vecs, cents)
+    stats = (asn.groupBy("cluster")
+                .agg(F.count("*").alias("n"), F.sum("d2").alias("inertia"))
+                .withColumn("mean_d2",
+                            F.floor(F.col("inertia") / F.col("n"))
+                             .cast("long")))
+    ci = cents.select(F.col("cid").alias("i"), F.col("cq").alias("qi"))
+    cj = cents.select(F.col("cid").alias("j"), F.col("cq").alias("qj"))
+    m = F.aggregate(
+        F.zip_with(F.col("qi"), F.col("qj"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pairs = (ci.join(cj, F.col("i") != F.col("j"))
+               .withColumn("m", m).where(F.col("m") > 0)
+               .select("i", "j", "m"))
+    si = stats.select(F.col("cluster").alias("i"), F.col("mean_d2").alias("s_i"))
+    sj = stats.select(F.col("cluster").alias("j"), F.col("mean_d2").alias("s_j"))
+    r = (pairs.join(si, "i").join(sj, "j")
+              .withColumn("r", F.floor(
+                  (F.col("s_i") + F.col("s_j")).cast("double") * 1000
+                  / F.col("m")).cast("long")))
+    db = r.groupBy(F.col("i").alias("cluster")).agg(F.max("r").alias("db_milli"))
+    return (stats.join(db, "cluster")
+                 .select("cluster", "n", "inertia", "mean_d2", "db_milli")
+                 .orderBy("cluster"))
+
+
+def _sql_cluster_metrics() -> str:
+    m = ("CAST(list_sum(list_transform(list_zip(a.cq, b.cq), "
+         "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    return f"""
+WITH {_sql_kmeans_ctes()},
+stats AS (
+  SELECT cid, count(*) AS n, sum(d2) AS inertia,
+         CAST(floor(CAST(sum(d2) AS DOUBLE) / count(*)) AS BIGINT) AS mean_d2
+  FROM afin GROUP BY cid),
+cp AS (
+  SELECT a.cid AS i, b.cid AS j, {m} AS m
+  FROM c{_KM_T} a JOIN c{_KM_T} b ON a.cid <> b.cid),
+r AS (
+  SELECT cp.i,
+         CAST(floor(CAST(si.mean_d2 + sj.mean_d2 AS DOUBLE) * 1000 / cp.m)
+              AS BIGINT) AS r
+  FROM cp JOIN stats si ON si.cid = cp.i
+          JOIN stats sj ON sj.cid = cp.j
+  WHERE cp.m > 0)
+SELECT s.cid AS cluster, s.n, s.inertia, s.mean_d2, max(r.r) AS db_milli
+FROM stats s JOIN r ON r.i = s.cid
+GROUP BY s.cid, s.n, s.inertia, s.mean_d2
+ORDER BY cluster
+"""
+
+
 QUERIES = {
     "train_kmeans_lloyd": (t_kmeans_lloyd, _sql_kmeans()),
     "train_semdedup": (t_semdedup, _sql_semdedup()),
+    "train_cluster_metrics": (t_cluster_metrics, _sql_cluster_metrics()),
 }

@@ -32,7 +32,7 @@ def _mirror(ids, Q, k, rounds):
             m = lab == j
             if m.any():  # empty cluster keeps its previous centroid
                 cents[j] = np.floor_divide(Q[m].sum(0), m.sum())
-    return assign(cents)
+    return assign(cents) + (cents,)
 
 
 def test_kmeans_matches_numpy_mirror(spark):
@@ -40,7 +40,7 @@ def test_kmeans_matches_numpy_mirror(spark):
     rows = quantize(emb).select("vec_id", "q").collect()
     ids = [r["vec_id"] for r in rows]
     Q = np.array([r["q"] for r in rows], dtype=np.int64)
-    lab, d2 = _mirror(ids, Q, K, T)
+    lab, d2, _ = _mirror(ids, Q, K, T)
     want = {ids[i]: (int(lab[i]), int(d2[i])) for i in range(len(ids))}
 
     vecs = quantize(emb).select("vec_id", "q")
@@ -70,7 +70,7 @@ def test_semdedup_matches_numpy_mirror(spark):
     rows = quantize(emb).select("vec_id", "q").collect()
     ids = [r["vec_id"] for r in rows]
     Q = np.array([r["q"] for r in rows], dtype=np.int64)
-    lab, d2 = _mirror(ids, Q, K, T)
+    lab, d2, _ = _mirror(ids, Q, K, T)
 
     want = {}
     for c in set(lab.tolist()):
@@ -95,6 +95,42 @@ def test_semdedup_matches_numpy_mirror(spark):
         idx = np.flatnonzero(lab == c)
         top = max(idx, key=lambda i: (d2[i], -ids[i]))
         assert got[ids[top]]
+
+
+def test_cluster_metrics_matches_numpy_mirror(spark):
+    """train_cluster_metrics re-derived from the mirrored model: per-cluster
+    n / inertia / floor-mean d2 and the squared-distance Davies–Bouldin
+    worst ratio in milli-units."""
+    from co_new_spark.queries.training6 import t_cluster_metrics
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = quantize(emb).select("vec_id", "q").collect()
+    ids = [r["vec_id"] for r in rows]
+    Q = np.array([r["q"] for r in rows], dtype=np.int64)
+    lab, d2, cents = _mirror(ids, Q, K, T)
+
+    want = {}
+    for c in sorted(set(lab.tolist())):
+        m = lab == c
+        n, inertia = int(m.sum()), int(d2[m].sum())
+        s_c = int(np.floor(inertia / n))
+        best = None
+        for o in set(lab.tolist()):
+            if o == c:
+                continue
+            mo = lab == o
+            cd = int(((cents[c] - cents[o]) ** 2).sum())
+            if cd <= 0:
+                continue
+            s_o = int(np.floor(int(d2[mo].sum()) / mo.sum()))
+            r = int(np.floor(float(s_c + s_o) * 1000 / cd))
+            best = r if best is None else max(best, r)
+        want[c] = (n, inertia, s_c, best)
+
+    got = {r["cluster"]: (r["n"], r["inertia"], r["mean_d2"], r["db_milli"])
+           for r in t_cluster_metrics(spark, SF_DIR).collect()}
+    assert got == want
+    assert all(v[3] is not None and v[3] > 0 for v in got.values())
 
 
 def test_kmeans_empty_cluster_carries_seed(spark):
