@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.kmeans import assign, kmeans_fit, kmeans_lloyd, quantize
+from ..operators.pca import top_direction
 from ..sources.tables import load
 
 _KM_K = 8
@@ -224,8 +225,75 @@ ORDER BY cluster
 """
 
 
+# ---------------------------------------------------------------------------
+# train_embed_pca — dominant principal direction via unrolled power iteration
+# ---------------------------------------------------------------------------
+
+_PC_D = 64   # embeddings table dimension (the oracle hardcodes it too)
+_PC_T = 8    # unrolled power-iteration rounds
+
+
+def t_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Top scatter-matrix direction of the embedding space
+    (operators/pca.py): the 'All-but-the-Top' (Mu & Viswanath 2018)
+    corpus-level nuisance component, as a 64-row micro-unit vector.
+    Semantics: the exact T-round power iterate (deterministic, oracle-
+    exact) — on a corpus with a real dominant component T=8 converges
+    (pytest: planted-direction cos > 0.99); on isotropic noise like the
+    synthetic table it is simply the well-defined iterate."""
+    emb = load(spark, sf, "embeddings")
+    vecs = quantize(emb).select("vec_id", "q")
+    return top_direction(vecs, dim=_PC_D, rounds=_PC_T)
+
+
+def _sql_embed_pca() -> str:
+    # every multiply-referenced CTE is MATERIALIZED: without it DuckDB
+    # re-inlines each round's predecessor TWICE (once via w, once via m),
+    # re-running the 2M-row scatter join 2^T times — minutes, not 0.3 s.
+    parts = [f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+mu AS (
+  SELECT pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM (SELECT unnest(q) AS v, generate_subscripts(q, 1) AS pos FROM q)
+  GROUP BY pos),
+mul AS (SELECT list(m ORDER BY pos) AS mu FROM mu),
+c AS (
+  SELECT vec_id,
+         list_transform(list_zip(q.q, mul.mu), x -> x[1] - x[2]) AS c
+  FROM q, mul),
+cu AS MATERIALIZED (
+  SELECT vec_id, unnest(c) AS v, generate_subscripts(c, 1) AS p FROM c),
+s AS MATERIALIZED (
+  SELECT a.p - 1 AS pa, b.p - 1 AS pb, CAST(sum(a.v * b.v) AS BIGINT) AS s
+  FROM cu a JOIN cu b USING (vec_id) GROUP BY 1, 2),
+smax AS (SELECT max(abs(s)) AS mx FROM s),
+sn AS MATERIALIZED (
+  SELECT pa, pb,
+         CAST(floor(CAST(s AS DOUBLE) * 1000000 / mx) AS BIGINT) AS val
+  FROM s, smax),
+v0 AS (SELECT CAST(range AS INT) AS pos, CAST(1000000 AS BIGINT) AS v
+       FROM range({_PC_D}))"""]
+    for r in range(_PC_T):
+        parts.append(f"""
+w{r} AS MATERIALIZED (
+  SELECT sn.pa AS pos, sum(sn.val * v{r}.v) AS v
+  FROM sn JOIN v{r} ON sn.pb = v{r}.pos GROUP BY sn.pa),
+m{r} AS (SELECT max(abs(v)) AS mx FROM w{r}),
+v{r + 1} AS MATERIALIZED (
+  SELECT pos, CAST(floor(CAST(v AS DOUBLE) * 1000000 / mx) AS BIGINT) AS v
+  FROM w{r}, m{r})""")
+    return f"""
+WITH {",".join(parts)}
+SELECT pos, v FROM v{_PC_T} ORDER BY pos
+"""
+
+
 QUERIES = {
     "train_kmeans_lloyd": (t_kmeans_lloyd, _sql_kmeans()),
     "train_semdedup": (t_semdedup, _sql_semdedup()),
     "train_cluster_metrics": (t_cluster_metrics, _sql_cluster_metrics()),
+    "train_embed_pca": (t_embed_pca, _sql_embed_pca()),
 }
