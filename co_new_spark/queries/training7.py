@@ -1,0 +1,164 @@
+"""Training-pipeline surface, part 7: supervised curation classifier.
+
+``train_nb_classifier`` — multinomial Naive Bayes over hashed word tokens
+(train + apply in one job), the mechanics of the fasttext-style quality /
+language classifier stage in CCNet / GPT-3-like curation pipelines (public
+method: McCallum & Nigam 1998 multinomial NB; the curation use is Brown et
+al. 2020 §A "quality classifier").  Label column = ``lang`` (the one
+supervised label the synthetic corpus carries); the train/apply split is
+the engine-agnostic hash gate ``doc_id % 5 != 0``, so a fifth of the corpus
+is a genuine holdout and the output carries ``is_holdout``/``correct`` for
+both slices.
+
+Cross-engine protocol (the train_dsir_weights / train_perplexity_buckets
+recipe, training2.py/training4.py):
+
+1. ``nb_pairs`` (doc_id, lang, h) — the xxhash64-bucketed token stream,
+   the only hash-dependent step, materialized (mat.py).
+2. ``nb_weights`` (lang, h, ct, w) — per-(class, bucket) Laplace
+   log-likelihood in integer MICRO-nats, w = round(1e6 * log((ct+1) /
+   (NT_c+B))), Spark-authored over the FULL class x bucket grid (absent
+   buckets carry ct = 0); the oracle RE-DERIVES ct from nb_pairs and joins
+   on (lang, h, ct) — a wrong count silently drops the bucket and breaks
+   the hash.  ``nb_priors`` (lang, nd, prior) gets the same treatment via
+   the train-split distinct-doc count.
+3. downstream, both engines, integer-exact: per-(doc, class) score =
+   prior + BIGINT sum of w; argmax ties break to the lexicographically
+   smaller class.
+
+Honesty note: the synthetic corpus's text is statistically INDEPENDENT of
+every label column (verified: per-token class counts scale with class
+size), so measured accuracy sits at the class prior here — that is a
+property of the test data, not the operator.  The learning behavior is
+pytest-proven on a planted-vocabulary corpus (tests/test_training7.py:
+holdout accuracy 1.0 when classes have disjoint marker tokens).
+
+Scale shape: pairs is the fact table; the weight join fans it out by C
+classes (C = |distinct lang|, single digits) and the ONE map-side-combined
+(doc_id, class) aggregate is the only fact-sized exchange; the model
+(C x B grid + C priors) is broadcast-sized by construction.  The argmax is
+a min-struct aggregate, never a window.  Docs with zero tokens have no
+evidence rows and are excluded by construction, identically in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+_NB_B = 4096  # hashed token buckets
+
+
+def nb_classify(docs: DataFrame, mat_key: str | None = None) -> DataFrame:
+    """Train-and-apply the classifier on any (doc_id, lang, text) frame.
+    With ``mat_key`` the three model tables materialize for the oracle
+    protocol; without it (pytests) the lineage stays in-plan."""
+    from .mat import materialize
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    pairs = (docs.select("doc_id", "lang", F.explode(toks).alias("tok"))
+                 .select("doc_id", "lang",
+                         F.pmod(F.xxhash64("tok"), F.lit(_NB_B)).alias("h")))
+    if mat_key is not None:
+        pairs = materialize(pairs, "nb_pairs", key=mat_key)
+    train = pairs.filter(F.col("doc_id") % 5 != 0)
+
+    # model: full class x bucket grid, Laplace micro-nat weights
+    classes = train.select("lang").distinct()
+    hs = pairs.select("h").distinct()
+    ntc = train.groupBy("lang").agg(F.count("*").alias("ntc"))
+    ct = train.groupBy("lang", "h").agg(F.count("*").alias("ct"))
+    w = (hs.crossJoin(F.broadcast(classes))
+           .join(ct, ["lang", "h"], "left")
+           .select("lang", "h", F.coalesce("ct", F.lit(0)).alias("ct"))
+           .join(F.broadcast(ntc), "lang")
+           .withColumn("w", F.round(F.log(
+               (F.col("ct") + 1).cast("double")
+               / (F.col("ntc") + _NB_B).cast("double"))
+               * 1_000_000).cast("long"))
+           .select("lang", "h", "ct", "w"))
+    if mat_key is not None:
+        w = materialize(w, "nb_weights", key=mat_key)
+
+    nd = (train.select("doc_id", "lang").distinct()
+               .groupBy("lang").agg(F.count("*").alias("nd")))
+    ntot = nd.agg(F.sum("nd").alias("ntot"))
+    priors = (nd.crossJoin(F.broadcast(ntot))
+                .withColumn("prior", F.round(F.log(
+                    F.col("nd").cast("double") / F.col("ntot").cast("double"))
+                    * 1_000_000).cast("long"))
+                .select("lang", "nd", "prior"))
+    if mat_key is not None:
+        priors = materialize(priors, "nb_priors", key=mat_key)
+
+    # apply: fan pairs out by class, ONE map-side-combined (doc, class) agg
+    wts = w.select(F.col("lang").alias("cls"), "h", F.col("w").alias("wv"))
+    sc = (pairs.join(wts, "h")
+               .groupBy("doc_id", "cls").agg(F.sum("wv").alias("s")))
+    tot = (sc.join(F.broadcast(priors.select(F.col("lang").alias("cls"),
+                                             "prior")), "cls")
+             .withColumn("total", F.col("s") + F.col("prior")))
+    pred = (tot.groupBy("doc_id")
+               .agg(F.min(F.struct((-F.col("total")).alias("neg"),
+                                   F.col("cls"), F.col("total"))).alias("m"))
+               .select("doc_id", F.col("m.cls").alias("pred"),
+                       F.col("m.total").alias("score_micro")))
+    lab = pairs.select("doc_id", "lang").distinct()
+    return (lab.join(pred, "doc_id")
+               .select("doc_id", "lang", "pred", "score_micro",
+                       (F.col("doc_id") % 5 == 0).alias("is_holdout"),
+                       (F.col("pred") == F.col("lang")).alias("correct"))
+               .orderBy("doc_id"))
+
+
+def t_nb_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    return nb_classify(load(spark, sf, "documents"), mat_key=sf)
+
+
+def _sql_nb() -> str:
+    from .mat import mat_glob
+
+    return f"""
+WITH p AS MATERIALIZED (SELECT * FROM read_parquet('{mat_glob("nb_pairs")}')),
+wts AS (SELECT * FROM read_parquet('{mat_glob("nb_weights")}')),
+pri AS (SELECT * FROM read_parquet('{mat_glob("nb_priors")}')),
+tr AS MATERIALIZED (SELECT * FROM p WHERE doc_id % 5 <> 0),
+chk AS (  -- full grid re-count; mismatch -> dropped bucket -> hash break
+  SELECT c.lang, hh.h, CAST(coalesce(ct.ct, 0) AS BIGINT) AS ct
+  FROM (SELECT DISTINCT lang FROM tr) c
+  CROSS JOIN (SELECT DISTINCT h FROM p) hh
+  LEFT JOIN (SELECT lang, h, count(*) AS ct FROM tr GROUP BY 1, 2) ct
+         ON ct.lang = c.lang AND ct.h = hh.h),
+v AS MATERIALIZED (
+  SELECT w.lang, w.h, w.w FROM wts w
+  JOIN chk ON chk.lang = w.lang AND chk.h = w.h AND chk.ct = w.ct),
+pchk AS (SELECT lang, count(DISTINCT doc_id) AS nd FROM tr GROUP BY 1),
+vp AS (SELECT pr.lang, pr.prior FROM pri pr
+       JOIN pchk ON pchk.lang = pr.lang AND pchk.nd = pr.nd),
+sc AS (
+  SELECT p.doc_id, v.lang AS cls, CAST(sum(v.w) AS BIGINT) AS s
+  FROM p JOIN v ON v.h = p.h GROUP BY 1, 2),
+tot AS (
+  SELECT sc.doc_id, sc.cls, sc.s + vp.prior AS total
+  FROM sc JOIN vp ON vp.lang = sc.cls),
+pred AS (
+  SELECT doc_id, cls, total,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY total DESC, cls) AS rn
+  FROM tot),
+lab AS (SELECT DISTINCT doc_id, lang FROM p)
+SELECT l.doc_id, l.lang, pr.cls AS pred,
+       CAST(pr.total AS BIGINT) AS score_micro,
+       (l.doc_id % 5 = 0) AS is_holdout,
+       (pr.cls = l.lang) AS correct
+FROM lab l JOIN pred pr ON pr.doc_id = l.doc_id AND pr.rn = 1
+ORDER BY l.doc_id
+"""
+
+
+QUERIES = {
+    "train_nb_classifier": (t_nb_classifier, _sql_nb()),
+}
