@@ -356,10 +356,110 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_hotspot_gi — Getis-Ord Gi* hot-spot z-scores over the cell raster
+# ---------------------------------------------------------------------------
+
+def g_hotspot_gi(spark: SparkSession, sf: str) -> DataFrame:
+    """Getis–Ord Gi* (Getis & Ord 1992 / Ord & Getis 1995) over the
+    occupied-cell event raster: the statistic behind 'find the Bogotá
+    density hot spots'.  Universe = occupied grid-valid cells; weights =
+    binary king ring-1 restricted to the universe (W_i = occupied
+    neighbors incl. self, so border/sparse cells get their true smaller
+    W_i).  Gi* = (focal_sum_i - x̄ W_i) / (S sqrt((n W_i - W_i²)/(n-1))),
+    reported in micro-units; NULL when the denominator degenerates (all
+    counts equal, or W_i = n).
+
+    Cross-engine exactness: counts/sums are integers; x̄, S and the z-score
+    use IDENTICAL double op order in both engines (IEEE divide/sqrt are
+    correctly rounded, so the doubles match bit-for-bit).
+
+    Plan shape at scale: the raster aggregation is the only point-sized
+    shuffle (same as geo_focal_sum); the spread re-agg and the
+    occupied-target join shuffle the raster (cells << points); the global
+    (n, Σx, Σx²) scalars are ONE tiny agg broadcast back."""
+    counts = (_event_points(spark, sf)
+              .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _FOCAL_RBITS))
+              .filter(F.col("cell") >= 0)
+              .groupBy("cell").agg(F.count("*").alias("n")))
+    tot = counts.agg(F.count("*").alias("nc"),
+                     F.sum("n").alias("sx"),
+                     F.sum(F.col("n") * F.col("n")).alias("sxx"))
+    spread = counts.select(
+        F.col("n").alias("sn"),
+        F.explode(ring_cells_udf(1)(F.col("cell"))).alias("target"))
+    foc = (spread.join(counts, spread.target == counts.cell)  # occupied only
+                 .groupBy("cell", "n")
+                 .agg(F.sum("sn").alias("focal_sum"),
+                      F.count("*").alias("w_i")))
+    xbar = F.col("sx").cast("double") / F.col("nc")
+    s = F.sqrt(F.col("sxx").cast("double") / F.col("nc") - xbar * xbar)
+    num = F.col("focal_sum") - xbar * F.col("w_i")
+    den = s * F.sqrt((F.col("nc").cast("double") * F.col("w_i")
+                      - F.col("w_i").cast("double") * F.col("w_i"))
+                     / (F.col("nc") - 1))
+    return (foc.crossJoin(F.broadcast(tot))
+               .select("cell", "n", "focal_sum", "w_i",
+                       F.round(F.lit(1000000.0) * num
+                               / F.nullif(den, F.lit(0.0)))
+                        .cast("long").alias("gi_micro"))
+               .orderBy("cell"))
+
+
+SQL_HOTSPOT_GI = f"""
+WITH raw AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_FS_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_FS_S!r}) AS BIGINT) AS gj
+  FROM raw
+), occ AS MATERIALIZED (
+  SELECT gi, gj, count(*) AS n
+  FROM (SELECT gi, gj, gi // {_FS_NSIDE} AS i, gj // {_FS_NSIDE} AS j FROM g)
+  WHERE {_L0_CASE} >= 0
+  GROUP BY gi, gj
+), tot AS (
+  SELECT count(*) AS nc, CAST(sum(n) AS BIGINT) AS sx,
+         CAST(sum(n * n) AS BIGINT) AS sxx
+  FROM occ
+), spread AS (
+  SELECT occ.gi + d.di AS tgi, occ.gj + d.dj AS tgj, occ.n AS sn
+  FROM occ
+  CROSS JOIN (SELECT a.di, b.dj
+              FROM (SELECT unnest(range(-1, 2)) AS di) a,
+                   (SELECT unnest(range(-1, 2)) AS dj) b) d
+), foc AS (
+  SELECT o.gi, o.gj, o.n, CAST(sum(s.sn) AS BIGINT) AS focal_sum,
+         CAST(count(*) AS BIGINT) AS w_i
+  FROM occ o JOIN spread s ON s.tgi = o.gi AND s.tgj = o.gj
+  GROUP BY 1, 2, 3
+), z AS (
+  SELECT gi, gj, n, focal_sum, w_i,
+         CAST(round(1000000.0
+              * (focal_sum - (CAST(sx AS DOUBLE) / nc) * w_i)
+              / nullif((sqrt(CAST(sxx AS DOUBLE) / nc
+                             - (CAST(sx AS DOUBLE) / nc)
+                               * (CAST(sx AS DOUBLE) / nc))
+                        * sqrt((CAST(nc AS DOUBLE) * w_i
+                                - CAST(w_i AS DOUBLE) * w_i)
+                               / (nc - 1))), 0)) AS BIGINT) AS gi_micro,
+         gi % {_FS_NSIDE} AS ix, gj % {_FS_NSIDE} AS iy,
+         gi // {_FS_NSIDE} AS ti, gj // {_FS_NSIDE} AS tj
+  FROM foc, tot
+)
+SELECT (({_L0T_CASE}) * {1 << _FOCAL_RBITS} + {_MORTON6}) * 64
+         + {4 + _FOCAL_RBITS} AS cell,
+       n, focal_sum, w_i, gi_micro
+FROM z
+ORDER BY cell
+"""
+
+
 QUERIES = {
     "geo_distance_join": (g_distance_join, SQL_DISTANCE_JOIN),
     "geo_od_matrix": (g_od_matrix, SQL_OD_MATRIX),
     "geo_focal_sum": (g_focal_sum, SQL_FOCAL_SUM),
     "geo_trajectory_stats": (g_trajectory_stats, SQL_TRAJECTORY),
     "geo_grid_cluster": (g_grid_cluster, SQL_GRID_CLUSTER),
+    "geo_hotspot_gi": (g_hotspot_gi, SQL_HOTSPOT_GI),
 }

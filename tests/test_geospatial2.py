@@ -192,3 +192,27 @@ def test_grid_cluster_matches_union_find(spark):
             for root, mem in comp.items()}
     assert got == want
     assert len(want) > 1  # subcritical density: several clusters, not one blob
+
+
+def test_hotspot_gi_properties(spark):
+    """Getis-Ord Gi* structural identities on the real raster: sign agrees
+    with the centered focal numerator, W_i bounds, self-inclusion, and the
+    symmetric-weights identity sum(focal) == sum(n * w)."""
+    from conftest import SF_DIR
+    from co_new_spark.queries.geospatial2 import g_hotspot_gi
+
+    rows = g_hotspot_gi(spark, SF_DIR).collect()
+    assert rows
+    nc = len(rows)
+    sx = sum(r["n"] for r in rows)
+    xbar = sx / nc
+    for r in rows:
+        assert 1 <= r["w_i"] <= 9
+        assert r["focal_sum"] >= r["n"]        # king ring includes self
+        num = r["focal_sum"] - xbar * r["w_i"]
+        if r["gi_micro"] is not None and r["gi_micro"] != 0:
+            assert (r["gi_micro"] > 0) == (num > 0)
+    # binary king weights are symmetric over the occupied universe
+    assert (sum(r["focal_sum"] for r in rows)
+            == sum(r["n"] * r["w_i"] for r in rows))
+    assert any(r["gi_micro"] and r["gi_micro"] > 1_000_000 for r in rows)
