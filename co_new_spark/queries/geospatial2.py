@@ -455,6 +455,94 @@ ORDER BY cell
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_morans_i — global spatial autocorrelation over the cell raster
+# ---------------------------------------------------------------------------
+
+def g_morans_i(spark: SparkSession, sf: str) -> DataFrame:
+    """Global Moran's I (Moran 1950) over the occupied-cell event raster
+    with binary king ring-1 weights (w_ii = 0): ONE number saying whether
+    event density is spatially clustered (+), random (~E[I] = -1/(n-1)) or
+    dispersed (-).
+
+    Integer-exactness trick: the centered deviate z_i = n_i - x̄ is not an
+    integer, but Z_i = n·n_i - Σx is, and the n² factors cancel in I =
+    (n/W)·(Σ w_ij Z_i Z_j)/(Σ Z_i²) — so BOTH quadratic sums are exact
+    int64 (order-independent across partitionings/engines) and only the
+    final ratio is a double, taken with identical op order.  Headroom:
+    |Z| <= n·max(n_i); the quadratic sums must fit int64 — at larger
+    corpora coarsen the raster (the documented kmeans/pca convention).
+
+    Plan shape: identical to geo_hotspot_gi (raster-only shuffles after
+    the one point-sized agg); the self-pair is excluded by a target !=
+    source filter on the ring spread."""
+    counts = (_event_points(spark, sf)
+              .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _FOCAL_RBITS))
+              .filter(F.col("cell") >= 0)
+              .groupBy("cell").agg(F.count("*").alias("n")))
+    tot = counts.agg(F.count("*").alias("nc"), F.sum("n").alias("sx"))
+    zc = (counts.crossJoin(F.broadcast(tot))
+                .select("cell", "nc",
+                        (F.col("nc") * F.col("n") - F.col("sx")).alias("z")))
+    spread = (zc.select(F.col("cell").alias("src"), F.col("z").alias("zj"),
+                        F.explode(ring_cells_udf(1)(F.col("cell")))
+                         .alias("target"))
+                .filter(F.col("target") != F.col("src")))  # w_ii = 0
+    pair = (spread.join(zc, spread.target == zc.cell)
+                  .agg(F.sum(F.col("z") * F.col("zj")).alias("num"),
+                       F.count("*").alias("w")))
+    den = zc.agg(F.sum(F.col("z") * F.col("z")).alias("den"),
+                 F.count("*").alias("n_cells"))
+    i_micro = F.round(F.lit(1000000.0)
+                      * (F.col("n_cells").cast("double") * F.col("num"))
+                      / (F.col("w").cast("double") * F.col("den"))) \
+               .cast("long")
+    e_micro = F.round(F.lit(-1000000.0) / (F.col("n_cells") - 1)).cast("long")
+    return (pair.crossJoin(den)
+                .select(F.col("n_cells"), F.col("w").alias("w_pairs"),
+                        i_micro.alias("i_micro"), e_micro.alias("e_i_micro")))
+
+
+SQL_MORANS_I = f"""
+WITH raw AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_FS_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_FS_S!r}) AS BIGINT) AS gj
+  FROM raw
+), occ AS MATERIALIZED (
+  SELECT gi, gj, count(*) AS n
+  FROM (SELECT gi, gj, gi // {_FS_NSIDE} AS i, gj // {_FS_NSIDE} AS j FROM g)
+  WHERE {_L0_CASE} >= 0
+  GROUP BY gi, gj
+), tot AS (
+  SELECT count(*) AS nc, CAST(sum(n) AS BIGINT) AS sx FROM occ
+), zc AS MATERIALIZED (
+  SELECT gi, gj, CAST(nc * n - sx AS BIGINT) AS z FROM occ, tot
+), spread AS (
+  SELECT zc.gi + d.di AS tgi, zc.gj + d.dj AS tgj, zc.z AS zj
+  FROM zc
+  CROSS JOIN (SELECT a.di, b.dj
+              FROM (SELECT unnest(range(-1, 2)) AS di) a,
+                   (SELECT unnest(range(-1, 2)) AS dj) b) d
+  WHERE NOT (d.di = 0 AND d.dj = 0)
+), pair AS (
+  SELECT CAST(sum(zc.z * s.zj) AS BIGINT) AS num,
+         CAST(count(*) AS BIGINT) AS w
+  FROM zc JOIN spread s ON s.tgi = zc.gi AND s.tgj = zc.gj
+), den AS (
+  SELECT CAST(sum(z * z) AS BIGINT) AS den, count(*) AS n_cells FROM zc
+)
+SELECT den.n_cells,
+       pair.w AS w_pairs,
+       CAST(round(1000000.0
+            * (CAST(den.n_cells AS DOUBLE) * pair.num)
+            / (CAST(pair.w AS DOUBLE) * den.den)) AS BIGINT) AS i_micro,
+       CAST(round(-1000000.0 / (den.n_cells - 1)) AS BIGINT) AS e_i_micro
+FROM pair, den
+"""
+
+
 QUERIES = {
     "geo_distance_join": (g_distance_join, SQL_DISTANCE_JOIN),
     "geo_od_matrix": (g_od_matrix, SQL_OD_MATRIX),
@@ -462,4 +550,5 @@ QUERIES = {
     "geo_trajectory_stats": (g_trajectory_stats, SQL_TRAJECTORY),
     "geo_grid_cluster": (g_grid_cluster, SQL_GRID_CLUSTER),
     "geo_hotspot_gi": (g_hotspot_gi, SQL_HOTSPOT_GI),
+    "geo_morans_i": (g_morans_i, SQL_MORANS_I),
 }

@@ -216,3 +216,29 @@ def test_hotspot_gi_properties(spark):
     assert (sum(r["focal_sum"] for r in rows)
             == sum(r["n"] * r["w_i"] for r in rows))
     assert any(r["gi_micro"] and r["gi_micro"] > 1_000_000 for r in rows)
+
+
+def test_morans_i_checkerboard_and_cluster(spark):
+    """Moran's I numerator machinery on planted lattices, via the same
+    integer-Z trick re-derived in pure python over a synthetic occupied
+    set: a checkerboard is dispersed (I < E[I]) and a block is clustered
+    (I > 0).  (The Spark entry's raster comes from the events table; this
+    pins the STATISTIC's behavior on known geometries.)"""
+    def moran(cells):  # {(gi,gj): n}
+        nc, sx = len(cells), sum(cells.values())
+        Z = {k: nc * v - sx for k, v in cells.items()}
+        num = w = 0
+        for (a, b), z in Z.items():
+            for da in (-1, 0, 1):
+                for db in (-1, 0, 1):
+                    if (da or db) and (a + da, b + db) in Z:
+                        num += z * Z[(a + da, b + db)]
+                        w += 1
+        den = sum(z * z for z in Z.values())
+        return nc * num / (w * den)
+
+    checker = {(i, j): 1 + (i + j) % 2 for i in range(8) for j in range(8)}
+    block = {(i, j): (3 if i < 4 else 1) for i in range(8) for j in range(8)}
+    nc = 64
+    assert moran(checker) < -1 / (nc - 1)   # dispersed
+    assert moran(block) > 0.3               # clustered
