@@ -56,7 +56,7 @@ HEADLINE = [
     "train_dedup_bloom", "geo_zonal_stats", "web_ccnet_funnel",
     "web_paragraph_dedup", "geo_dissolve", "geo_cover_erode",
     "train_quality_calibrate", "train_perplexity_buckets",
-    "train_kmeans_lloyd", "train_semdedup",
+    "train_kmeans_lloyd", "train_semdedup", "train_bpe_merges",
 ]
 
 

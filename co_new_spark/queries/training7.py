@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.bpe import bpe_train
 from ..sources.tables import load
 
 _NB_B = 4096  # hashed token buckets
@@ -159,6 +160,79 @@ ORDER BY l.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# train_bpe_merges — distributed BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_T = 3  # unrolled merge rounds
+
+
+def t_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """The learned BPE merge table after T corpus-wide rounds over the
+    documents table — tokenizer training as a first-class distributed op
+    (Sennrich et al. 2016).  See operators/bpe.py for the position-table
+    formulation and the greedy-overlap parity rule."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return bpe_train(docs, rounds=_BPE_T)
+
+
+def _sql_bpe_round(r: int) -> str:
+    """One merge round r: s{r} -> b{r} (winner) -> s{r+1} (merged seq)."""
+    return f"""
+p{r} AS (
+  SELECT doc_id, pos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM s{r}),
+b{r} AS MATERIALIZED (
+  SELECT tok AS lhs, nxt AS rhs, count(*) AS cnt
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+m{r} AS (
+  SELECT p.doc_id, p.pos, p.tok, b.lhs, b.rhs,
+         coalesce(p.tok = b.lhs AND p.nxt = b.rhs, false) AS isc,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS r,
+         sum(CASE WHEN coalesce(p.tok = b.lhs AND p.nxt = b.rhs, false)
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY p.doc_id ORDER BY p.pos
+                 ROWS UNBOUNDED PRECEDING) AS rc
+  FROM p{r} p, b{r} b),
+g{r} AS (
+  SELECT *, CASE WHEN isc THEN r - rc END AS chain FROM m{r}),
+h{r} AS (
+  SELECT *, isc AND ((rc - min(CASE WHEN isc THEN rc END)
+                        OVER (PARTITION BY doc_id, chain)) % 2 = 0) AS merged
+  FROM g{r}),
+s{r + 1} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         CASE WHEN merged THEN lhs || rhs ELSE tok END AS tok
+  FROM (SELECT *, coalesce(lag(merged)
+                    OVER (PARTITION BY doc_id ORDER BY pos), false)
+                  AS consumed
+        FROM h{r})
+  WHERE NOT consumed),
+n{r} AS (SELECT count(*) AS n_tokens_after FROM s{r + 1})"""
+
+
+def _sql_bpe() -> str:
+    parts = ["""s0 AS MATERIALIZED (
+  SELECT doc_id, pos - 1 AS pos, tok FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS tok,
+           generate_subscripts(string_split(text, ''), 1) AS pos
+    FROM documents)
+  WHERE tok <> '')"""]
+    parts += [_sql_bpe_round(r) for r in range(_BPE_T)]
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, lhs, rhs, cnt, n_tokens_after FROM b{r}, n{r}"
+        for r in range(_BPE_T))
+    return f"""
+WITH {",".join(parts)}
+SELECT rnd, lhs, rhs, CAST(cnt AS BIGINT) AS cnt,
+       CAST(n_tokens_after AS BIGINT) AS n_tokens_after
+FROM ({rows}) ORDER BY rnd
+"""
+
+
 QUERIES = {
     "train_nb_classifier": (t_nb_classifier, _sql_nb()),
+    "train_bpe_merges": (t_bpe_merges, _sql_bpe()),
 }
