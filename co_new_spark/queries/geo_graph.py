@@ -249,7 +249,78 @@ FROM nodes nd LEFT JOIN best b ON b.cell = nd.cell
 """
 
 
+# --------------------------------------------------------------------------
+# geo_cost_surface — weighted cost-distance via bounded min-plus relaxation
+# --------------------------------------------------------------------------
+#
+# Cost-distance (GIS "cost surface" / accumulated-cost raster): the cheapest
+# way to reach each occupied cell from any dense seed, where stepping INTO a
+# cell costs its event count (congestion-weighted routing).  Distinct
+# algorithm class from geo_cell_hops: BFS minimizes HOPS (unit weights),
+# this is Bellman-Ford min-plus with per-cell integer weights and a hop cap
+# K — a path may be longer in hops but cheaper in cost.  The relax step
+# references the previous surface twice (keep vs improve), so each round is
+# localCheckpoint'ed to keep the plan linear in K (the kmeans precedent;
+# the BFS frontier trick does not apply because improved cells can improve
+# again).  All arithmetic is small-integer — hash-exact.
+
+_CS_K = 6  # relaxation rounds (= max path hops considered)
+
+
+def cost_surface(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                 k: int = _CS_K) -> DataFrame:
+    """Min accumulated entering-cost (<= k hops) from any seed; seeds cost
+    0, unreached cells -1.  ``nodes`` = (cell, n); cost of entering v =
+    n_v."""
+    wcost = nodes.select(F.col("cell").alias("v"), F.col("n").alias("wc"))
+    dist = (seeds.select("cell", F.lit(0).cast("long").alias("c"))
+                 .localCheckpoint(eager=True))
+    for _ in range(k):
+        relax = (edges.join(dist.withColumnRenamed("cell", "u"), "u")
+                      .join(wcost, "v")
+                      .select(F.col("v").alias("cell"),
+                              (F.col("c") + F.col("wc")).alias("c")))
+        dist = (dist.unionByName(relax)
+                    .groupBy("cell").agg(F.min("c").alias("c"))
+                    .localCheckpoint(eager=True))
+    return (nodes.join(dist, "cell", "left")
+                 .select("cell", "n",
+                         F.coalesce("c", F.lit(-1)).alias("cost")))
+
+
+def g_cost_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Per occupied cell: cheapest congestion-weighted route cost (<= _CS_K
+    king steps) from the nearest DENSE cell (>= _BFS_MIN_PTS points)."""
+    nodes, edges = _cell_graph(spark, sf)
+    seeds = nodes.filter(F.col("n") >= _BFS_MIN_PTS).select("cell")
+    return _finish(cost_surface(nodes, edges, seeds).orderBy("cell"),
+                   [nodes])
+
+
+def _cs_cte(k: int) -> str:
+    return f"""d{k} AS MATERIALIZED (
+  SELECT cell, min(c) AS c FROM (
+    SELECT cell, c FROM d{k - 1}
+    UNION ALL
+    SELECT e.v AS cell, d.c + nv.n AS c
+    FROM d{k - 1} d JOIN ed e ON e.u = d.cell
+    JOIN nodes nv ON nv.cell = e.v)
+  GROUP BY cell
+)"""
+
+
+SQL_COST_SURFACE = f"""
+WITH {_GRAPH_CTES}, d0 AS MATERIALIZED (
+  SELECT cell, CAST(0 AS BIGINT) AS c FROM nodes WHERE n >= {_BFS_MIN_PTS}
+), {', '.join(_cs_cte(k) for k in range(1, _CS_K + 1))}
+SELECT nd.cell, nd.n, coalesce(d.c, -1) AS cost
+FROM nodes nd LEFT JOIN d{_CS_K} d ON d.cell = nd.cell
+ORDER BY nd.cell
+"""
+
+
 QUERIES = {
     "geo_cell_pagerank": (g_cell_pagerank, SQL_CELL_PAGERANK),
     "geo_cell_hops": (g_cell_hops, SQL_CELL_HOPS),
+    "geo_cost_surface": (g_cost_surface, SQL_COST_SURFACE),
 }

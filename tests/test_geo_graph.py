@@ -108,3 +108,39 @@ def test_bfs_hops_multi_source_takes_nearest(spark):
     seeds = spark.createDataFrame([(1,), (5,)], "cell long")
     got = {r["cell"]: r["hop"] for r in bfs_hops(ndf, edf, seeds).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_cost_surface_prefers_cheap_detour(spark):
+    """Diamond 1->(2|3)->4, entering costs n: via node 3 (n=1) is cheaper
+    than via node 2 (n=50) even though both are 2 hops; seed costs 0."""
+    from co_new_spark.queries.geo_graph import cost_surface
+
+    ncounts = {1: 9, 2: 50, 3: 1, 4: 2, 99: 7}
+    edges = _sym([(1, 2), (1, 3), (2, 4), (3, 4)])
+    ndf = spark.createDataFrame(list(ncounts.items()), "cell long, n long")
+    edf = spark.createDataFrame(edges, "u long, v long")
+    seeds = spark.createDataFrame([(1,)], "cell long")
+    got = {r["cell"]: r["cost"]
+           for r in cost_surface(ndf, edf, seeds).collect()}
+    assert got == {1: 0, 2: 50, 3: 1, 4: 3, 99: -1}
+
+
+def test_cost_surface_hop_cap_and_partitioning(spark):
+    """Line graph with unit costs: cost == hop count up to the K cap, -1
+    beyond; result invariant under repartitioning."""
+    from co_new_spark.queries.geo_graph import _CS_K, cost_surface
+
+    n = _CS_K + 3
+    ndf = spark.createDataFrame([(i, 1) for i in range(n)],
+                                "cell long, n long")
+    edf = spark.createDataFrame(_sym([(i, i + 1) for i in range(n - 1)]),
+                                "u long, v long")
+    seeds = spark.createDataFrame([(0,)], "cell long")
+    got = {r["cell"]: r["cost"]
+           for r in cost_surface(ndf, edf, seeds).collect()}
+    want = {i: (i if i <= _CS_K else -1) for i in range(n)}
+    assert got == want
+    got2 = {r["cell"]: r["cost"]
+            for r in cost_surface(ndf.repartition(5), edf.repartition(3),
+                                  seeds).collect()}
+    assert got2 == want
