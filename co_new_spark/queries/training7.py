@@ -44,7 +44,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.bpe import bpe_train
@@ -232,7 +232,123 @@ FROM ({rows}) ORDER BY rnd
 """
 
 
+# ---------------------------------------------------------------------------
+# train_bm25_topk — ranked retrieval (decontamination-by-retrieval verb)
+# ---------------------------------------------------------------------------
+#
+# BM25 (Robertson & Walker 1994; the Lucene idf variant) ranking the corpus
+# against a probe set of "benchmark" documents (doc_id % 100 == 0), top
+# _BM_K hits per probe excluding the probe itself — the retrieval side of
+# benchmark-decontamination (complementing train_contamination's exact
+# n-gram overlap with graded lexical similarity).
+#
+# Cross-engine protocol: idf is the one transcendental — Spark authors
+# ``bm25_idf`` (term, df, idf_micro) and the oracle re-derives df and joins
+# on (term, df).  Exactness of the SCORE: the per-(probe, doc, term)
+# contribution rounds to integer micro-units BEFORE the per-doc sum, so the
+# aggregate is an order-independent BIGINT sum (a documented 1e-6 deviation
+# from textbook BM25; the tf saturation factor itself is a double with
+# identical op order in both engines).
+#
+# Scale shape: the term-match join is (corpus postings) x (probe terms) —
+# an equi-join on term, never all-pairs; the (probe, doc) agg is map-side
+# combined; the final per-probe top-k window partitions on probe id over
+# candidates sharing >= 1 term (the rel_window_topk pattern; for web-scale
+# probe sets swap in the two-phase distributed-limit trick of
+# operators/salt.py).
+
+_BM_K = 5
+_BM_K1, _BM_B = 1.2, 0.75
+
+
+def t_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .mat import materialize
+
+    docs = load(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    post = (docs.select("doc_id", F.explode(toks).alias("term"))
+                .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    gl = dl.agg(F.count("*").alias("n_docs"),
+                F.sum("dl").alias("tot_dl"))
+    df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (df_t.crossJoin(F.broadcast(gl.select("n_docs")))
+               .withColumn("idf_micro", F.round(F.log(
+                   (F.col("n_docs") - F.col("df") + 0.5)
+                   / (F.col("df") + 0.5) + 1.0) * 1_000_000).cast("long"))
+               .select("term", "df", "idf_micro"))
+    idf = materialize(idf, "bm25_idf", key=sf)
+
+    probes = (post.filter(F.col("doc_id") % 100 == 0)
+                  .select(F.col("doc_id").alias("qid"), "term").distinct())
+    cand = (post.join(probes, "term")
+                .filter(F.col("doc_id") != F.col("qid"))
+                .join(idf.select("term", "idf_micro"), "term")
+                .join(dl, "doc_id")
+                .crossJoin(F.broadcast(gl)))
+    norm = (F.col("dl").cast("double") * F.col("n_docs")) / F.col("tot_dl")
+    contrib = F.round(
+        F.col("idf_micro")
+        * (F.col("tf") * (_BM_K1 + 1.0))
+        / (F.col("tf") + _BM_K1 * (1.0 - _BM_B + _BM_B * norm))
+    ).cast("long")
+    sc = (cand.select("qid", "doc_id", contrib.alias("c"))
+              .groupBy("qid", "doc_id")
+              .agg(F.sum("c").alias("score_micro")))
+    w = Window.partitionBy("qid").orderBy(F.col("score_micro").desc(),
+                                          "doc_id")
+    return (sc.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= _BM_K)
+              .select("qid", "rank", "doc_id", "score_micro")
+              .orderBy("qid", "rank"))
+
+
+def _sql_bm25() -> str:
+    from .mat import mat_glob
+
+    return f"""
+WITH post AS MATERIALIZED (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+gl AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+i AS (SELECT * FROM read_parquet('{mat_glob("bm25_idf")}')),
+v AS MATERIALIZED (  -- df mismatch -> dropped term -> hash break
+  SELECT i.term, i.idf_micro FROM i
+  JOIN dfr ON dfr.term = i.term AND dfr.df = i.df),
+probes AS (
+  SELECT DISTINCT doc_id AS qid, term FROM post WHERE doc_id % 100 = 0),
+cand AS (
+  SELECT p.qid, post.doc_id, post.tf, v.idf_micro, dl.dl
+  FROM post JOIN probes p ON p.term = post.term
+  JOIN v ON v.term = post.term
+  JOIN dl ON dl.doc_id = post.doc_id
+  WHERE post.doc_id <> p.qid),
+sc AS (
+  SELECT qid, doc_id,
+         CAST(sum(CAST(round(
+           idf_micro
+           * (tf * ({_BM_K1} + 1.0))
+           / (tf + {_BM_K1} * (1.0 - {_BM_B} + {_BM_B}
+              * ((CAST(dl AS DOUBLE) * n_docs) / tot_dl)))) AS BIGINT))
+         AS BIGINT) AS score_micro
+  FROM cand, gl GROUP BY 1, 2),
+r AS (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_micro DESC, doc_id) AS rank
+  FROM sc)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_micro
+FROM r WHERE rank <= {_BM_K}
+ORDER BY qid, rank
+"""
+
+
 QUERIES = {
     "train_nb_classifier": (t_nb_classifier, _sql_nb()),
     "train_bpe_merges": (t_bpe_merges, _sql_bpe()),
+    "train_bm25_topk": (t_bm25_topk, _sql_bm25()),
 }

@@ -53,3 +53,59 @@ def test_nb_empty_text_docs_excluded(spark):
         "doc_id long, lang string, text string")
     out = nb_classify(docs).collect()
     assert sorted(r["doc_id"] for r in out) == [0, 3]
+
+
+def test_bm25_reference_parity(spark):
+    """train_bm25_topk's scoring against an independent python BM25 with
+    the same per-term micro-rounding, on a corpus where doc 0 is a probe
+    (doc_id % 100 == 0) with known best matches."""
+    import math
+    from collections import Counter
+
+    from co_new_spark.queries.training7 import _BM_B, _BM_K1
+    from co_new_spark.queries import training7 as t7
+
+    texts = {
+        0: "grid cell encode decode colombia",          # probe
+        1: "grid cell encode decode colombia bogota",   # near-copy: best
+        2: "grid cell encode",                          # partial
+        3: "totally unrelated words here now",          # no overlap
+        4: "cell cell cell cell cell",                  # tf saturation
+        5: "colombia decode encode cell grid",          # permuted copy
+    }
+    docs = spark.createDataFrame(
+        [(i, "xx", t) for i, t in texts.items()],
+        "doc_id long, lang string, text string")
+
+    # independent reference
+    post = {i: Counter(t.split()) for i, t in texts.items()}
+    dl = {i: sum(c.values()) for i, c in post.items()}
+    n, avg = len(post), sum(dl.values()) / len(post)
+    df = Counter(t for c in post.values() for t in c)
+    idf = {t: round(math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 1_000_000)
+           for t, d in df.items()}
+    want = {}
+    for d, c in post.items():
+        if d == 0:
+            continue
+        s = 0
+        for t in post[0]:
+            if t in c:
+                tf = c[t]
+                s += round(idf[t] * (tf * (_BM_K1 + 1.0))
+                           / (tf + _BM_K1 * (1.0 - _BM_B
+                                             + _BM_B * dl[d] / avg)))
+        if s:
+            want[d] = s
+
+    # drive the registry function via a patched loader
+    orig = t7.load
+    t7.load = lambda spark, sf, name: docs
+    try:
+        got = {r["doc_id"]: r["score_micro"]
+               for r in t7.t_bm25_topk(spark, "pytest-bm25").collect()}
+    finally:
+        t7.load = orig
+    assert got == want
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert order[0] in (1, 5) and 3 not in got
