@@ -45,6 +45,33 @@ def ring_cells_udf(ring: int):
     return _ring_udf(ring)
 
 
+def ring_cells_d2_udf(ring: int):
+    """Ring expansion that keeps the lattice geometry: cell ->
+    array<struct<cell, d2>> of GRID-VALID neighbors (self excluded), with
+    d2 = dy² + dx² in lattice units — derived from neighbors_b's fixed
+    (dy, dx) column order, so it stays correct at grid borders where
+    off-grid columns are dropped."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    offs = [(dy, dx) for dy in range(-ring, ring + 1)
+            for dx in range(-ring, ring + 1) if not (dy == 0 and dx == 0)]
+    d2s = [dy * dy + dx * dx for dy, dx in offs]
+    out_t = ArrayType(StructType([StructField("cell", LongType()),
+                                  StructField("d2", IntegerType())]))
+
+    @F.pandas_udf(out_t)
+    def ring_cells_d2(cell: pd.Series) -> pd.Series:
+        c = cell.to_numpy(dtype=np.int64, na_value=-1)
+        nb = ncells.neighbors_b(c, ring=ring)
+        out = []
+        for row in nb:
+            out.append([{"cell": int(v), "d2": d2s[k]}
+                        for k, v in enumerate(row) if v >= 0])
+        return pd.Series(out)
+
+    return ring_cells_d2
+
+
 def knn_ring(queries: DataFrame, candidates: DataFrame, k: int = 5,
              ring: int = 1, exclude_self: bool = False,
              fallback_ring: int | None = None) -> DataFrame:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import geo
 from ..grid import grids
-from ..operators.knn import ring_cells_udf
+from ..operators.knn import ring_cells_d2_udf, ring_cells_udf
 from .geospatial import _XENG, _YENG, _event_points
 from .sql_grid import l0_case, morton_ref
 
@@ -543,6 +543,95 @@ FROM pair, den
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_idw_fill — inverse-distance-weighted gap-fill of the cell raster
+# ---------------------------------------------------------------------------
+
+def g_idw_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """IDW interpolation (Shepard 1968) at the EMPTY grid-valid cells
+    adjacent (king ring-1) to occupied raster cells: the raster gap-fill /
+    surface-interpolation verb.  Weight = 1/d² with d² the integer lattice
+    distance between cell centers (1 for rook, 2 for diagonal moves).
+
+    Integer-exactness: per-neighbor contributions are exact rationals over
+    d² ∈ {{1, 2}}; multiplying by the common denominator 2 makes num =
+    Σ 2·n_j/d²_j and den = Σ 2/d²_j exact BIGINTs (order-independent), and
+    only the final ratio rounds: idw_milli = round(1000·num/den).
+
+    Target discovery without scanning the full lattice: spread occupied
+    cells to their ring (the focal trick), anti-join the occupied set —
+    off-grid neighbors were never emitted by the ring kernel, so the
+    result is exactly the grid-valid empty fringe.  Raster-sized shuffles
+    only."""
+    counts = (_event_points(spark, sf)
+              .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _FOCAL_RBITS))
+              .filter(F.col("cell") >= 0)
+              .groupBy("cell").agg(F.count("*").alias("n")))
+    spread = (counts.select(
+                  "n", F.explode(ring_cells_d2_udf(1)(F.col("cell")))
+                        .alias("nb"))
+              .select("n", F.col("nb.cell").alias("target"),
+                      F.col("nb.d2").alias("d2")))
+    # 2·n/d² and 2/d² are exact integers for d² ∈ {1, 2}; the per-row
+    # double division is exact, so the cast-then-sum is order-independent
+    fringe = (spread
+              .join(counts.select(F.col("cell").alias("target")),
+                    "target", "left_anti")
+              .groupBy(F.col("target").alias("cell"))
+              .agg(F.sum((2 * F.col("n") / F.col("d2")).cast("long"))
+                    .alias("num2"),
+                   F.sum((2 / F.col("d2")).cast("long")).alias("den2"),
+                   F.count("*").alias("n_src")))
+    return (fringe.select("cell", "n_src", "num2", "den2",
+                          F.round(F.lit(1000.0) * F.col("num2")
+                                  / F.col("den2")).cast("long")
+                           .alias("idw_milli"))
+                  .orderBy("cell"))
+
+
+SQL_IDW_FILL = f"""
+WITH raw AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_FS_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_FS_S!r}) AS BIGINT) AS gj
+  FROM raw
+), occ AS MATERIALIZED (
+  SELECT gi, gj, count(*) AS n
+  FROM (SELECT gi, gj, gi // {_FS_NSIDE} AS i, gj // {_FS_NSIDE} AS j FROM g)
+  WHERE {_L0_CASE} >= 0
+  GROUP BY gi, gj
+), spread AS (
+  SELECT occ.gi + d.di AS tgi, occ.gj + d.dj AS tgj, occ.n,
+         d.di * d.di + d.dj * d.dj AS d2
+  FROM occ
+  CROSS JOIN (SELECT a.di, b.dj
+              FROM (SELECT unnest(range(-1, 2)) AS di) a,
+                   (SELECT unnest(range(-1, 2)) AS dj) b) d
+  WHERE NOT (d.di = 0 AND d.dj = 0)
+), fringe AS (  -- grid-valid empty neighbors only
+  SELECT s.tgi AS gi, s.tgj AS gj, s.n, s.d2,
+         s.tgi % {_FS_NSIDE} AS ix, s.tgj % {_FS_NSIDE} AS iy,
+         s.tgi // {_FS_NSIDE} AS ti, s.tgj // {_FS_NSIDE} AS tj
+  FROM spread s ANTI JOIN occ o ON o.gi = s.tgi AND o.gj = s.tgj
+  WHERE s.tgi >= 0 AND s.tgj >= 0
+), agg AS (
+  SELECT gi, gj, min(ix) AS ix, min(iy) AS iy, min(ti) AS ti, min(tj) AS tj,
+         CAST(count(*) AS BIGINT) AS n_src,
+         CAST(sum(2 * n // d2) AS BIGINT) AS num2,
+         CAST(sum(2 // d2) AS BIGINT) AS den2
+  FROM fringe
+  GROUP BY gi, gj
+)
+SELECT (({_L0T_CASE}) * {1 << _FOCAL_RBITS} + {_MORTON6}) * 64
+         + {4 + _FOCAL_RBITS} AS cell,
+       n_src, num2, den2,
+       CAST(round(1000.0 * num2 / den2) AS BIGINT) AS idw_milli
+FROM agg WHERE {_L0T_CASE} >= 0
+ORDER BY cell
+"""
+
+
 QUERIES = {
     "geo_distance_join": (g_distance_join, SQL_DISTANCE_JOIN),
     "geo_od_matrix": (g_od_matrix, SQL_OD_MATRIX),
@@ -551,4 +640,5 @@ QUERIES = {
     "geo_grid_cluster": (g_grid_cluster, SQL_GRID_CLUSTER),
     "geo_hotspot_gi": (g_hotspot_gi, SQL_HOTSPOT_GI),
     "geo_morans_i": (g_morans_i, SQL_MORANS_I),
+    "geo_idw_fill": (g_idw_fill, SQL_IDW_FILL),
 }

@@ -242,3 +242,32 @@ def test_morans_i_checkerboard_and_cluster(spark):
     nc = 64
     assert moran(checker) < -1 / (nc - 1)   # dispersed
     assert moran(block) > 0.3               # clustered
+
+
+def test_idw_fill_properties(spark):
+    """IDW gap-fill invariants: targets are never occupied cells, every
+    estimate lies within [min, max] of the occupied counts (convex
+    combination), and a single-source target reproduces its source value
+    exactly (idw_milli == 1000 * n_src_value)."""
+    from conftest import SF_DIR
+    from co_new_spark.queries.geospatial2 import _FOCAL_RBITS, g_idw_fill
+    from co_new_spark.queries.geospatial import _event_points
+
+    out = {r["cell"]: r for r in g_idw_fill(spark, SF_DIR).collect()}
+    assert out
+    occ = (_event_points(spark, SF_DIR)
+           .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"),
+                                                _FOCAL_RBITS))
+           .filter(F.col("cell") >= 0)
+           .groupBy("cell").agg(F.count("*").alias("n"))).collect()
+    occ = {r["cell"]: r["n"] for r in occ}
+    lo, hi = min(occ.values()), max(occ.values())
+    assert not (set(out) & set(occ))          # fringe only
+    for r in out.values():
+        assert 1000 * lo <= r["idw_milli"] <= 1000 * hi  # convexity
+        assert 1 <= r["n_src"] <= 8
+        assert r["den2"] >= 1
+    singles = [r for r in out.values() if r["n_src"] == 1]
+    assert singles
+    for r in singles:  # one neighbor -> exact copy of its value
+        assert r["idw_milli"] * r["den2"] == 1000 * r["num2"]
