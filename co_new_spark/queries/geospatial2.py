@@ -632,6 +632,76 @@ ORDER BY cell
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_semivariogram — empirical variogram over the cell raster
+# ---------------------------------------------------------------------------
+
+def g_semivariogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical semivariogram (Matheron 1963) of the event-count raster:
+    γ(h) = Σ(n_i - n_j)² / (2·|pairs|) per squared lattice distance bin
+    h = d² ∈ {1,2,4,5,8} (king ring-2) — the geostatistics primitive
+    behind 'over what range are densities spatially correlated'.
+
+    Engine symmetry: ORDERED pairs on purpose — each unordered pair counts
+    twice in both Σ and |pairs|, so γ is unchanged and neither engine
+    needs a cell-id vs lattice-coords tie-break to dedup.  Sums are exact
+    BIGINTs; only the final ratio is a double with identical op order.
+
+    Plan shape: raster-only — the ring-2 spread (24× per occupied cell) +
+    one equi-join on cell + ONE map-side-combined groupBy(d2); never
+    point-sized after the first agg."""
+    counts = (_event_points(spark, sf)
+              .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _FOCAL_RBITS))
+              .filter(F.col("cell") >= 0)
+              .groupBy("cell").agg(F.count("*").alias("n")))
+    spread = (counts.select(
+                  F.col("n").alias("ni"),
+                  F.explode(ring_cells_d2_udf(2)(F.col("cell"))).alias("nb"))
+              .select("ni", F.col("nb.cell").alias("target"),
+                      F.col("nb.d2").alias("d2")))
+    pairs = spread.join(
+        counts.select(F.col("cell").alias("target"), F.col("n").alias("nj")),
+        "target")
+    g = (pairs.groupBy("d2")
+              .agg(F.count("*").alias("n_pairs"),
+                   F.sum((F.col("ni") - F.col("nj"))
+                         * (F.col("ni") - F.col("nj"))).alias("ss")))
+    return (g.select(F.col("d2").cast("long").alias("d2"), "n_pairs", "ss",
+                     F.round(F.lit(1000.0) * F.col("ss")
+                             / (2 * F.col("n_pairs"))).cast("long")
+                      .alias("gamma_milli"))
+             .orderBy("d2"))
+
+
+SQL_SEMIVARIOGRAM = f"""
+WITH raw AS (
+  SELECT event_id, {_XENG} AS x, {_YENG} AS y FROM events
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_FS_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_FS_S!r}) AS BIGINT) AS gj
+  FROM raw
+), occ AS MATERIALIZED (
+  SELECT gi, gj, count(*) AS n
+  FROM (SELECT gi, gj, gi // {_FS_NSIDE} AS i, gj // {_FS_NSIDE} AS j FROM g)
+  WHERE {_L0_CASE} >= 0
+  GROUP BY gi, gj
+), pr AS (
+  SELECT (a.gi - b.gi) * (a.gi - b.gi)
+         + (a.gj - b.gj) * (a.gj - b.gj) AS d2,
+         (a.n - b.n) * (a.n - b.n) AS sq
+  FROM occ a JOIN occ b
+    ON abs(a.gi - b.gi) <= 2 AND abs(a.gj - b.gj) <= 2
+   AND NOT (a.gi = b.gi AND a.gj = b.gj)
+)
+SELECT CAST(d2 AS BIGINT) AS d2,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(sq) AS BIGINT) AS ss,
+       CAST(round(1000.0 * sum(sq) / (2 * count(*))) AS BIGINT)
+         AS gamma_milli
+FROM pr GROUP BY d2 ORDER BY d2
+"""
+
+
 QUERIES = {
     "geo_distance_join": (g_distance_join, SQL_DISTANCE_JOIN),
     "geo_od_matrix": (g_od_matrix, SQL_OD_MATRIX),
@@ -641,4 +711,5 @@ QUERIES = {
     "geo_hotspot_gi": (g_hotspot_gi, SQL_HOTSPOT_GI),
     "geo_morans_i": (g_morans_i, SQL_MORANS_I),
     "geo_idw_fill": (g_idw_fill, SQL_IDW_FILL),
+    "geo_semivariogram": (g_semivariogram, SQL_SEMIVARIOGRAM),
 }

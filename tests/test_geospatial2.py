@@ -271,3 +271,42 @@ def test_idw_fill_properties(spark):
     assert singles
     for r in singles:  # one neighbor -> exact copy of its value
         assert r["idw_milli"] * r["den2"] == 1000 * r["num2"]
+
+
+def test_semivariogram_bins_and_symmetry(spark):
+    """Variogram invariants: exactly the ring-2 squared-distance bins
+    {1,2,4,5,8}; ordered-pair counts are even (symmetry); and the
+    rook-1 bin matches a direct recomputation from the idw/occupied
+    raster collected once."""
+    from conftest import SF_DIR
+    from co_new_spark.queries.geospatial2 import (_FOCAL_RBITS,
+                                                  g_semivariogram)
+    from co_new_spark.queries.geospatial import _event_points
+    from co_new_spark.grid import cells as ncells
+    import numpy as np
+
+    rows = {r["d2"]: r for r in g_semivariogram(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2, 4, 5, 8}
+    for r in rows.values():
+        assert r["n_pairs"] % 2 == 0 and r["ss"] % 2 == 0
+        assert r["gamma_milli"] == round(1000.0 * r["ss"]
+                                         / (2 * r["n_pairs"]))
+    # independent recompute of every bin from the collected raster
+    occ = (_event_points(spark, SF_DIR)
+           .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"),
+                                                _FOCAL_RBITS))
+           .filter(F.col("cell") >= 0)
+           .groupBy("cell").agg(F.count("*").alias("n"))).collect()
+    cells = np.array([r["cell"] for r in occ], dtype=np.int64)
+    nval = {r["cell"]: r["n"] for r in occ}
+    gy, gx, _, _ = ncells.cell_b_to_global_ji(cells)
+    pos = {(int(a), int(b)): nval[int(c)] for a, b, c in zip(gy, gx, cells)}
+    want = {}
+    for (a, b), ni in pos.items():
+        for da in range(-2, 3):
+            for db in range(-2, 3):
+                if (da or db) and (a + da, b + db) in pos:
+                    d2 = da * da + db * db
+                    s, c = want.get(d2, (0, 0))
+                    want[d2] = (s + (ni - pos[(a + da, b + db)]) ** 2, c + 1)
+    assert {k: (rows[k]["ss"], rows[k]["n_pairs"]) for k in rows} == want
