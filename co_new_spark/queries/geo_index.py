@@ -17,6 +17,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .mat import run_tmp
 
 from ..functions import global_grid
 from ..grid import grids
@@ -178,7 +179,7 @@ def g_partitioned_scan(spark: SparkSession, sf: str) -> DataFrame:
            .groupBy("cell").agg(F.count("*").alias("n"),
                                 F.min("event_id").alias("min_ev"))
            .withColumn("l0", cells_sql.cell_l0_digit(F.col("cell"))))
-    base = os.path.join(tempfile.gettempdir(), "co_part_scan")
+    base = run_tmp("co_part_scan")
     agg.write.mode("overwrite").partitionBy("l0").parquet(base)
     back = spark.read.parquet(base).filter(F.col("l0").isin(0xC, 0x6, 0x4))
     return back.select("cell", "n", "min_ev", F.col("l0").cast("long").alias("l0"))

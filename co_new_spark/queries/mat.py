@@ -36,6 +36,16 @@ def mat_path(name: str) -> str:
                         f"co_oracle_mat_{os.getpid()}", name)
 
 
+def run_tmp(name: str) -> str:
+    """Pid-scoped scratch dir for entry-local stores (stream sources,
+    ledgers, partitioned scans).  Same rationale as mat_path: each entry
+    rmtree-and-recreates its store, which is safe within one serial
+    process (driver, bench, sweep) but races a CONCURRENT process using
+    the same fixed /tmp name (observed: a parallel window-scan session
+    failed a sweep's stream_cdc_merge mid-run)."""
+    return os.path.join(tempfile.gettempdir(), f"co_run_{os.getpid()}", name)
+
+
 def mat_glob(name: str) -> str:
     """The read_parquet() pattern for the oracle side."""
     return os.path.join(mat_path(name), "*.parquet")

@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .mat import run_tmp
 
 from ..functions import cells_sql, geo
 from ..operators.cover import cover_lookup_best
@@ -53,7 +54,7 @@ def p_resumable_flagship(spark: SparkSession, sf: str) -> DataFrame:
     """
     from .mat import materialize
 
-    base = os.path.join(tempfile.gettempdir(), "co_flagship_ledger")
+    base = run_tmp("co_flagship_ledger")
     shutil.rmtree(base, ignore_errors=True)
 
     pts = geocoded_pages(spark, _PAGES_N)
@@ -133,7 +134,7 @@ def p_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     """
     from .mat import materialize
 
-    base = os.path.join(tempfile.gettempdir(), "co_upsert_ledger")
+    base = run_tmp("co_upsert_ledger")
     shutil.rmtree(base, ignore_errors=True)
 
     pts = geocoded_pages(spark, 2_000).withColumn(
@@ -202,7 +203,7 @@ def p_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """
     from .mat import materialize
 
-    base = os.path.join(tempfile.gettempdir(), "co_timetravel_ledger")
+    base = run_tmp("co_timetravel_ledger")
     shutil.rmtree(base, ignore_errors=True)
 
     pts = geocoded_pages(spark, 2_000)
@@ -263,7 +264,7 @@ def p_cluster_layout(spark: SparkSession, sf: str) -> DataFrame:
     """
     from .mat import materialize
 
-    base = os.path.join(tempfile.gettempdir(), "co_cluster_ledger")
+    base = run_tmp("co_cluster_ledger")
     shutil.rmtree(base, ignore_errors=True)
 
     rows = materialize(
@@ -308,7 +309,7 @@ def p_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     over the materialized input."""
     from .mat import materialize
 
-    base = os.path.join(tempfile.gettempdir(), "co_schema_evo_ledger")
+    base = run_tmp("co_schema_evo_ledger")
     shutil.rmtree(base, ignore_errors=True)
 
     rows = materialize(
@@ -355,7 +356,7 @@ def p_compaction(spark: SparkSession, sf: str) -> DataFrame:
     atomic ledger append."""
     from .mat import materialize
 
-    base = os.path.join(tempfile.gettempdir(), "co_compact_ledger")
+    base = run_tmp("co_compact_ledger")
     shutil.rmtree(base, ignore_errors=True)
 
     rows = materialize(

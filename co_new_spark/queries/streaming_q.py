@@ -14,6 +14,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .mat import run_tmp
 
 from ..sources.tables import load
 from ..streaming import pipeline as sp
@@ -214,7 +215,7 @@ def s_late_data(spark: SparkSession, sf: str) -> DataFrame:
         [(5, _at(240))],                 # 16:10 — advances the watermark
         [(6, _at(-420)), (7, _at(390))],  # 05:10 drop; 18:40 keep (new max)
     ]
-    src = os.path.join(tempfile.gettempdir(), "co_stream_late_src")
+    src = run_tmp("co_stream_late_src")
     shutil.rmtree(src, ignore_errors=True)
     bdfs = [spark.createDataFrame(rows, "uid long, ts timestamp")
             for rows in batches]
@@ -285,9 +286,9 @@ def s_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
         [(k, _at(200 + k), f"v2-{k}", k % 4) for k in range(0, 40, 3)]
         + [(k, _at(300 + k), f"new-{k}", k % 4) for k in range(40, 50)],
     ]
-    src = os.path.join(tempfile.gettempdir(), "co_stream_cdc_src")
-    base = os.path.join(tempfile.gettempdir(), "co_stream_cdc_ledger")
-    ck = os.path.join(tempfile.gettempdir(), "co_stream_cdc_ck")
+    src = run_tmp("co_stream_cdc_src")
+    base = run_tmp("co_stream_cdc_ledger")
+    ck = run_tmp("co_stream_cdc_ck")
     for d in (src, base, ck):
         shutil.rmtree(d, ignore_errors=True)
     sdf = spark.createDataFrame(seed, "uid long, ts timestamp, val string, b long")

@@ -57,10 +57,24 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # probe that T rounds over 10x vectors cost ~10x the per-round exchanges
 # (replicated vectors keep the SAME optimum, so round structure is
 # comparable; the K x D model side is constant)
+# train_semdedup added round 5: kmeans + within-cluster pair join — with
+# 10x replicated vectors every cluster holds 10x the members, so the
+# quadratic-in-cluster pair stage is probed at its true growth (the
+# operator's K-grows-with-N contract is the caller's; this is the
+# worst case of holding K fixed)
+# train_bpe_merges added round 5: doc-partitioned window rounds over the
+# char position table — probe that T rounds over 10x chars cost ~10x
+# (the 'x{c}' word suffix shifts pair counts identically per copy, so
+# the merge sequence stays comparable)
+# train_bm25_topk added round 5: postings x probe-terms join — suffixing
+# makes cross-copy terms disjoint, so 10x docs also means 10x probes
+# over disjoint vocabularies: the candidate set grows linearly, never
+# probes x corpus
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
            "train_simhash", "train_dsir_weights", "train_dedup_bloom",
-           "train_perplexity_buckets", "train_kmeans_lloyd"]
+           "train_perplexity_buckets", "train_kmeans_lloyd",
+           "train_semdedup", "train_bpe_merges", "train_bm25_topk"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
