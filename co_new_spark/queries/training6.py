@@ -111,10 +111,15 @@ _SD_EPS2 = 1_300_000_000_000  # micro-units²; ~p1 of within-cluster pair d2
 # (drops ~17% of sf0.001 vectors — a dedup-like rate on synthetic data)
 
 
-def t_semdedup(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load(spark, sf, "embeddings")
-    vecs = quantize(emb).select("vec_id", "q")
-    asn = (kmeans_lloyd(vecs, k=_KM_K, rounds=_KM_T, with_vec=True)
+def semdedup(vecs: DataFrame, k: int = _KM_K, rounds: int = _KM_T,
+             eps: int = _SD_EPS2) -> DataFrame:
+    """Cluster-then-pair semantic dedup over (vec_id, q) -> (vec_id,
+    cluster, d2, kept).  ``k`` is the caller's corpus-size knob: the pair
+    stage is quadratic IN THE CLUSTER, so the paper's contract K ∝ N keeps
+    per-cluster populations (and therefore cost) linear — measured in the
+    BENCH.md probe table (fixed K=8 at 10x input: 19.0x wall; K=80 at the
+    same 10x input: 2.76x)."""
+    asn = (kmeans_lloyd(vecs, k=k, rounds=rounds, with_vec=True)
            .localCheckpoint(eager=True))  # pair both sides off ONE run
     a = asn.select(F.col("cluster").alias("cl"), F.col("vec_id").alias("ia"),
                    F.col("q").alias("qa"), F.col("d2").alias("da"))
@@ -130,14 +135,19 @@ def t_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             ((F.col("da") == F.col("db")) & (F.col("ia") < F.col("ib")))
     dropped = (a.join(b, "cl")
                 .where((F.col("ia") != F.col("ib")) & beats
-                       & (pd2 <= F.lit(_SD_EPS2)))
+                       & (pd2 <= F.lit(eps)))
                 .select(F.col("ib").alias("vec_id"))
                 .distinct()
                 .withColumn("drop", F.lit(True)))
     return (asn.join(dropped, "vec_id", "left")
                .select("vec_id", "cluster", "d2",
-                       F.coalesce(~F.col("drop"), F.lit(True)).alias("kept"))
-               .orderBy("vec_id"))
+                       F.coalesce(~F.col("drop"), F.lit(True)).alias("kept")))
+
+
+def t_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    vecs = quantize(emb).select("vec_id", "q")
+    return semdedup(vecs).orderBy("vec_id")
 
 
 def _sql_semdedup() -> str:

@@ -152,7 +152,10 @@ def main() -> None:
                "train_simhash": n_docs, "train_dsir_weights": n_docs,
                "train_dedup_bloom": n_docs,
                "train_perplexity_buckets": n_docs,
-               "train_kmeans_lloyd": n_emb}
+               "train_kmeans_lloyd": n_emb,
+               "train_semdedup": n_emb,
+               "train_bpe_merges": n_docs,
+               "train_bm25_topk": n_docs}
 
     from co_new_spark.queries import mat
 
@@ -181,6 +184,37 @@ def main() -> None:
             "throughput_1x": round(r1 / w1, 1),
             "throughput_Rx": round(r1 * replicas / wr, 1),
         }), flush=True)
+
+        if name == "train_semdedup":
+            # the registry entry holds K fixed for the static oracle, which
+            # is the quadratic worst case (clusters grow Rx -> pairs Rx²);
+            # the operator's documented contract is K ∝ N.  Evidence it:
+            # re-run the Rx input with K scaled by R — per-cluster
+            # population (and the pair stage) returns to the 1x shape.
+            from pyspark.sql import functions as F
+
+            from co_new_spark.operators.kmeans import quantize
+            from co_new_spark.queries.training6 import _KM_K, semdedup
+
+            def run_sd(d: str, k: int) -> float:
+                vecs = quantize(
+                    spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+                ).select("vec_id", "q")
+                t0 = time.time()
+                semdedup(vecs, k=k).write.format("noop") \
+                    .mode("overwrite").save()
+                return time.time() - t0
+
+            run_sd(sf_dir, _KM_K)  # warmup
+            c1 = min(run_sd(sf_dir, _KM_K) for _ in range(2))
+            cr = run_sd(scaled, _KM_K * replicas)
+            print(json.dumps({
+                "entry": "train_semdedup[K∝N contract]",
+                "rows_1x": r1, "k_1x": _KM_K, "wall_1x_s": round(c1, 2),
+                "rows_Rx": r1 * replicas, "k_Rx": _KM_K * replicas,
+                "wall_Rx_s": round(cr, 2), "replicas": replicas,
+                "wall_ratio": round(cr / c1, 2),
+            }), flush=True)
 
 
 if __name__ == "__main__":
