@@ -9,14 +9,16 @@ from . import (
     geo_algebra, geo_cover_sql, geo_graph, geo_index, geo_pages, geospatial,
     geospatial2, media_q,
     pipeline_q, relational, e2e_q, streaming_q, training, training2, training3,
-    training4, training5, training6, training7, webtext_q,
+    training4, training5, training6, training7, training8, webgraph,
+    webtext_q,
 )
 
 REGISTRY: dict = {}
 for _mod in (relational, training, geospatial, geospatial2, geo_algebra,
              geo_graph,
              geo_cover_sql, geo_index, geo_pages, training2, training3,
-             training4, training5, training6, training7, webtext_q, e2e_q, streaming_q,
+             training4, training5, training6, training7, training8, webgraph,
+             webtext_q, e2e_q, streaming_q,
              pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)
 

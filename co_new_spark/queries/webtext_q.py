@@ -26,6 +26,16 @@ def _fixture(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(FIXTURE_PAGES)
 
 
+def host_sql(col: str) -> str:
+    """THE DuckDB restatement of ``parse_url(col, 'HOST')`` — the one
+    authority grammar (scheme, optional userinfo@, host stopped at :port /
+    path / query / fragment), nullif-wrapped because DuckDB's
+    regexp_extract returns '' where Spark returns NULL.  Single-sourced so
+    webgraph.py's href-host extraction can't drift from the url-host one."""
+    return ("nullif(regexp_extract(" + col + ", "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '')")
+
+
 # ---------------------------------------------------------------------------
 # A28 html -> text extraction, oracle-checked byte identity per url
 # ---------------------------------------------------------------------------
@@ -246,12 +256,10 @@ def w_host_quota(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_HOST_QUOTA = f"""
 SELECT host, url, rn FROM (
-  SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1),
-                '') AS host,
+  SELECT {host_sql("url")} AS host,
          url,
          row_number() OVER (
-           PARTITION BY nullif(regexp_extract(
-               url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '')
+           PARTITION BY {host_sql("url")}
            ORDER BY md5(url), url) AS rn
   FROM read_parquet('{FIXTURE_PAGES}')
 ) WHERE rn <= 3
@@ -259,7 +267,7 @@ SELECT host, url, rn FROM (
 
 
 SQL_HOST_STATS = f"""
-SELECT nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '') AS host,
+SELECT {host_sql("url")} AS host,
        CAST(count(*) AS BIGINT) AS n_pages,
        CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -538,8 +546,7 @@ FROM flagged GROUP BY url ORDER BY url
 _E2E_QUOTA = 3
 _B1 = " Aviso legal y condiciones de uso del sitio "
 _B2 = " Todos los derechos reservados por el portal "
-_HOST_SQL = ("nullif(regexp_extract(url, "
-             "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '')")
+_HOST_SQL = host_sql("url")
 
 
 def _ccnet_enrich(txt, url):
