@@ -57,6 +57,9 @@ HEADLINE = [
     "web_paragraph_dedup", "geo_dissolve", "geo_cover_erode",
     "train_quality_calibrate", "train_perplexity_buckets",
     "train_kmeans_lloyd", "train_semdedup", "train_bpe_merges",
+    # round-5 late additions: web link-graph (host PageRank over html-
+    # extracted edges) and inverted-index postings
+    "web_link_pagerank", "train_inverted_postings",
 ]
 
 
@@ -148,7 +151,8 @@ def run() -> dict:
                   "train_simhash": ["simhash_sigs"],
                   "train_dsir_weights": ["dsir_pairs", "dsir_scores",
                                          "dsir_weights"],
-                  "train_perplexity_buckets": ["ppl_pairs", "ppl_scores"]}
+                  "train_perplexity_buckets": ["ppl_pairs", "ppl_scores"],
+                  "web_link_pagerank": ["linkpages"]}
 
     def time_entry(name: str) -> float:
         fn, _sql = REGISTRY[name]

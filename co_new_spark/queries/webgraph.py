@@ -118,8 +118,12 @@ def w_link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ranks per queries/geo_graph.pagerank_int (integer micro-units, T=3
     fixed rounds, bit-identical across engines/partitionings).  Output also
     carries each host's out-degree (0 for pure sinks)."""
+    # The edge dedup is the ONE fact-sized shuffle — checkpoint it eagerly so
+    # the pagerank job and the out-degree join both reuse the deduped edge
+    # blocks instead of re-running extraction+dedup from parquet (ed is
+    # host-graph-sized; blocks are freed by the ContextCleaner on release).
     ed = (_links(spark, sf).filter(F.col("u") != F.col("v"))
-          .select("u", "v").distinct())
+          .select("u", "v").distinct().localCheckpoint(eager=True))
     nodes = (ed.select(F.col("u").alias("cell"))
                .union(ed.select(F.col("v").alias("cell"))).distinct())
     ranks = pagerank_int(nodes, ed)
@@ -133,10 +137,13 @@ def w_link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 def w_anchor_topterms(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 anchor-text terms per TARGET host (the external-description
-    signal: what the web calls a site).  One fact-sized (v, term) count
-    with map-side combine, then a per-host window over the tiny per-host
-    term histogram — partitioned by v, so no global sort anywhere."""
-    lk = _links(spark, sf)
+    signal: what the web calls a site).  Same-host links are excluded —
+    like the pagerank entry's self-loops — because a site's own navigation
+    boilerplate would otherwise dominate every host's top terms and defeat
+    the external signal.  One fact-sized (v, term) count with map-side
+    combine, then a per-host window over the tiny per-host term histogram —
+    partitioned by v, so no global sort anywhere."""
+    lk = _links(spark, sf).filter(F.col("u") != F.col("v"))
     counts = lk.groupBy("v", "term").agg(F.count("*").alias("n"))
     w = Window.partitionBy("v").orderBy(F.col("n").desc(), F.col("term"))
     return (counts.withColumn("rn", F.row_number().over(w))
@@ -210,6 +217,7 @@ WITH {_LK_CTES}
 SELECT v AS host, term, CAST(count(*) AS BIGINT) AS n,
        row_number() OVER (PARTITION BY v ORDER BY count(*) DESC, term) AS rn
 FROM lkv
+WHERE u <> v
 GROUP BY v, term
 QUALIFY rn <= 3
 """
