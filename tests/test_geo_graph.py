@@ -144,3 +144,62 @@ def test_cost_surface_hop_cap_and_partitioning(spark):
             for r in cost_surface(ndf.repartition(5), edf.repartition(3),
                                   seeds).collect()}
     assert got2 == want
+
+
+# --------------------------------------------------------------------------
+# flow_accum (density-ascent flow direction + catchment accumulation)
+# --------------------------------------------------------------------------
+
+
+def _flow(spark, node_counts, edges, k=6):
+    from co_new_spark.queries.geo_graph import flow_accum
+
+    ndf = spark.createDataFrame(list(node_counts.items()), "cell long, n long")
+    edf = spark.createDataFrame(edges, "u long, v long")
+    return {r.cell: (r.down_cell, r.acc)
+            for r in flow_accum(ndf, edf, k=k).collect()}
+
+
+def test_flow_chain_accumulates_to_peak(spark):
+    """Monotone chain 1<2<3<4: every cell flows uphill, the peak's basin is
+    the whole chain, and acc along the chain is 1,2,3,4."""
+    counts = {1: 10, 2: 20, 3: 30, 4: 40}
+    edges = _sym([(1, 2), (2, 3), (3, 4)])
+    got = _flow(spark, counts, edges)
+    assert got == {1: (2, 1), 2: (3, 2), 3: (4, 3), 4: (-1, 4)}
+
+
+def test_flow_ties_break_by_cell_id_and_stay_acyclic(spark):
+    """A plateau (equal counts) must still form a forest: the (n, cell)
+    lexicographic order sends every cell toward the max id, no cycles."""
+    counts = {1: 5, 2: 5, 3: 5}
+    edges = _sym([(1, 2), (2, 3), (1, 3)])
+    got = _flow(spark, counts, edges)
+    assert got[3] == (-1, 3)          # max id = the only peak
+    assert got[1][0] == 3 and got[2][0] == 3
+    # forest property: following down_cell strictly increases (n, cell)
+    for c, (d, _a) in got.items():
+        if d != -1:
+            assert (counts[d], d) > (counts[c], c)
+
+
+def test_flow_hop_cap_bounds_counting(spark):
+    """With k=1 only direct children are counted: a 3-chain's peak sees
+    acc=2 (self + immediate child), not the full basin."""
+    counts = {1: 10, 2: 20, 3: 30}
+    edges = _sym([(1, 2), (2, 3)])
+    got = _flow(spark, counts, edges, k=1)
+    assert got[3] == (-1, 2)
+
+
+def test_flow_entry_partitioning_invariance(spark):
+    from conftest import SF_DIR as sfd
+
+    from co_new_spark.queries.geo_graph import g_flow_accum
+
+    a = {tuple(r) for r in g_flow_accum(spark, sfd).collect()}
+    b = {tuple(r) for r in g_flow_accum(spark, sfd).collect()}
+    assert a and a == b
+    # every cell's basin contains at least itself; peaks exist
+    assert all(r[3] >= 1 for r in a)
+    assert any(r[2] == -1 for r in a)
