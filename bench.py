@@ -59,7 +59,7 @@ HEADLINE = [
     "train_kmeans_lloyd", "train_semdedup", "train_bpe_merges",
     # round-5 late additions: web link-graph (host PageRank over html-
     # extracted edges) and inverted-index postings
-    "web_link_pagerank", "train_inverted_postings",
+    "web_link_pagerank", "train_inverted_postings", "geo_flow_accum",
 ]
 
 

@@ -319,8 +319,104 @@ ORDER BY nd.cell
 """
 
 
+# --------------------------------------------------------------------------
+# geo_flow_accum — D8-style flow direction + flow accumulation on the
+# density raster (steepest-ASCENT variant: basins of attraction of density
+# peaks)
+# --------------------------------------------------------------------------
+#
+# The raster-hydrology pair (ESRI FlowDirection/FlowAccumulation), run on
+# the surface the engine actually has — the per-cell event-count raster —
+# with ascent replacing descent: each cell flows to its strictly-"higher"
+# king neighbor under the lexicographic order (n, cell), the cell-id
+# tie-break making the order total, so flow strictly increases along every
+# edge and the flow graph is a forest (each tree rooted at a local density
+# peak).  Accumulation = catchment size: how many cells' ascent paths pass
+# through each cell (mode-seeking / mean-shift basin assignment — "which
+# hotspot does this cell drain into, and how big is its basin").
+#
+# Distinct algorithm class from the other three graph entries: propagation
+# along a FUNCTIONAL graph (out-degree <= 1), so each round's aggregation
+# key is the unique down_cell — sums combine map-side and the total work
+# per round is one cell-graph-sized join + agg.  T rounds bound the counted
+# path length (acc is exact once T >= max tree depth; both engines run the
+# same T, so the result is hash-exact regardless).  All arithmetic is
+# small-integer.
+
+_FA_K = 6  # propagation rounds (= max counted ascent-path length)
+
+
+def flow_accum(nodes: DataFrame, edges: DataFrame,
+               k: int = _FA_K) -> DataFrame:
+    """(cell, n, down_cell, acc): steepest-ascent neighbor under (n, cell)
+    lexicographic order (-1 at peaks) and the k-bounded catchment count."""
+    nv = nodes.select(F.col("cell").alias("v"), F.col("n").alias("nv"))
+    nu = nodes.select(F.col("cell").alias("u"), F.col("n").alias("nu"))
+    cand = (edges.join(nv, "v").join(nu, "u")
+            .filter((F.col("nv") > F.col("nu"))
+                    | ((F.col("nv") == F.col("nu"))
+                       & (F.col("v") > F.col("u")))))
+    # argmax by (nv, v): max over a struct is ordered lexicographically —
+    # no window, one map-side-combinable agg on the cell graph
+    flow = (cand.groupBy("u")
+            .agg(F.max(F.struct("nv", "v")).alias("m"))
+            .select(F.col("u").alias("cell"),
+                    F.col("m.v").alias("down_cell"))
+            .localCheckpoint(eager=True))
+    acc = (nodes.select("cell", F.lit(1).cast("long").alias("acc"))
+           .localCheckpoint(eager=True))
+    for _ in range(k):
+        s = (flow.join(acc, "cell")
+             .groupBy("down_cell").agg(F.sum("acc").alias("s")))
+        acc = (nodes.select("cell")
+               .join(s.withColumnRenamed("down_cell", "cell"), "cell", "left")
+               .select("cell", (F.lit(1) + F.coalesce("s", F.lit(0)))
+                       .cast("long").alias("acc"))
+               .localCheckpoint(eager=True))
+    return (nodes.join(flow, "cell", "left").join(acc, "cell")
+            .select("cell", "n",
+                    F.coalesce("down_cell", F.lit(-1)).alias("down_cell"),
+                    "acc"))
+
+
+def g_flow_accum(spark: SparkSession, sf: str) -> DataFrame:
+    """Per occupied cell: its density-ascent flow target and basin size."""
+    nodes, edges = _cell_graph(spark, sf)
+    return _finish(flow_accum(nodes, edges), [nodes])
+
+
+def _fa_cte(k: int) -> str:
+    return f"""a{k} AS MATERIALIZED (
+  SELECT n.cell, CAST(1 + coalesce(s.s, 0) AS BIGINT) AS acc
+  FROM nodes n LEFT JOIN (
+    SELECT f.down_cell AS cell, sum(a.acc) AS s
+    FROM a{k - 1} a JOIN flow f ON f.cell = a.cell
+    GROUP BY f.down_cell
+  ) s ON s.cell = n.cell
+)"""
+
+
+SQL_FLOW_ACCUM = f"""
+WITH {_GRAPH_CTES}, cand AS (
+  SELECT e.u, e.v, nv.n AS nv
+  FROM ed e JOIN nodes nv ON nv.cell = e.v JOIN nodes nu ON nu.cell = e.u
+  WHERE (nv.n > nu.n) OR (nv.n = nu.n AND e.v > e.u)
+), flow AS (
+  SELECT u AS cell, v AS down_cell FROM cand
+  QUALIFY row_number() OVER (PARTITION BY u ORDER BY nv DESC, v DESC) = 1
+), a0 AS MATERIALIZED (
+  SELECT cell, CAST(1 AS BIGINT) AS acc FROM nodes
+), {', '.join(_fa_cte(k) for k in range(1, _FA_K + 1))}
+SELECT nd.cell, nd.n, coalesce(f.down_cell, -1) AS down_cell, a.acc
+FROM nodes nd
+LEFT JOIN flow f ON f.cell = nd.cell
+JOIN a{_FA_K} a ON a.cell = nd.cell
+"""
+
+
 QUERIES = {
     "geo_cell_pagerank": (g_cell_pagerank, SQL_CELL_PAGERANK),
     "geo_cell_hops": (g_cell_hops, SQL_CELL_HOPS),
     "geo_cost_surface": (g_cost_surface, SQL_COST_SURFACE),
+    "geo_flow_accum": (g_flow_accum, SQL_FLOW_ACCUM),
 }
