@@ -60,6 +60,7 @@ HEADLINE = [
     # round-5 late additions: web link-graph (host PageRank over html-
     # extracted edges) and inverted-index postings
     "web_link_pagerank", "train_inverted_postings", "geo_flow_accum",
+    "web_hits_scores",
 ]
 
 

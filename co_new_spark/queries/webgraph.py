@@ -223,6 +223,116 @@ QUALIFY rn <= 3
 """
 
 
+def w_url_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """URL template mining (sitemap-structure discovery): generalize each
+    path by collapsing digit runs to ``#`` and count urls per (host,
+    template) — the crawl-analytics verb behind per-site sampling caps and
+    crawler-trap detection (a template with millions of urls is a calendar
+    or session-id trap, not content).
+
+    The fixture's paths are uniform ``/pageN``, so a deterministic in-query
+    enrichment (pure integer math on the page number, re-derived identically
+    by the oracle — the web_redact_pii protocol) first diversifies them into
+    four realistic shapes.  Scale: one projection + one map-side-combined
+    (host, template) count; no joins, no windows."""
+    urls = spark.read.parquet(FIXTURE_PAGES).select("url").distinct()
+    pno = F.regexp_extract("url", "/page([0-9]+)$", 1).cast("long")
+    e = urls.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        pno.alias("pno"))
+    s = F.col("pno").cast("string")
+    m = F.pmod(F.col("pno"), F.lit(4))
+    path = (F.when(m == 0, F.concat(F.lit("/art/"), s, F.lit("/view")))
+             .when(m == 1, F.concat(F.lit("/p"), s, F.lit(".html")))
+             .when(m == 2, F.concat(F.lit("/cat"),
+                                    F.pmod(F.col("pno"), F.lit(7))
+                                     .cast("string"),
+                                    F.lit("/item"), s))
+             .otherwise(F.concat(F.lit("/page"), s)))
+    return (e.select("host", F.regexp_replace(path, "[0-9]+", "#")
+                     .alias("template"))
+             .groupBy("host", "template")
+             .agg(F.count("*").alias("n_urls")))
+
+
+SQL_URL_TEMPLATES = f"""
+WITH u AS (SELECT DISTINCT url FROM read_parquet('{FIXTURE_PAGES}')),
+e AS (
+  SELECT {host_sql("url")} AS host,
+         CAST(regexp_extract(url, '/page([0-9]+)$', 1) AS BIGINT) AS pno
+  FROM u
+), p AS (
+  SELECT host,
+         CASE pno % 4
+           WHEN 0 THEN '/art/' || pno || '/view'
+           WHEN 1 THEN '/p' || pno || '.html'
+           WHEN 2 THEN '/cat' || (pno % 7) || '/item' || pno
+           ELSE '/page' || pno
+         END AS path
+  FROM e
+)
+SELECT host, regexp_replace(path, '[0-9]+', '#', 'g') AS template,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM p GROUP BY 1, 2
+"""
+
+
+_HITS_T = 2  # fixed mutual-recursion rounds (values stay small-integer)
+
+
+def w_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities over the host link graph — the OTHER classic
+    link-analysis iteration, structurally distinct from PageRank: two
+    MUTUALLY-recursive score families (authority = sum of pointing hubs,
+    hub = sum of pointed-to authorities), alternating directions over the
+    same edge set.
+
+    Integer-exact without normalization: the textbook L2 renormalize is
+    float and order-sensitive, so the T=2 unnormalized power rounds keep
+    raw BIGINT sums — rankings are identical to the normalized variant
+    (normalization is a positive scalar per round) and the values are
+    bit-identical across engines and partitionings.  Each half-round is one
+    equi-join + one map-side-combined sum on the HOST graph (the fact table
+    was left behind at edge extraction, shared with web_link_pagerank via
+    the linkpages materialization)."""
+    ed = (_links(spark, sf).filter(F.col("u") != F.col("v"))
+          .select("u", "v").distinct().localCheckpoint(eager=True))
+    nodes = (ed.select(F.col("u").alias("host"))
+               .union(ed.select(F.col("v").alias("host"))).distinct())
+    hub = nodes.select("host", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(_HITS_T):
+        s = (ed.join(hub.withColumnRenamed("host", "u"), "u")
+               .groupBy("v").agg(F.sum("h").alias("s")))
+        auth = (nodes.join(s.withColumnRenamed("v", "host"), "host", "left")
+                .select("host", F.coalesce("s", F.lit(0)).cast("long")
+                        .alias("a")))
+        t = (ed.join(auth.withColumnRenamed("host", "v"), "v")
+               .groupBy("u").agg(F.sum("a").alias("t")))
+        hub = (nodes.join(t.withColumnRenamed("u", "host"), "host", "left")
+               .select("host", F.coalesce("t", F.lit(0)).cast("long")
+                       .alias("h")))
+    return (auth.join(hub, "host")
+            .select("host", F.col("a").alias("auth"),
+                    F.col("h").alias("hub")))
+
+
+def _hits_cte(k: int) -> str:
+    return f"""a{k} AS (
+  SELECT n.host, CAST(coalesce(s.s, 0) AS BIGINT) AS a
+  FROM hnodes n LEFT JOIN (
+    SELECT e.v AS host, sum(h.h) AS s
+    FROM h{k - 1} h JOIN ed e ON e.u = h.host GROUP BY e.v
+  ) s ON s.host = n.host
+), h{k} AS (
+  SELECT n.host, CAST(coalesce(t.t, 0) AS BIGINT) AS h
+  FROM hnodes n LEFT JOIN (
+    SELECT e.u AS host, sum(a.a) AS t
+    FROM a{k} a JOIN ed e ON e.v = a.host GROUP BY e.u
+  ) t ON t.host = n.host
+)"""
+
+
 # Path grammar: everything after the authority, stopped at ? / # — the
 # DuckDB restatement of parse_url(url, 'PATH') for the fixture's clean
 # scheme://host/path URLs (no query/fragment present, so the stop set is
@@ -244,8 +354,25 @@ WHERE levenshtein(a.path, b.path) <= 2
 """
 
 
+SQL_HITS_SCORES = f"""
+WITH {_LK_CTES}, ed AS (
+  SELECT DISTINCT u, v FROM lkv WHERE u <> v
+), hnodes AS (
+  SELECT u AS host FROM ed UNION SELECT v FROM ed
+), h0 AS (
+  SELECT host, CAST(1 AS BIGINT) AS h FROM hnodes
+), {', '.join(_hits_cte(k) for k in range(1, _HITS_T + 1))}
+SELECT n.host, a.a AS auth, h.h AS hub
+FROM hnodes n
+JOIN a{_HITS_T} a ON a.host = n.host
+JOIN h{_HITS_T} h ON h.host = n.host
+"""
+
+
 QUERIES = {
     "web_link_pagerank": (w_link_pagerank, SQL_LINK_PAGERANK),
     "web_anchor_topterms": (w_anchor_topterms, SQL_ANCHOR_TOPTERMS),
     "web_fuzzy_url_pairs": (w_fuzzy_url_pairs, SQL_FUZZY_URL_PAIRS),
+    "web_hits_scores": (w_hits_scores, SQL_HITS_SCORES),
+    "web_url_templates": (w_url_templates, SQL_URL_TEMPLATES),
 }

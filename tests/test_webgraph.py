@@ -115,3 +115,53 @@ def test_stratified_exact_quota(spark):
     a = {(r.lang, r.doc_id) for r in out.collect()}
     b = {(r.lang, r.doc_id) for r in t_stratified_sample(spark, SF_DIR).collect()}
     assert a == b
+
+
+def _py_hits(nodes, edges, t=2):
+    a = dict.fromkeys(nodes, 0)
+    h = dict.fromkeys(nodes, 1)
+    for _ in range(t):
+        a = dict.fromkeys(nodes, 0)
+        for u, v in edges:
+            a[v] += h[u]
+        h = dict.fromkeys(nodes, 0)
+        for u, v in edges:
+            h[u] += a[v]
+    return a, h
+
+
+def test_hits_matches_python_reference(spark):
+    """Entry-level parity on the real fixture graph against a pure-python
+    mirror of the unnormalized T-round protocol."""
+    from pyspark.sql import functions as F2
+
+    from co_new_spark.queries.webgraph import _HITS_T, w_hits_scores
+
+    ed = (_links(spark, SF_DIR).filter(F2.col("u") != F2.col("v"))
+          .select("u", "v").distinct().collect())
+    edges = [(r.u, r.v) for r in ed]
+    nodes = {x for e in edges for x in e}
+    a, h = _py_hits(nodes, edges, _HITS_T)
+    got = {r.host: (r.auth, r.hub) for r in w_hits_scores(spark, SF_DIR).collect()}
+    assert got == {n: (a[n], h[n]) for n in nodes}
+    # the planted hot targets must surface near the top: edge dedup erodes
+    # (but must not erase) the raw-link-count advantage, so all 4 planted
+    # hosts rank within the top 8 authorities
+    top_auth = sorted(got, key=lambda n: (-got[n][0], n))[:8]
+    assert {f"hub{i:02d}.example.net" for i in range(4)} <= set(top_auth)
+
+
+def test_url_templates_cover_all_urls_with_no_digits(spark):
+    from pyspark.sql import functions as F2
+
+    from co_new_spark.queries.webgraph import w_url_templates
+
+    out = w_url_templates(spark, SF_DIR)
+    rows = out.collect()
+    assert all("#" in r.template and not any(c.isdigit() for c in r.template)
+               for r in rows)
+    total = sum(r.n_urls for r in rows)
+    import co_new_spark.queries.webtext_q as wq
+    n_urls = (spark.read.parquet(wq.FIXTURE_PAGES)
+              .select("url").distinct().count())
+    assert total == n_urls
