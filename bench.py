@@ -61,6 +61,9 @@ HEADLINE = [
     # extracted edges) and inverted-index postings
     "web_link_pagerank", "train_inverted_postings", "geo_flow_accum",
     "web_hits_scores",
+    # link-graph structure: degree-ordered triangle counting + deterministic
+    # label-propagation communities over the host graph
+    "web_triangle_count", "web_label_prop",
 ]
 
 
@@ -164,7 +167,12 @@ def run() -> dict:
         return round(time.time() - t0, 3)
 
     best_of = int(os.environ.get("BENCH_BEST_OF", "2"))
+    # BENCH_ONLY="a,b" restricts the suite for local iteration; the driver
+    # never sets it, so the recorded per-round suite is always the full list.
+    only = {n for n in os.environ.get("BENCH_ONLY", "").split(",") if n}
     for name in HEADLINE:
+        if only and name not in only:
+            continue
         timings[name] = min(time_entry(name) for _ in range(max(1, best_of)))
 
     # --- regression tracking vs the previous round (round-3 VERDICT ask #3):

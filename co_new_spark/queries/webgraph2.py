@@ -1,0 +1,207 @@
+"""Web link-graph structure analytics: triangle counting (clustering
+structure) and label-propagation communities over the host graph.
+
+Why they exist: after centrality (web_link_pagerank, web_hits_scores) the
+two remaining classic link-graph computations a crawl pipeline runs are
+*motif counting* — triangles / local clustering coefficients separate
+organic link neighborhoods from link farms (spam graphs are famously
+triangle-poor for their degree; Becchetti et al. 2008 use exactly this
+signal) — and *community detection* — grouping hosts into link communities
+for per-community sampling caps and topic mixing (label propagation,
+Raghavan et al. 2007, is the standard linear-time choice).  Both are new
+algorithm families for the registry: bounded motif enumeration and
+majority-vote label iteration (structurally distinct from the sum-
+propagation of PageRank/HITS and the min-propagation of BFS/CC).
+
+Scale design:
+* The fact table is left behind at edge extraction (webgraph._links, shared
+  ``linkpages`` materialization — the edge dedup is the only fact-sized
+  shuffle, map-side combined).  Everything below runs on the HOST graph.
+* Triangles use the degree-ordered orientation (the MapReduce-classic
+  Suri & Vassilvitskii 2011 / Cohen 2009 scheme): orient every undirected
+  edge from the (degree, host)-smaller endpoint to the larger, making the
+  graph a DAG where each triangle appears EXACTLY once as wedge
+  (a->b, a->c) + closing edge (b->c).  Wedge generation is bounded by
+  sum(out_deg^2) = O(m^1.5) — a hub of degree d contributes its SQUARE only
+  if it keeps high out-degree, which orientation prevents (hubs sort last,
+  so their edges point AT them and their out-degree stays ~sqrt(m)).  Both
+  joins are host-keyed equi-joins; the per-host triangle count combines
+  map-side.  No all-pairs anywhere.
+* Label propagation runs T fixed unrolled rounds (registry rule: no driver
+  convergence probes).  One round = one equi-join of the neighbor relation
+  with the current label frame + ONE map-side-combined (host, label) count
+  + an order-independent argmax via min(struct(-n, label)) — most-frequent
+  label, ties to the lexicographically smallest, so the result is
+  deterministic and partitioning-invariant (plain LPA's random tie-break
+  famously isn't; the min-tie-break variant trades a little convergence
+  speed for reproducibility).  No windows over anything fact-sized; the
+  final community-size join is community-keyed.
+
+Reference tie-in: the reference's grid asks the same two questions of its
+cell fabric — adjacency clustering (geo_grid_cluster) and region formation;
+these are the host-graph twins, sharing the lattice entries' integer-exact
+unrolled-rounds oracle protocol (/root/reference/README.md:23's 1-D
+reduction philosophy applied to graph keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .webgraph import _LK_CTES, _links
+
+_LPA_T = 3  # fixed label-propagation rounds
+
+
+def _und_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected, deduped, self-loop-free host edge set (a < b)."""
+    lk = _links(spark, sf).filter(F.col("u") != F.col("v"))
+    return (lk.select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"))
+            .distinct())
+
+
+def w_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host triangle participation + degree over the undirected host
+    graph (the local-clustering numerator: cc_i = tri_i / C(deg_i, 2)).
+
+    Degree-ordered orientation makes every triangle a unique
+    (min -> mid -> max) wedge-plus-closure; see module docstring for the
+    O(m^1.5) bound."""
+    und = _und_edges(spark, sf).localCheckpoint(eager=True)
+    deg = (und.select(F.col("a").alias("host"))
+           .union(und.select(F.col("b").alias("host")))
+           .groupBy("host").agg(F.count("*").alias("deg")))
+    # (deg, host) total order -> DAG orientation src -> dst
+    e = (und
+         .join(deg.select(F.col("host").alias("a"), F.col("deg").alias("da")),
+               "a")
+         .join(deg.select(F.col("host").alias("b"), F.col("deg").alias("db")),
+               "b"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ori = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("da")).otherwise(F.col("db")).alias("ds"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint(eager=True)
+    # wedges from the order-minimal vertex: (src -> b), (src -> c) with
+    # (deg_b, b) < (deg_c, c); close with oriented edge (b -> c)
+    w1 = ori.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                    F.col("dd").alias("db_"))
+    w2 = ori.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                    F.col("dd").alias("dc_"))
+    wedge = w1.join(w2, "a").filter(
+        (F.col("db_") < F.col("dc_")) | (
+            (F.col("db_") == F.col("dc_")) & (F.col("b") < F.col("c"))))
+    close = ori.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedge.join(close, ["b", "c"]).select("a", "b", "c")
+    per_host = (tri.select(F.explode(F.array("a", "b", "c")).alias("host"))
+                .groupBy("host").agg(F.count("*").alias("tri")))
+    return (deg.join(per_host, "host", "left")
+            .select("host", "deg",
+                    F.coalesce("tri", F.lit(0)).cast("long").alias("tri"))
+            .orderBy("host"))
+
+
+def w_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-propagation communities (min-tie-break LPA, T fixed rounds)
+    over the undirected host graph; output carries the community label and
+    its member count."""
+    und = _und_edges(spark, sf).localCheckpoint(eager=True)
+    nb = (und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+          .union(und.select(F.col("b").alias("x"), F.col("a").alias("y"))))
+    nodes = nb.select(F.col("x").alias("host")).distinct()
+    lbl = nodes.select("host", F.col("host").alias("label"))
+    for _ in range(_LPA_T):
+        cnt = (nb.join(lbl.withColumnRenamed("host", "y"), "y")
+               .groupBy("x", "label").agg(F.count("*").alias("n")))
+        best = (cnt.groupBy("x")
+                .agg(F.min(F.struct((-F.col("n")).alias("nn"),
+                                    F.col("label"))).alias("m"))
+                .select(F.col("x").alias("host"),
+                        F.col("m.label").alias("new_label")))
+        lbl = (lbl.join(best, "host", "left")
+               .select("host", F.coalesce("new_label", "label")
+                       .alias("label")))
+    size = lbl.groupBy("label").agg(F.count("*").alias("community_size"))
+    return (lbl.join(size, "label")
+            .select("host", F.col("label").alias("community"),
+                    "community_size")
+            .orderBy("host"))
+
+
+_UND_CTES = f"""{_LK_CTES}, und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM lkv WHERE u <> v
+)"""
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_UND_CTES}, deg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS host FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY host
+), ori AS (
+  SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS src,
+         CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS dst,
+         CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg ELSE da.deg END
+           AS dd
+  FROM und
+  JOIN deg da ON da.host = und.a
+  JOIN deg db ON db.host = und.b
+), tri AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM ori w1
+  JOIN ori w2 ON w2.src = w1.src
+             AND (w1.dd, w1.dst) < (w2.dd, w2.dst)
+  JOIN ori cl ON cl.src = w1.dst AND cl.dst = w2.dst
+), per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS tri FROM (
+    SELECT a AS host FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY host
+)
+SELECT d.host, d.deg, coalesce(p.tri, 0) AS tri
+FROM deg d LEFT JOIN per_host p ON p.host = d.host
+ORDER BY d.host
+"""
+
+
+def _lpa_cte(k: int) -> str:
+    return f"""cnt{k} AS (
+  SELECT nb.x, l.label, CAST(count(*) AS BIGINT) AS n
+  FROM nb JOIN lbl{k - 1} l ON l.host = nb.y
+  GROUP BY nb.x, l.label
+), lbl{k} AS (
+  SELECT p.host, coalesce(c.label, p.label) AS label
+  FROM lbl{k - 1} p
+  LEFT JOIN (
+    SELECT x, label,
+           row_number() OVER (PARTITION BY x ORDER BY n DESC, label) AS rn
+    FROM cnt{k}
+  ) c ON c.x = p.host AND c.rn = 1
+)"""
+
+
+SQL_LABEL_PROP = f"""
+WITH {_UND_CTES}, nb AS (
+  SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und
+), lbl0 AS (
+  SELECT DISTINCT x AS host, x AS label FROM nb
+), {', '.join(_lpa_cte(k) for k in range(1, _LPA_T + 1))}
+SELECT l.host, l.label AS community, s.community_size
+FROM lbl{_LPA_T} l
+JOIN (
+  SELECT label, CAST(count(*) AS BIGINT) AS community_size
+  FROM lbl{_LPA_T} GROUP BY label
+) s ON s.label = l.label
+ORDER BY l.host
+"""
+
+
+QUERIES = {
+    "web_triangle_count": (w_triangle_count, SQL_TRIANGLE_COUNT),
+    "web_label_prop": (w_label_prop, SQL_LABEL_PROP),
+}
