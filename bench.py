@@ -64,6 +64,9 @@ HEADLINE = [
     # link-graph structure: degree-ordered triangle counting + deterministic
     # label-propagation communities over the host graph
     "web_triangle_count", "web_label_prop",
+    # PMI collocation mining over the sf-scaled documents table (the two
+    # crawl-ops entries run on the fixed 2k-page fixture — too small to time)
+    "train_pmi_pairs",
 ]
 
 

@@ -10,7 +10,7 @@ from . import (
     geospatial2, media_q,
     pipeline_q, relational, e2e_q, streaming_q, training, training2, training3,
     training4, training5, training6, training7, training8, webgraph,
-    webgraph2, webtext_q,
+    webgraph2, webtext_q, webtext2,
 )
 
 REGISTRY: dict = {}
@@ -18,7 +18,7 @@ for _mod in (relational, training, geospatial, geospatial2, geo_algebra,
              geo_graph,
              geo_cover_sql, geo_index, geo_pages, training2, training3,
              training4, training5, training6, training7, training8, webgraph,
-             webgraph2, webtext_q, e2e_q, streaming_q,
+             webgraph2, webtext_q, webtext2, e2e_q, streaming_q,
              pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)
 

@@ -1,6 +1,7 @@
 """Corpus indexing + sampling verbs: inverted-index construction
-(``train_inverted_postings``) and exact-quota stratified sampling
-(``train_stratified_sample``).
+(``train_inverted_postings``), exact-quota stratified sampling
+(``train_stratified_sample``), and PMI collocation mining
+(``train_pmi_pairs``).
 
 Why they exist: an inverted index is the retrieval structure behind the
 registry's BM25 entry (train_bm25_topk materializes idf but never the
@@ -103,7 +104,87 @@ SELECT lang, doc_id, rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI collocation mining.  Why it exists: pointwise mutual information over
+# adjacent word pairs is the classic collocation/phrase-mining statistic
+# (Church & Hanks 1990) — the phrase tables word2vec-style pipelines and
+# tokenizer pre-merges are built from.  Scale design: bigrams come from one
+# in-row array transform (NO self-join of the fact table — the oracle's
+# position self-join is the restatement, not the plan); unigram and bigram
+# counts both combine map-side; the vocabulary-sized marginal table joins
+# back by BROADCAST; corpus totals are a 1-row broadcast.  Top-K is
+# orderBy().limit() — TakeOrderedAndProject, not a global sort.  Cross-engine
+# float discipline: the PMI *ratio* (monotone in PMI, log omitted) is
+# computed from integer counts with an identical double expression both
+# sides and rounded to 6 dp (the SQL_KNN protocol); ordering uses the
+# emitted rounded value with (w1, w2) tie-breaks, so the top-K cut is a
+# total order in both engines.
+# ---------------------------------------------------------------------------
+
+_PMI_TOPK = 20  # pairs kept
+_PMI_MINC = 5   # min bigram count (hapax pairs maximize PMI vacuously)
+
+
+def t_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-``_PMI_TOPK`` adjacent word pairs by PMI ratio
+    p(x,y) / (p(x) p(y)), with pair/marginal counts carried for audit."""
+    docs = load(spark, sf, "documents")
+    tk = docs.select(F.split(F.col("text"), " ").alias("t"))
+    tot = tk.agg(
+        F.sum(F.size("t")).cast("long").alias("n_uni"),
+        F.sum(F.greatest(F.size("t") - F.lit(1), F.lit(0)))
+        .cast("long").alias("n_pairs"))
+    uni = (tk.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    big = (tk.select(F.explode(F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (w, i) -> struct(w AS w1, t[i + 1] AS w2))")).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MINC))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (big.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("pmi_ratio", F.round(
+                  (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                  / (F.col("n_pairs").cast("double") * F.col("c_x") * F.col("c_y")),
+                  6)))
+    return (scored.select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_ratio")
+            .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+            .limit(_PMI_TOPK))
+
+
+SQL_PMI_PAIRS = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tot AS (
+  SELECT CAST(sum(len(t)) AS BIGINT) AS n_uni,
+         CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_pairs
+  FROM tk
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+), big AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+  HAVING count(*) >= {_PMI_MINC}
+)
+SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+       round((CAST(c_xy AS DOUBLE) * t.n_uni * t.n_uni)
+             / (CAST(t.n_pairs AS DOUBLE) * u1.c * u2.c), 6) AS pmi_ratio
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+CROSS JOIN tot t
+ORDER BY pmi_ratio DESC, w1, w2 LIMIT {_PMI_TOPK}
+"""
+
+
 QUERIES = {
     "train_inverted_postings": (t_inverted_postings, SQL_INVERTED_POSTINGS),
     "train_stratified_sample": (t_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "train_pmi_pairs": (t_pmi_pairs, SQL_PMI_PAIRS),
 }

@@ -1,0 +1,96 @@
+"""Crawl-operations entries (queries/webtext2.py) and PMI collocation
+mining (queries/training8.t_pmi_pairs).
+
+The oracle gate proves cross-engine value identity; these pin what it
+cannot: the *changed*-url branch of recrawl_diff (the fixture, honoring
+the byte-identical-per-url contract, never exercises it), the frontier
+schedule's politeness invariants (dense per-host slots, one worker per
+host), and PMI ground truth vs an independent pure-python count (a
+tokenization or marginal-count bug could in principle be mirrored in the
+SQL restatement — the python mirror breaks that symmetry).
+"""
+
+import collections
+import datetime
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from co_new_spark.queries.training8 import _PMI_MINC, _PMI_TOPK, t_pmi_pairs
+from co_new_spark.queries.webtext2 import (_N_WORKERS, _POLITE_S,
+                                           recrawl_diff, w_crawl_schedule,
+                                           w_recrawl_diff)
+from co_new_spark.sources.tables import load
+
+
+def test_recrawl_diff_fixture_contract(spark):
+    rows = w_recrawl_diff(spark, SF_DIR).collect()
+    assert rows  # the fixture's ~6% url-duplicate groups
+    for r in rows:
+        assert r.n_snaps == 3            # duplicate groups are exactly 3
+        assert r.n_versions == 1         # byte-identical per url
+        assert r.unchanged is True
+        assert r.span_s == int((r.last_ts - r.first_ts).total_seconds())
+        assert r.span_s > 0
+
+
+def test_recrawl_diff_planted_change(spark):
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("u/changed", t0, "version one"),
+        ("u/changed", t0 + datetime.timedelta(days=1), "version two"),
+        ("u/changed", t0 + datetime.timedelta(days=2), "version two"),
+        ("u/stable", t0, "same"),
+        ("u/stable", t0 + datetime.timedelta(hours=1), "same"),
+        ("u/once", t0, "single fetch"),
+    ]
+    pg = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {r.url: r for r in recrawl_diff(pg).collect()}
+    assert set(got) == {"u/changed", "u/stable"}  # n_snaps >= 2 only
+    assert got["u/changed"].n_versions == 2
+    assert got["u/changed"].unchanged is False
+    assert got["u/changed"].span_s == 2 * 86400
+    assert got["u/stable"].n_versions == 1
+    assert got["u/stable"].unchanged is True
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    rows = w_crawl_schedule(spark, SF_DIR).collect()
+    by_host = collections.defaultdict(list)
+    for r in rows:
+        assert r.fetch_offset_s == r.slot * _POLITE_S
+        assert 0 <= r.worker < _N_WORKERS
+        by_host[r.host].append(r)
+    assert len({r.url for r in rows}) == len(rows)  # one slot per url
+    for host, rs in by_host.items():
+        slots = sorted(r.slot for r in rs)
+        assert slots == list(range(len(rs)))        # dense FIFO 0..n-1
+        assert len({r.worker for r in rs}) == 1     # per-host worker affinity
+
+
+def test_pmi_matches_python_mirror(spark):
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    uni: collections.Counter = collections.Counter()
+    big: collections.Counter = collections.Counter()
+    n_uni = n_pairs = 0
+    for row in docs:
+        toks = row.text.split(" ")
+        uni.update(toks)
+        n_uni += len(toks)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+            n_pairs += 1
+    scored = []
+    for (a, b), c in big.items():
+        if c < _PMI_MINC:
+            continue
+        ratio = round((float(c) * n_uni * n_uni)
+                      / (float(n_pairs) * uni[a] * uni[b]), 6)
+        scored.append((-ratio, a, b, c, uni[a], uni[b]))
+    scored.sort()
+    want = [(a, b, c, cx, cy, -nr) for nr, a, b, c, cx, cy
+            in scored[:_PMI_TOPK]]
+    got = [(r.w1, r.w2, r.c_xy, r.c_x, r.c_y, r.pmi_ratio)
+           for r in t_pmi_pairs(spark, SF_DIR).collect()]
+    assert got == want
