@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as tx
 from .webtext_q import FIXTURE_PAGES, _fixture, host_sql
 
 _POLITE_S = 5   # fixed per-host inter-request delay (seconds)
@@ -121,7 +122,184 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# Trending-term burst detection (Kleinberg-style burst RATIO against the
+# uniform-over-weeks expectation — the monitoring query every crawl pipeline
+# runs over its (warc_ts, text) history).  Scale design: the (term, week)
+# count combines map-side; the per-term marginal is a re-aggregate of those
+# partials and joins back by TERM-KEYED equi-join (at web scale the term
+# marginal table is vocabulary-sized — NOT broadcastable — and both sides
+# arrive already hashed on term, so AQE plans it without a new fact
+# shuffle); the distinct-week total is a 1-row broadcast.  Top-K is
+# orderBy().limit() (TakeOrderedAndProject).  Float discipline: burst =
+# (c_tw * n_weeks) / c_t from integer counts, identical double expression
+# both engines, rounded to 6 dp, ordering on the emitted rounded value
+# with (term, week) tie-breaks.
+# ---------------------------------------------------------------------------
+
+_TREND_MINCT = 40  # a term must be corpus-established before it can "burst"
+_TREND_TOPK = 30
+
+
+def w_trending_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-``_TREND_TOPK`` (term, week) cells by burst ratio — the factor by
+    which a term's weekly count exceeds its uniform-over-weeks expectation."""
+    pg = _fixture(spark)
+    tw = pg.select(F.date_trunc("week", F.col("warc_ts")).alias("week"),
+                   F.explode(tx.word_tokens(F.col("text"))).alias("term"))
+    ctw = tw.groupBy("term", "week").agg(F.count("*").alias("c_tw"))
+    ct = ctw.groupBy("term").agg(F.sum("c_tw").alias("c_t"))
+    wk = pg.agg(F.countDistinct(F.date_trunc("week", F.col("warc_ts")))
+                .alias("n_weeks"))
+    return (ctw.join(ct, "term").crossJoin(F.broadcast(wk))
+            .filter(F.col("c_t") >= _TREND_MINCT)
+            .withColumn("burst", F.round(
+                (F.col("c_tw").cast("double") * F.col("n_weeks"))
+                / F.col("c_t"), 6))
+            .select("term", "week", "c_tw", "c_t", "burst")
+            .orderBy(F.col("burst").desc(), "term", "week")
+            .limit(_TREND_TOPK))
+
+
+_TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text),"
+             " '[^\\p{L}\\p{N}]+'), x -> x <> '')")
+
+SQL_TRENDING_TERMS = f"""
+WITH tw AS (
+  SELECT date_trunc('week', warc_ts) AS week,
+         unnest({_TOKS_SQL}) AS term
+  FROM read_parquet('{FIXTURE_PAGES}')
+), ctw AS (
+  SELECT term, week, CAST(count(*) AS BIGINT) AS c_tw
+  FROM tw GROUP BY term, week
+), ct AS (
+  SELECT term, CAST(sum(c_tw) AS BIGINT) AS c_t FROM ctw GROUP BY term
+), wk AS (
+  SELECT CAST(count(DISTINCT date_trunc('week', warc_ts)) AS BIGINT)
+    AS n_weeks
+  FROM read_parquet('{FIXTURE_PAGES}')
+)
+SELECT term, week, c_tw, c_t,
+       round((CAST(c_tw AS DOUBLE) * n_weeks) / c_t, 6) AS burst
+FROM ctw JOIN ct USING (term) CROSS JOIN wk
+WHERE c_t >= {_TREND_MINCT}
+ORDER BY burst DESC, term, week LIMIT {_TREND_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robots-style URL filtering: RFC 9309's longest-prefix-match rule —
+# the most specific (longest) matching path prefix decides allow/deny.
+# The rule table is synthesized deterministically IN-QUERY from the host
+# set (the web_redact_pii protocol: the fixture carries no robots data, so
+# the oracle re-derives the same rules AND the same match independently —
+# a regression in either the synthesis or the matcher breaks the hash).
+#
+# Scale design (the longest_prefix_match operator): prefix match is NOT a
+# join Spark has natively — the rewrite is (a) collect the DISTINCT RULE
+# PREFIX LENGTHS (bounded by max path length — single-digit cardinality in
+# any real robots corpus; driver-probe-sized BY CONSTRUCTION, asserted), (b)
+# explode each url into one substring candidate per rule length, (c) plain
+# equi-join on (host, prefix) — broadcastable when the rule table is
+# dimension-sized, hash-join otherwise (not forced: a web-scale rules table
+# is host-cardinality-sized), (d) winner per url via ONE map-side-combined
+# max(struct(len, ...)) argmax — no window at all.  Same family as the
+# engine's interval->prefix join rewrite (B8), applied to path strings.
+# ---------------------------------------------------------------------------
+
+_LPM_MAX_LENS = 64  # distinct-rule-length collect guard (see docstring)
+
+
+def longest_prefix_match(facts: DataFrame, rules: DataFrame) -> DataFrame:
+    """(url, host, path) x (host, prefix, allow) -> (url, host, prefix,
+    allow) under longest-prefix-wins.  ``rules`` prefixes per host must be
+    distinct (RFC 9309 rule sets are).  See module comment for the plan."""
+    lens = sorted(r.l for r in
+                  rules.select(F.length("prefix").alias("l"))
+                  .distinct().collect())
+    assert 0 < len(lens) <= _LPM_MAX_LENS, (
+        f"rule-length cardinality {len(lens)} outside (0, {_LPM_MAX_LENS}]: "
+        "the length collect is driver-probe-sized only while rule prefixes "
+        "share a bounded set of lengths")
+    cand = facts.withColumn(
+        "prefix",
+        F.explode(F.array_distinct(F.array(
+            *[F.substring(F.col("path"), 1, l) for l in lens]))))
+    return (cand.join(rules, ["host", "prefix"])
+            .groupBy("url", "host")
+            .agg(F.max(F.struct(F.length("prefix").alias("l"),
+                                F.col("allow").alias("allow"),
+                                F.col("prefix").alias("prefix"))).alias("m"))
+            .select("url", "host",
+                    F.col("m.prefix").alias("prefix"),
+                    F.col("m.allow").alias("allow")))
+
+
+_PATH_RE = "^[a-z]+://[^/]+(/.*)$"
+
+
+def _synth_rules(hosts: DataFrame) -> DataFrame:
+    """Deterministic robots rule set per host: '/' allow everywhere; hosts
+    whose md5 first hex char is even-ascii deny '/page1'; of those, hosts
+    with even-ascii second char re-allow '/page12' (the longest-match
+    override the operator exists for)."""
+    g1 = F.pmod(F.ascii(F.substring(F.md5(F.col("host")), 1, 1)), F.lit(2)) == 0
+    g2 = F.pmod(F.ascii(F.substring(F.md5(F.col("host")), 2, 1)), F.lit(2)) == 0
+    root = hosts.select("host", F.lit("/").alias("prefix"),
+                        F.lit(True).alias("allow"))
+    deny = (hosts.filter(g1)
+            .select("host", F.lit("/page1").alias("prefix"),
+                    F.lit(False).alias("allow")))
+    over = (hosts.filter(g1 & g2)
+            .select("host", F.lit("/page12").alias("prefix"),
+                    F.lit(True).alias("allow")))
+    return root.unionByName(deny).unionByName(over)
+
+
+def w_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-url allow/deny verdict under the synthesized robots rules, with
+    the winning (longest) prefix carried for audit."""
+    urls = _fixture(spark).select("url").distinct()
+    facts = urls.select(
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.regexp_extract(F.col("url"), _PATH_RE, 1).alias("path"))
+    rules = _synth_rules(facts.select("host").distinct())
+    return longest_prefix_match(facts, rules)
+
+
+SQL_ROBOTS_FILTER = f"""
+WITH u AS (
+  SELECT DISTINCT url FROM read_parquet('{FIXTURE_PAGES}')
+), h AS (
+  SELECT url, {host_sql("url")} AS host,
+         regexp_extract(url, '{_PATH_RE}', 1) AS path
+  FROM u
+), hosts AS (
+  SELECT DISTINCT host FROM h
+), rules AS (
+  SELECT host, '/' AS prefix, TRUE AS allow FROM hosts
+  UNION ALL
+  SELECT host, '/page1', FALSE FROM hosts
+  WHERE ascii(substr(md5(host), 1, 1)) % 2 = 0
+  UNION ALL
+  SELECT host, '/page12', TRUE FROM hosts
+  WHERE ascii(substr(md5(host), 1, 1)) % 2 = 0
+    AND ascii(substr(md5(host), 2, 1)) % 2 = 0
+)
+SELECT url, host, prefix, allow FROM (
+  SELECT h.url, h.host, r.prefix, r.allow,
+         row_number() OVER (
+           PARTITION BY h.url ORDER BY len(r.prefix) DESC) AS rn
+  FROM h JOIN rules r
+    ON r.host = h.host AND starts_with(h.path, r.prefix)
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "web_recrawl_diff": (w_recrawl_diff, SQL_RECRAWL_DIFF),
     "web_crawl_schedule": (w_crawl_schedule, SQL_CRAWL_SCHEDULE),
+    "web_trending_terms": (w_trending_terms, SQL_TRENDING_TERMS),
+    "web_robots_filter": (w_robots_filter, SQL_ROBOTS_FILTER),
 }

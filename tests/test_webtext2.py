@@ -12,6 +12,7 @@ SQL restatement — the python mirror breaks that symmetry).
 
 import collections
 import datetime
+import re
 
 from pyspark.sql import functions as F
 
@@ -19,8 +20,11 @@ from conftest import SF_DIR
 
 from co_new_spark.queries.training8 import _PMI_MINC, _PMI_TOPK, t_pmi_pairs
 from co_new_spark.queries.webtext2 import (_N_WORKERS, _POLITE_S,
-                                           recrawl_diff, w_crawl_schedule,
-                                           w_recrawl_diff)
+                                           _TREND_MINCT, _TREND_TOPK,
+                                           longest_prefix_match, recrawl_diff,
+                                           w_crawl_schedule, w_recrawl_diff,
+                                           w_robots_filter, w_trending_terms)
+from co_new_spark.queries.webtext_q import _fixture
 from co_new_spark.sources.tables import load
 
 
@@ -94,3 +98,63 @@ def test_pmi_matches_python_mirror(spark):
     got = [(r.w1, r.w2, r.c_xy, r.c_x, r.c_y, r.pmi_ratio)
            for r in t_pmi_pairs(spark, SF_DIR).collect()]
     assert got == want
+
+
+def test_trending_terms_python_mirror(spark):
+    pages = _fixture(spark).select("warc_ts", "text").collect()
+    ctw: collections.Counter = collections.Counter()
+    weeks = set()
+    for r in pages:
+        wk = datetime.datetime.combine(
+            r.warc_ts.date() - datetime.timedelta(days=r.warc_ts.weekday()),
+            datetime.time())
+        weeks.add(wk)
+        for t in re.findall(r"[^\W_]+", r.text.lower()):
+            ctw[(t, wk)] += 1
+    ct: collections.Counter = collections.Counter()
+    for (t, _), c in ctw.items():
+        ct[t] += c
+    scored = sorted(
+        (-round(float(c) * len(weeks) / ct[t], 6), t, wk, c, ct[t])
+        for (t, wk), c in ctw.items() if ct[t] >= _TREND_MINCT)
+    want = [(t, wk, c, tot, -nb) for nb, t, wk, c, tot
+            in scored[:_TREND_TOPK]]
+    got = [(r.term, r.week, r.c_tw, r.c_t, r.burst)
+           for r in w_trending_terms(spark, SF_DIR).collect()]
+    assert got == want
+
+
+def test_lpm_planted_rules(spark):
+    facts = spark.createDataFrame(
+        [("u1", "h", "/a/b/c"), ("u2", "h", "/a/x"), ("u3", "h", "/z"),
+         ("u4", "g", "/a/b/c")],
+        "url string, host string, path string")
+    rules = spark.createDataFrame(
+        [("h", "/", True), ("h", "/a", False), ("h", "/a/b", True),
+         ("g", "/", False)],
+        "host string, prefix string, allow boolean")
+    got = {r.url: (r.prefix, r.allow)
+           for r in longest_prefix_match(facts, rules).collect()}
+    assert got == {
+        "u1": ("/a/b", True),   # longest override wins over /a deny
+        "u2": ("/a", False),    # mid-length deny beats root allow
+        "u3": ("/", True),      # root fallback
+        "u4": ("/", False),     # per-host isolation: g's root denies
+    }
+
+
+def test_robots_filter_fixture_invariants(spark):
+    rows = w_robots_filter(spark, SF_DIR).collect()
+    urls = {r.url for r in _fixture(spark).select("url").distinct().collect()}
+    assert {r.url for r in rows} == urls and len(rows) == len(urls)
+    import hashlib
+    for r in rows:
+        h = hashlib.md5(r.host.encode()).hexdigest()
+        g1, g2 = ord(h[0]) % 2 == 0, ord(h[1]) % 2 == 0
+        path = r.url.split(r.host, 1)[1]
+        if g1 and g2 and path.startswith("/page12"):
+            assert (r.prefix, r.allow) == ("/page12", True)
+        elif g1 and path.startswith("/page1"):
+            assert (r.prefix, r.allow) == ("/page1", False)
+        else:
+            assert (r.prefix, r.allow) == ("/", True)
