@@ -201,7 +201,84 @@ ORDER BY l.host
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core peeling (Batagelj & Zaveršnik 2003; Seidman 1983 coreness) — the
+# third classic link-graph decomposition after motifs and communities: the
+# k-core is the maximal subgraph where every host keeps degree >= k, the
+# standard dense-nucleus / link-farm-candidate extractor.  Registry rule: T
+# FIXED synchronous peel rounds (every round removes ALL current deg < k
+# hosts at once — deterministic, partitioning-invariant), no driver
+# convergence probes; the pytest asserts the fixture converges within T
+# against a python fixpoint.  One round = two alive-set equi-joins on the
+# HOST edge table + one map-side-combined degree count; round T's survivor
+# degrees are recomputed on the surviving subgraph.  At real scale rounds
+# cost one host-keyed shuffle each and the edge set only SHRINKS.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2  # core threshold
+_KCORE_T = 3  # fixed synchronous peel rounds
+
+
+def kcore_peel(und: DataFrame, k: int = _KCORE_K,
+               t: int = _KCORE_T) -> DataFrame:
+    """``t`` synchronous deg >= ``k`` peel rounds over an undirected (a, b)
+    edge frame; returns surviving hosts with their degree inside the
+    surviving subgraph.  Split from the registry entry so tests can plant a
+    graph the peel actually bites (the fixture host graph is dense enough
+    that its 2-core is the whole graph)."""
+
+    def _deg(alive: DataFrame) -> DataFrame:
+        e = (und.join(alive.withColumnRenamed("host", "a"), "a")
+             .join(alive.withColumnRenamed("host", "b"), "b"))
+        return (e.select(F.col("a").alias("host"))
+                .union(e.select(F.col("b").alias("host")))
+                .groupBy("host").agg(F.count("*").alias("deg")))
+
+    alive = (und.select(F.col("a").alias("host"))
+             .union(und.select(F.col("b").alias("host"))).distinct())
+    for _ in range(t):
+        alive = (_deg(alive).filter(F.col("deg") >= k)
+                 .select("host").localCheckpoint(eager=True))
+    return _deg(alive).orderBy("host")
+
+
+def w_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Hosts surviving ``_KCORE_T`` synchronous deg >= ``_KCORE_K`` peel
+    rounds over the host graph, with their in-subgraph degree."""
+    return kcore_peel(_und_edges(spark, sf).localCheckpoint(eager=True))
+
+
+def _kcore_cte(k: int) -> str:
+    return f"""e{k} AS (
+  SELECT a, b FROM und
+  JOIN alive{k - 1} x ON x.host = und.a
+  JOIN alive{k - 1} y ON y.host = und.b
+), alive{k} AS (
+  SELECT host FROM (
+    SELECT host, count(*) AS deg FROM (
+      SELECT a AS host FROM e{k} UNION ALL SELECT b FROM e{k}
+    ) GROUP BY host
+  ) WHERE deg >= {_KCORE_K}
+)"""
+
+
+SQL_KCORE = f"""
+WITH {_UND_CTES}, alive0 AS (
+  SELECT DISTINCT a AS host FROM und
+  UNION SELECT DISTINCT b FROM und
+), {', '.join(_kcore_cte(k) for k in range(1, _KCORE_T + 1))}, ef AS (
+  SELECT a, b FROM und
+  JOIN alive{_KCORE_T} x ON x.host = und.a
+  JOIN alive{_KCORE_T} y ON y.host = und.b
+)
+SELECT host, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS host FROM ef UNION ALL SELECT b FROM ef
+) GROUP BY host ORDER BY host
+"""
+
+
 QUERIES = {
     "web_triangle_count": (w_triangle_count, SQL_TRIANGLE_COUNT),
     "web_label_prop": (w_label_prop, SQL_LABEL_PROP),
+    "web_kcore": (w_kcore, SQL_KCORE),
 }

@@ -107,3 +107,36 @@ def test_triangle_orientation_bound(spark):
         out[src] = out.get(src, 0) + 1
     m = len(und)
     assert max(out.values()) <= int((2 * m) ** 0.5) + 2
+
+
+def test_kcore_planted_peel(spark):
+    # triangle {x,y,z} (the 2-core) + a path tail t1-t2-t3 hanging off x:
+    # round 1 peels t3 (deg 1), round 2 peels t2, round 3 peels t1 —
+    # exactly _KCORE_T rounds to converge, each round exposing the next.
+    from co_new_spark.queries.webgraph2 import kcore_peel
+    edges = [("x", "y"), ("x", "z"), ("y", "z"),
+             ("t1", "x"), ("t1", "t2"), ("t2", "t3")]
+    und = spark.createDataFrame(edges, "a string, b string")
+    got = {r.host: r.deg for r in kcore_peel(und).collect()}
+    assert got == {"x": 2, "y": 2, "z": 2}
+
+
+def test_kcore_matches_python_fixpoint(spark):
+    # the registry entry's T fixed rounds must equal the true 2-core on the
+    # fixture (i.e. the fixture converges within _KCORE_T rounds)
+    from co_new_spark.queries.webgraph2 import _KCORE_K, w_kcore
+    edges = _python_edges(spark)
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {h for h in alive
+                if sum(n in alive for n in adj[h]) < _KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    want = {h: sum(n in alive for n in adj[h]) for h in alive}
+    got = {r.host: r.deg for r in w_kcore(spark, SF_DIR).collect()}
+    assert got == want

@@ -70,11 +70,17 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # makes cross-copy terms disjoint, so 10x docs also means 10x probes
 # over disjoint vocabularies: the candidate set grows linearly, never
 # probes x corpus
+# train_pmi_pairs added round 5: bigram + marginal aggs and the
+# vocabulary-keyed marginal join — 'x{c}' suffixing makes copies'
+# vocabularies disjoint, so both the (w1,w2) key space and the marginal
+# table grow 10x: probes that the whole chain is linear in tokens with
+# no pair blowup (bigrams are positional, never cross-doc)
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
            "train_simhash", "train_dsir_weights", "train_dedup_bloom",
            "train_perplexity_buckets", "train_kmeans_lloyd",
-           "train_semdedup", "train_bpe_merges", "train_bm25_topk"]
+           "train_semdedup", "train_bpe_merges", "train_bm25_topk",
+           "train_pmi_pairs"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -155,7 +161,8 @@ def main() -> None:
                "train_kmeans_lloyd": n_emb,
                "train_semdedup": n_emb,
                "train_bpe_merges": n_docs,
-               "train_bm25_topk": n_docs}
+               "train_bm25_topk": n_docs,
+               "train_pmi_pairs": n_docs}
 
     from co_new_spark.queries import mat
 
