@@ -297,9 +297,96 @@ SELECT url, host, prefix, allow FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity release (Sweeney 2002 / Samarati's generalization ladder) —
+# the privacy gate a crawl-derived dataset passes before publication: a
+# (host, lang, week) cell may be released only if >= k rows share it;
+# smaller cells climb the generalization lattice ((host, lang) -> (host) ->
+# full suppression) and are released at the first level whose MERGED
+# population reaches k.  Suppress-then-generalize: a level aggregates only
+# rows NOT already released below it.
+#
+# Scale design: a pure aggregation ladder — level 0 is the only fact-sized
+# groupBy (map-side combined); each later level re-aggregates the SUB-k
+# remainder of the previous one (strictly shrinking, at most k-1 rows per
+# surviving key by construction), so three levels cost one fact shuffle
+# plus two remainder-sized ones.  No windows, no joins.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 8  # the fixture's ~10-page hosts make 8 split levels 1-3 nontrivially
+
+
+def kanon_release(cells: DataFrame, k: int = _KANON_K) -> DataFrame:
+    """The generalization ladder over a pre-counted (host, lang, week, n)
+    cell frame; split from the registry entry so tests can plant cell
+    populations that exercise every release level."""
+    c0 = cells
+    rel0 = (c0.filter(F.col("n") >= k)
+            .select("host", "lang", "week", F.lit(0).alias("level"), "n"))
+    c1 = (c0.filter(F.col("n") < k)
+          .groupBy("host", "lang").agg(F.sum("n").alias("n")))
+    rel1 = (c1.filter(F.col("n") >= k)
+            .select("host", "lang", F.lit(None).cast("timestamp").alias("week"),
+                    F.lit(1).alias("level"), "n"))
+    c2 = (c1.filter(F.col("n") < k)
+          .groupBy("host").agg(F.sum("n").alias("n")))
+    rel2 = (c2.filter(F.col("n") >= k)
+            .select("host", F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("timestamp").alias("week"),
+                    F.lit(2).alias("level"), "n"))
+    rel3 = (c2.filter(F.col("n") < k)
+            .agg(F.sum("n").alias("n")).filter(F.col("n").isNotNull())
+            .select(F.lit(None).cast("string").alias("host"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("timestamp").alias("week"),
+                    F.lit(3).alias("level"), F.col("n").cast("long")))
+    return (rel0.unionByName(rel1).unionByName(rel2).unionByName(rel3)
+            .select("host", "lang", "week", "level",
+                    F.col("n").cast("long").alias("n")))
+
+
+def w_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymous release of the fixture's (host, lang, week) population
+    counts; ``level`` records where each count was released (0 = full
+    cell ... 3 = global suppression bucket)."""
+    pg = _fixture(spark)
+    cells = (pg.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+                       "lang",
+                       F.date_trunc("week", F.col("warc_ts")).alias("week"))
+             .groupBy("host", "lang", "week").agg(F.count("*").alias("n")))
+    return kanon_release(cells)
+
+
+SQL_KANON_RELEASE = f"""
+WITH c0 AS (
+  SELECT {host_sql("url")} AS host, lang,
+         date_trunc('week', warc_ts) AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM read_parquet('{FIXTURE_PAGES}')
+  GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT host, lang, CAST(sum(n) AS BIGINT) AS n
+  FROM c0 WHERE n < {_KANON_K} GROUP BY 1, 2
+), c2 AS (
+  SELECT host, CAST(sum(n) AS BIGINT) AS n
+  FROM c1 WHERE n < {_KANON_K} GROUP BY 1
+)
+SELECT host, lang, week, 0 AS level, n FROM c0 WHERE n >= {_KANON_K}
+UNION ALL
+SELECT host, lang, NULL, 1, n FROM c1 WHERE n >= {_KANON_K}
+UNION ALL
+SELECT host, NULL, NULL, 2, n FROM c2 WHERE n >= {_KANON_K}
+UNION ALL
+SELECT NULL, NULL, NULL, 3, CAST(sum(n) AS BIGINT)
+FROM c2 WHERE n < {_KANON_K}
+HAVING sum(n) IS NOT NULL
+"""
+
+
 QUERIES = {
     "web_recrawl_diff": (w_recrawl_diff, SQL_RECRAWL_DIFF),
     "web_crawl_schedule": (w_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "web_trending_terms": (w_trending_terms, SQL_TRENDING_TERMS),
     "web_robots_filter": (w_robots_filter, SQL_ROBOTS_FILTER),
+    "web_kanon_release": (w_kanon_release, SQL_KANON_RELEASE),
 }

@@ -158,3 +158,40 @@ def test_robots_filter_fixture_invariants(spark):
             assert (r.prefix, r.allow) == ("/page1", False)
         else:
             assert (r.prefix, r.allow) == ("/", True)
+
+
+def test_kanon_planted_ladder(spark):
+    from co_new_spark.queries.webtext2 import kanon_release
+    t0 = datetime.datetime(2025, 1, 6)  # a Monday
+    cells = [
+        ("big", "es", t0, 10),                 # released at level 0
+        ("big", "es", t0 + datetime.timedelta(weeks=1), 3),  # -> level 1 pool
+        ("big", "es", t0 + datetime.timedelta(weeks=2), 6),  # -> level 1 pool
+        ("mid", "en", t0, 4),                  # level 1 pool = 4 < k
+        ("mid", "pt", t0, 5),                  # level 2 pool: 4 + 5 = 9 >= k
+        ("tiny", "es", t0, 2),                 # falls through to level 3
+    ]
+    got = {(r.host, r.lang, r.week, r.level): r.n
+           for r in kanon_release(
+               spark.createDataFrame(
+                   cells, "host string, lang string, week timestamp, n long"),
+               k=8).collect()}
+    assert got == {
+        ("big", "es", t0, 0): 10,       # full cell released
+        ("big", "es", None, 1): 9,      # 3 + 6 merged at (host, lang)
+        ("mid", None, None, 2): 9,      # 4 + 5 merged at (host)
+        (None, None, None, 3): 2,       # global suppression bucket
+    }
+
+
+def test_kanon_fixture_k_guarantee(spark):
+    from co_new_spark.queries.webtext2 import _KANON_K, w_kanon_release
+    rows = w_kanon_release(spark, SF_DIR).collect()
+    total = _fixture(spark).count()
+    assert sum(r.n for r in rows) == total  # every page accounted for once
+    for r in rows:
+        if r.level < 3:                 # level 3 is the fully-generalized
+            assert r.n >= _KANON_K      # bucket (no quasi-identifiers left)
+        assert (r.lang is None) == (r.level >= 2)
+        assert (r.week is None) == (r.level >= 1)
+    assert {r.level for r in rows} & {1, 2}  # the fixture exercises the ladder
