@@ -46,7 +46,7 @@ reduction philosophy applied to graph keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .webgraph import _LK_CTES, _links
@@ -277,8 +277,61 @@ SELECT host, CAST(count(*) AS BIGINT) AS deg FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Co-citation similarity (Small 1973; the base relation of SimRank /
+# "related sites"): two hosts are similar when the same sources link to
+# both.  Scale design: the pair join is the classic C(fan_in, 2) blowup —
+# a target cited by d sources contributes d^2 pairs — so sources are CAPPED
+# per target BEFORE the join (deterministic (md5(u), u) rank partitioned by
+# v, keep <= _COCITE_CAP), the exact per-bucket-cap-before-join discipline
+# of train_minhash_lsh (training.py).  After the cap the self-equi-join on
+# v is bounded by C(cap, 2) per target and the (a, b) pair count combines
+# map-side.  The cap is a documented recall trade (hub targets contribute a
+# deterministic sample of their citers), not a silent truncation.
+# ---------------------------------------------------------------------------
+
+_COCITE_CAP = 30  # max sources kept per target (C(30,2) = 435 pairs/target)
+_COCITE_MIN = 2   # pairs must share >= 2 targets
+
+
+def w_cocitation(spark: SparkSession, sf: str) -> DataFrame:
+    """Host pairs co-cited by >= ``_COCITE_MIN`` common targets, counted on
+    the fan-in-capped directed edge set."""
+    ed = (_links(spark, sf).filter(F.col("u") != F.col("v"))
+          .select("u", "v").distinct())
+    wv = Window.partitionBy("v").orderBy(F.md5(F.col("u")), F.col("u"))
+    capped = (ed.withColumn("rn", F.row_number().over(wv))
+              .filter(F.col("rn") <= _COCITE_CAP).drop("rn")
+              .localCheckpoint(eager=True))
+    a = capped.select(F.col("v"), F.col("u").alias("host_a"))
+    b = capped.select(F.col("v"), F.col("u").alias("host_b"))
+    return (a.join(b, "v").filter(F.col("host_a") < F.col("host_b"))
+            .groupBy("host_a", "host_b").agg(F.count("*").alias("cocite"))
+            .filter(F.col("cocite") >= _COCITE_MIN)
+            .orderBy(F.col("cocite").desc(), "host_a", "host_b"))
+
+
+SQL_COCITATION = f"""
+WITH {_LK_CTES}, ed AS (
+  SELECT DISTINCT u, v FROM lkv WHERE u <> v
+), capped AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (PARTITION BY v ORDER BY md5(u), u) AS rn
+    FROM ed
+  ) WHERE rn <= {_COCITE_CAP}
+)
+SELECT a.u AS host_a, b.u AS host_b, CAST(count(*) AS BIGINT) AS cocite
+FROM capped a JOIN capped b ON b.v = a.v AND a.u < b.u
+GROUP BY 1, 2
+HAVING count(*) >= {_COCITE_MIN}
+ORDER BY cocite DESC, host_a, host_b
+"""
+
+
 QUERIES = {
     "web_triangle_count": (w_triangle_count, SQL_TRIANGLE_COUNT),
     "web_label_prop": (w_label_prop, SQL_LABEL_PROP),
     "web_kcore": (w_kcore, SQL_KCORE),
+    "web_cocitation": (w_cocitation, SQL_COCITATION),
 }

@@ -140,3 +140,29 @@ def test_kcore_matches_python_fixpoint(spark):
     want = {h: sum(n in alive for n in adj[h]) for h in alive}
     got = {r.host: r.deg for r in w_kcore(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_cocitation_matches_python_mirror(spark):
+    import hashlib
+    from co_new_spark.queries.webgraph2 import (_COCITE_CAP, _COCITE_MIN,
+                                                w_cocitation)
+    lk = _links(spark, SF_DIR).filter(F.col("u") != F.col("v"))
+    ed = {(r.u, r.v) for r in lk.select("u", "v").distinct().collect()}
+    by_v: dict[str, list[str]] = {}
+    for u, v in ed:
+        by_v.setdefault(v, []).append(u)
+    cap_bites = False
+    pairs: dict[tuple[str, str], int] = {}
+    for v, us in by_v.items():
+        us = sorted(us, key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u))
+        cap_bites = cap_bites or len(us) > _COCITE_CAP
+        us = us[:_COCITE_CAP]
+        for i, a in enumerate(us):
+            for b in us[i + 1:]:
+                key = (a, b) if a < b else (b, a)
+                pairs[key] = pairs.get(key, 0) + 1
+    want = {k: n for k, n in pairs.items() if n >= _COCITE_MIN}
+    got = {(r.host_a, r.host_b): r.cocite
+           for r in w_cocitation(spark, SF_DIR).collect()}
+    assert got == want
+    assert cap_bites  # the fixture's hub targets exceed the cap
