@@ -67,6 +67,8 @@ HEADLINE = [
     # PMI collocation mining over the sf-scaled documents table (the two
     # crawl-ops entries run on the fixed 2k-page fixture — too small to time)
     "train_pmi_pairs",
+    # round-5 graph additions: seeded anti-spam trust propagation
+    "web_trustrank",
 ]
 
 

@@ -329,9 +329,104 @@ ORDER BY cocite DESC, host_a, host_b
 """
 
 
+# ---------------------------------------------------------------------------
+# TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): biased PageRank
+# whose teleport mass goes ONLY to a curated trusted seed set, so trust
+# decays with link distance from the seeds and link-farm hosts (far from any
+# seed) score near zero — the standard whole-graph anti-spam prior.
+#
+# Integer-exact protocol (same micro-unit discipline as
+# geo_graph.pagerank_int; float trust is not order-associative):
+#     trust0(v)   = SCALE            if v is a seed, else 0
+#     trust_k(v)  = base(v) + (85 * sum_{u->v} trust_{k-1}(u) div deg(u))
+#                             div 100,   base(v) = BASE if seed else 0
+# (the unnormalized per-seed variant: each seed injects BASE teleport mass
+# instead of BASE/|S| — same ranking, documented, division-free).  The seed
+# predicate must evaluate identically in BOTH engines, so it is an md5
+# nibble gate (md5 is the engines' shared deterministic hash — xxhash64
+# does not exist in DuckDB): substr(md5(host),1,1) IN ('0','1','2') picks
+# ~3/16 of hosts as the "curated" set; a pytest asserts the fixture yields
+# a non-trivial seed set and that trust concentrates on/near seeds.
+#
+# Scale design: identical to web_link_pagerank — the fact table is left
+# behind at edge extraction (shared linkpages materialization), T fixed
+# unrolled rounds on the HOST graph, each round one u-keyed equi-join plus
+# one map-side-combined v aggregation, no driver convergence probes.
+# ---------------------------------------------------------------------------
+
+_TRUST_T = 3
+_TRUST_SCALE = 1_000_000
+_TRUST_BASE = 150_000
+_TRUST_SEED_SQL = "substr(md5({h}), 1, 1) IN ('0', '1', '2')"
+
+
+def w_trustrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host TrustRank over the extracted host graph: (host, is_seed,
+    trust) after ``_TRUST_T`` integer-exact rounds from the md5-gated seed
+    set."""
+    ed = (_links(spark, sf).filter(F.col("u") != F.col("v"))
+          .select("u", "v").distinct().localCheckpoint(eager=True))
+    deg = ed.groupBy("u").agg(F.count("*").alias("deg"))
+    edd = ed.join(deg, "u").localCheckpoint(eager=True)
+    seed = F.substring(F.md5(F.col("host")), 1, 1).isin("0", "1", "2")
+    nodes = (ed.select(F.col("u").alias("host"))
+             .union(ed.select(F.col("v").alias("host"))).distinct()
+             .withColumn("is_seed", seed))
+    trust = nodes.select(
+        "host", "is_seed",
+        F.when(F.col("is_seed"), F.lit(_TRUST_SCALE)).otherwise(F.lit(0))
+         .cast("long").alias("trust"))
+    base = (F.when(F.col("is_seed"), F.lit(_TRUST_BASE)).otherwise(F.lit(0))
+            .cast("long"))
+    for _ in range(_TRUST_T):
+        contrib = (edd.join(trust.select(F.col("host").alias("u"), "trust"),
+                            "u")
+                   .select("v", F.expr("trust div deg").alias("c")))
+        s = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        trust = (nodes.join(s.withColumnRenamed("v", "host"), "host", "left")
+                 .select("host", "is_seed",
+                         (base + F.expr(
+                             "(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+                         .cast("long").alias("trust")))
+    return trust.orderBy("host")
+
+
+def _trust_cte(k: int) -> str:
+    return f"""tr{k} AS (
+  SELECT nd.host, nd.is_seed,
+         CAST(CASE WHEN nd.is_seed THEN {_TRUST_BASE} ELSE 0 END
+              + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS trust
+  FROM nodes nd LEFT JOIN (
+    SELECT e.v AS host, sum(r.trust // d.deg) AS s
+    FROM tr{k - 1} r JOIN ed e ON e.u = r.host JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+  ) s ON s.host = nd.host
+)"""
+
+
+SQL_TRUSTRANK = f"""
+WITH {_LK_CTES}, ed AS (
+  SELECT DISTINCT u, v FROM lkv WHERE u <> v
+), nodes AS (
+  SELECT host, {_TRUST_SEED_SQL.format(h='host')} AS is_seed FROM (
+    SELECT u AS host FROM ed UNION SELECT v FROM ed
+  )
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY u
+), tr0 AS (
+  SELECT host, is_seed,
+         CAST(CASE WHEN is_seed THEN {_TRUST_SCALE} ELSE 0 END AS BIGINT)
+           AS trust
+  FROM nodes
+), {', '.join(_trust_cte(k) for k in range(1, _TRUST_T + 1))}
+SELECT host, is_seed, trust FROM tr{_TRUST_T} ORDER BY host
+"""
+
+
 QUERIES = {
     "web_triangle_count": (w_triangle_count, SQL_TRIANGLE_COUNT),
     "web_label_prop": (w_label_prop, SQL_LABEL_PROP),
     "web_kcore": (w_kcore, SQL_KCORE),
     "web_cocitation": (w_cocitation, SQL_COCITATION),
+    "web_trustrank": (w_trustrank, SQL_TRUSTRANK),
 }

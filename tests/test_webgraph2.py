@@ -166,3 +166,30 @@ def test_cocitation_matches_python_mirror(spark):
            for r in w_cocitation(spark, SF_DIR).collect()}
     assert got == want
     assert cap_bites  # the fixture's hub targets exceed the cap
+
+
+def test_trustrank_matches_python_fixpoint(spark):
+    import hashlib
+    from co_new_spark.queries.webgraph2 import (_TRUST_BASE, _TRUST_SCALE,
+                                                _TRUST_T, w_trustrank)
+    lk = _links(spark, SF_DIR).filter(F.col("u") != F.col("v"))
+    ed = {(r.u, r.v) for r in lk.select("u", "v").distinct().collect()}
+    hosts = sorted({u for u, _ in ed} | {v for _, v in ed})
+    deg = {u: sum(1 for a, _ in ed if a == u) for u, _ in ed}
+    seed = {h: hashlib.md5(h.encode()).hexdigest()[0] in "012" for h in hosts}
+    trust = {h: _TRUST_SCALE if seed[h] else 0 for h in hosts}
+    for _ in range(_TRUST_T):
+        s = {h: 0 for h in hosts}
+        for u, v in ed:
+            s[v] += trust[u] // deg[u]
+        trust = {h: (_TRUST_BASE if seed[h] else 0) + (85 * s[h]) // 100
+                 for h in hosts}
+    got = {r.host: (r.is_seed, r.trust)
+           for r in w_trustrank(spark, SF_DIR).collect()}
+    assert got == {h: (seed[h], trust[h]) for h in hosts}
+    n_seed = sum(seed.values())
+    assert 0 < n_seed < len(hosts)  # a non-trivial curated set
+    # trust concentrates on the seed side: mean seed trust > mean non-seed
+    ms = sum(t for h, t in trust.items() if seed[h]) / n_seed
+    mn = sum(t for h, t in trust.items() if not seed[h]) / (len(hosts) - n_seed)
+    assert ms > mn
