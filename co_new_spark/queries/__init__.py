@@ -8,14 +8,15 @@ from __future__ import annotations
 from . import (
     geo_algebra, geo_cover_sql, geo_graph, geo_index, geo_pages, geospatial,
     geospatial2, media_q,
-    pipeline_q, relational, e2e_q, streaming_q, training, training2, training3,
+    pipeline_q, relational, relational2, e2e_q, streaming_q, training,
+    training2, training3,
     training4, training5, training6, training7, training8, webgraph,
     webgraph2, webtext_q, webtext2,
 )
 
 REGISTRY: dict = {}
-for _mod in (relational, training, geospatial, geospatial2, geo_algebra,
-             geo_graph,
+for _mod in (relational, relational2, training, geospatial, geospatial2,
+             geo_algebra, geo_graph,
              geo_cover_sql, geo_index, geo_pages, training2, training3,
              training4, training5, training6, training7, training8, webgraph,
              webgraph2, webtext_q, webtext2, e2e_q, streaming_q,

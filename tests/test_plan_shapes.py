@@ -317,3 +317,15 @@ def test_registry_no_unbounded_global_windows():
     assert r.returncode == 0 and "done" in r.stdout, r.stdout[-2000:]
     assert not [ln for ln in lines if "UNBOUNDED" in ln or
                 ln.startswith("ERR")], "\n".join(lines)
+
+
+def test_rel_bucketed_join_entry_join_is_exchange_free(spark):
+    """The registry entry's OWN join sub-plan (not just the synthetic test
+    tables above) reads co-located buckets: no Exchange on either join
+    input.  The aggregation after the join may exchange; only the join's
+    inputs are gated, so the plan is split at the join."""
+    from co_new_spark.queries.relational2 import bucketed_tables
+
+    li_b, od_b = bucketed_tables(spark, SF_SMALL)
+    j = li_b.join(od_b, F.col("l_orderkey") == F.col("o_orderkey"))
+    assert "Exchange hashpartitioning" not in _plan(j)
