@@ -11,7 +11,7 @@ from . import (
     pipeline_q, relational, relational2, e2e_q, streaming_q, training,
     training2, training3,
     training4, training5, training6, training7, training8, webgraph,
-    webgraph2, webtext_q, webtext2,
+    webgraph2, webtext_q, webtext2, webtext3,
 )
 
 REGISTRY: dict = {}
@@ -19,7 +19,7 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              geo_algebra, geo_graph,
              geo_cover_sql, geo_index, geo_pages, training2, training3,
              training4, training5, training6, training7, training8, webgraph,
-             webgraph2, webtext_q, webtext2, e2e_q, streaming_q,
+             webgraph2, webtext_q, webtext2, webtext3, e2e_q, streaming_q,
              pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)
 
