@@ -58,3 +58,36 @@ def test_sitemap_frontier_matches_python_mirror(spark):
     assert len(frontiers) > 1      # and the tail size varies per host
     # every crawled slot of every host is listed: n_crawled == base slots
     assert all(c == 100 for _, c, _ in want.values())
+
+
+def test_domain_pld_matches_python_mirror(spark):
+    from urllib.parse import urlparse
+
+    from co_new_spark.queries.webtext3 import (_PLD_K, _PSL, _pld_pages,
+                                               w_domain_pld)
+    urls = [r.url for r in _pld_pages(spark).collect()]
+    rolled: dict[tuple[str, str], list[str]] = {}
+    saw_multilabel_win = saw_fallback = False
+    for u in urls:
+        host = urlparse(u).hostname
+        ls = host.split(".")
+        best = None
+        for k in range(1, _PLD_K + 1):
+            if len(ls) > k and ".".join(ls[-k:]) in _PSL:
+                best = (k, ".".join(ls[-k:]), ls[-k - 1])
+        if best:
+            k, suf, reg = best
+            if k > 1:
+                saw_multilabel_win = True
+            pld = f"{reg}.{suf}"
+        else:
+            saw_fallback = True
+            suf = ls[-1]
+            pld = ".".join(ls[-2:]) if len(ls) >= 2 else host
+        rolled.setdefault((pld, suf), []).append(host)
+    want = {key: (len(hs), len(set(hs))) for key, hs in rolled.items()}
+    got = {(r.pld, r.public_suffix): (r.n_urls, r.n_hosts)
+           for r in w_domain_pld(spark, SF_DIR).collect()}
+    assert got == want
+    assert saw_multilabel_win   # a com.co-style suffix beat the last label
+    assert saw_fallback         # the unknown-TLD "*" rule fired
