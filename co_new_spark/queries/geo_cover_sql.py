@@ -707,7 +707,82 @@ FROM {prev} ORDER BY dept, cell
 SQL_DISSOLVE = _sql_dissolve()
 
 
+# ---------------------------------------------------------------------------
+# geo_areal_interp — areal interpolation / dasymetric disaggregation: spread
+# each municipality's point total over its cover cells proportional to cell
+# AREA.  The classic GIS re-apportionment (census counts -> grid surface;
+# Goodchild & Lam 1980 area-weighting) expressed on the reference's own
+# cover geometry: a cover cell of depth d (in BITS — each base16h
+# refinement bit halves the cell, README.md:49) has relative area
+# 2^(dmax - d) in exact integer units, so the weights, their per-
+# municipality sums, and the allocated shares (micro-units, integer
+# division) are ALL int64 — bit-identical across engines and partitionings
+# (the registry's integer float-protocol).
+#
+# Scale design: the only fact-sized work is the same per-municipality count
+# cover_lookup_events performs (per-depth broadcast cover join + ONE map-
+# side-combined groupBy).  Everything after runs on the cover dim (~5k
+# rows) and the municipality totals (~1.1k rows) — both bounded by the
+# FIXED reference dims, so the allocation joins are broadcast-sized by
+# construction.  int64 bound: n_points * 2^(dmax) * 1e6 must stay < 2^63;
+# with dmax - dmin <= 22 cover levels that allows ~2.2e6 points per
+# municipality per 1e6 scale — asserted in the pytest, revisit the scale
+# factor before a corpus where a municipality exceeds it.
+# ---------------------------------------------------------------------------
+
+
+def g_areal_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cover-cell allocated point mass: (isolabel_ext, cell, depth, w,
+    n_points, alloc_micro) for every cover cell of every municipality that
+    received >= 1 point; alloc_micro = (n_points * w * 1e6) div W."""
+    cells = _points_cells(spark, sf)
+    hit = cover_lookup_best(cells, load_citycover(spark), keep=["event_id"],
+                            dedup=False)
+    totals = hit.groupBy("isolabel_ext").agg(F.count("*").alias("n_points"))
+    cov = (load_citycover(spark).filter(F.col("kind") == "cover")
+           .select("isolabel_ext", "cell", "depth"))
+    dmax = cov.agg(F.max("depth").alias("dmax"))
+    w = (cov.crossJoin(F.broadcast(dmax))
+         .withColumn("w", F.expr(
+             "shiftleft(CAST(1 AS BIGINT), CAST(dmax - depth AS INT))")))
+    ws = w.groupBy("isolabel_ext").agg(F.sum("w").alias("tot_w"))
+    return (w.join(F.broadcast(ws), "isolabel_ext")
+            .join(F.broadcast(totals), "isolabel_ext")
+            .select("isolabel_ext", "cell", "depth", "w", "n_points",
+                    F.expr("(n_points * w * 1000000) div tot_w")
+                     .cast("long").alias("alloc_micro"))
+            .orderBy("isolabel_ext", "cell"))
+
+
+SQL_AREAL_INTERP = f"""
+WITH {_sql_cells_cte(_PT_R)},
+{_SQL_COV},
+best AS (
+  SELECT event_id, min(isolabel_ext) AS isolabel_ext FROM hits GROUP BY event_id
+),
+tot AS (
+  SELECT isolabel_ext, CAST(count(*) AS BIGINT) AS n_points
+  FROM best GROUP BY 1
+),
+dmx AS (SELECT max(cdepth) AS dmax FROM cov),
+wts AS (
+  SELECT isolabel_ext, cbits * 64 + cdepth AS cell, cdepth AS depth,
+         (CAST(1 AS BIGINT) << (dmax - cdepth)) AS w
+  FROM cov CROSS JOIN dmx
+),
+ws AS (SELECT isolabel_ext, sum(w) AS tot_w FROM wts GROUP BY 1)
+SELECT w.isolabel_ext, w.cell, CAST(w.depth AS BIGINT) AS depth, w.w,
+       t.n_points,
+       CAST((t.n_points * w.w * 1000000) // s.tot_w AS BIGINT) AS alloc_micro
+FROM wts w
+JOIN ws s ON s.isolabel_ext = w.isolabel_ext
+JOIN tot t ON t.isolabel_ext = w.isolabel_ext
+ORDER BY w.isolabel_ext, w.cell
+"""
+
+
 QUERIES = {
+    "geo_areal_interp": (g_areal_interp, SQL_AREAL_INTERP),
     "geo_dissolve": (g_dissolve, SQL_DISSOLVE),
     "geo_cover_pyds_scan": (g_cover_pyds_scan, SQL_COVER_PYDS_SCAN),
     "geo_zonal_stats": (g_zonal_stats, SQL_ZONAL_STATS),

@@ -235,3 +235,30 @@ def test_cover_anti_partitions_points(spark):
     assert hit | miss == allv
     assert not (hit & miss)
     assert miss  # the fixture layout leaves genuinely uncovered territory
+
+
+def test_areal_interp_conserves_mass_and_orders_by_area(spark):
+    """Properties the value-hash oracle can't see: (a) per-municipality
+    allocated mass equals n_points*1e6 minus only the integer-division
+    remainder (< 1 micro-unit per cell); (b) equal-depth cells allocate
+    equally and shallower (larger) cells never allocate less than deeper
+    ones; (c) the int64 headroom documented in the docstring holds."""
+    from co_new_spark.queries.geo_cover_sql import g_areal_interp
+
+    rows = g_areal_interp(spark, SF).collect()
+    assert rows
+    by_iso: dict[str, list] = {}
+    for r in rows:
+        by_iso.setdefault(r.isolabel_ext, []).append(r)
+    for iso, rs in by_iso.items():
+        n = rs[0].n_points
+        total = sum(r.alloc_micro for r in rs)
+        assert n * 1_000_000 - len(rs) < total <= n * 1_000_000, iso
+        by_depth: dict[int, set] = {}
+        for r in rs:
+            by_depth.setdefault(r.depth, set()).add(r.alloc_micro)
+        assert all(len(v) == 1 for v in by_depth.values()), iso
+        depths = sorted(by_depth)
+        allocs = [next(iter(by_depth[d])) for d in depths]
+        assert allocs == sorted(allocs, reverse=True), iso
+    assert max(r.n_points * r.w for r in rows) * 1_000_000 < 2 ** 63
