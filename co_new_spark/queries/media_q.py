@@ -141,7 +141,83 @@ FROM px GROUP BY doc_id, w, h ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_audio_energy — windowed frame-energy extraction (the VAD / silence-trim
+# primitive: speech-data curation cuts clips on per-window energy).  Same
+# real-decode protocol as mm_wav_decode, but the feature is STRUCTURAL: the
+# decoded interleaved stream is re-shaped into fixed 32-FRAME windows
+# (nch * 32 consecutive interleaved values — a channel-interleave or
+# window-boundary bug shifts energies between windows and breaks the hash),
+# each window's energy is an exact int64 sum of squares, and the per-doc
+# result carries total/max/argmax (ties -> first window).  The trailing
+# partial window is dropped (floor), the standard frame-analysis choice.
+# ---------------------------------------------------------------------------
+
+_WIN_F = 32  # frames per analysis window
+
+
+def t_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc windowed energy from a REAL WAV decode: (doc_id, n_windows,
+    total_sq, max_win_sq, argmax_win)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nch, rate, nf = _wav_params(did)
+                i = np.arange(nch * nf, dtype=np.int64)
+                flat = ((did * 31 + i * 7) % _WAV_MOD - 1000).astype(np.int16)
+                m = media.decode_wav(media.encode_wav(flat, rate, nch))
+                s = m["samples"].astype(np.int64)
+                nw = m["n_frames"] // _WIN_F
+                w = s[: nw * _WIN_F * m["n_channels"]].reshape(nw, -1)
+                en = (w * w).sum(axis=1)
+                k = int(en.argmax())  # numpy argmax: first max — ties->first
+                rows.append((did, nw, int(en.sum()), int(en[k]), k))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_windows", "total_sq", "max_win_sq",
+                "argmax_win"])
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = ("doc_id long, n_windows long, total_sq long, "
+              "max_win_sq long, argmax_win long")
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+SQL_AUDIO_ENERGY = f"""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 2 AS nch,
+         64 + doc_id % 64 AS n_frames
+  FROM documents
+),
+s AS (SELECT i FROM generate_series(0, 253) AS t(i)),
+x AS (
+  SELECT p.doc_id, (p.n_frames // {_WIN_F}) AS nw,
+         s.i // (p.nch * {_WIN_F}) AS win,
+         (p.doc_id * 31 + s.i * 7) % {_WAV_MOD} - 1000 AS v
+  FROM p JOIN s ON s.i < p.nch * (p.n_frames // {_WIN_F}) * {_WIN_F}
+),
+we AS (
+  SELECT doc_id, nw, win, sum(v * v) AS en
+  FROM x GROUP BY doc_id, nw, win
+),
+r AS (
+  SELECT doc_id, nw, win, en,
+         sum(en) OVER (PARTITION BY doc_id) AS tot,
+         row_number() OVER (PARTITION BY doc_id ORDER BY en DESC, win)
+           AS rn
+  FROM we
+)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+       CAST(tot AS BIGINT) AS total_sq, CAST(en AS BIGINT) AS max_win_sq,
+       CAST(win AS BIGINT) AS argmax_win
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_wav_decode": (t_wav_decode, SQL_WAV_DECODE),
     "mm_bmp_decode": (t_bmp_decode, SQL_BMP_DECODE),
+    "mm_audio_energy": (t_audio_energy, SQL_AUDIO_ENERGY),
 }

@@ -280,3 +280,28 @@ def test_wav_decode_contracts():
     bad[off:off + 2] = (3).to_bytes(2, "little")  # IEEE float
     with pytest.raises(NotImplementedError):
         media.decode_wav(bytes(bad))
+
+
+def test_audio_energy_windows_match_python(spark):
+    """Windowed energy vs a from-scratch python mirror over the SAME
+    synthesized payloads (decode -> window -> energy recomputed without
+    numpy reshape), plus structure: windows tile the frame count, totals
+    equal the sum over windows, argmax is the FIRST maximal window."""
+    from co_new_spark.queries.media_q import (_WAV_MOD, _WIN_F, _wav_params,
+                                              t_audio_energy)
+
+    rows = t_audio_energy(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    got = {r.doc_id: (r.n_windows, r.total_sq, r.max_win_sq, r.argmax_win)
+           for r in rows}
+    for did in list(got)[:50]:
+        nch, rate, nf = _wav_params(did)
+        vals = [((did * 31 + i * 7) % _WAV_MOD - 1000)
+                for i in range(nch * nf)]
+        nw = nf // _WIN_F
+        ens = []
+        for k in range(nw):
+            w = vals[k * _WIN_F * nch:(k + 1) * _WIN_F * nch]
+            ens.append(sum(v * v for v in w))
+        mx = max(ens)
+        assert got[did] == (nw, sum(ens), mx, ens.index(mx)), did
