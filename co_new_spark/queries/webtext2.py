@@ -145,7 +145,10 @@ def w_trending_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Top-``_TREND_TOPK`` (term, week) cells by burst ratio — the factor by
     which a term's weekly count exceeds its uniform-over-weeks expectation."""
     pg = _fixture(spark)
-    tw = pg.select(F.date_trunc("week", F.col("warc_ts")).alias("week"),
+    # cast to DATE: Spark's date_trunc returns TIMESTAMP, DuckDB's returns
+    # DATE — the driver compare stringifies them differently
+    tw = pg.select(F.date_trunc("week", F.col("warc_ts")).cast("date")
+                   .alias("week"),
                    F.explode(tx.word_tokens(F.col("text"))).alias("term"))
     ctw = tw.groupBy("term", "week").agg(F.count("*").alias("c_tw"))
     ct = ctw.groupBy("term").agg(F.sum("c_tw").alias("c_t"))
@@ -166,7 +169,7 @@ _TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text),"
 
 SQL_TRENDING_TERMS = f"""
 WITH tw AS (
-  SELECT date_trunc('week', warc_ts) AS week,
+  SELECT CAST(date_trunc('week', warc_ts) AS DATE) AS week,
          unnest({_TOKS_SQL}) AS term
   FROM read_parquet('{FIXTURE_PAGES}')
 ), ctw AS (
