@@ -105,9 +105,7 @@ def test_trending_terms_python_mirror(spark):
     ctw: collections.Counter = collections.Counter()
     weeks = set()
     for r in pages:
-        wk = datetime.datetime.combine(
-            r.warc_ts.date() - datetime.timedelta(days=r.warc_ts.weekday()),
-            datetime.time())
+        wk = r.warc_ts.date() - datetime.timedelta(days=r.warc_ts.weekday())
         weeks.add(wk)
         for t in re.findall(r"[^\W_]+", r.text.lower()):
             ctw[(t, wk)] += 1
