@@ -69,6 +69,9 @@ HEADLINE = [
     "train_pmi_pairs",
     # round-5 graph additions: seeded anti-spam trust propagation
     "web_trustrank",
+    # round-5c: winnowing fingerprints (doc-partitioned frame min) and
+    # capped-join shingle containment (directional near-dup)
+    "train_winnowing", "train_shingle_contain",
 ]
 
 

@@ -11,7 +11,8 @@ from . import (
     geo_1d, geospatial2, media_q,
     pipeline_q, relational, relational2, e2e_q, streaming_q, training,
     training2, training3,
-    training4, training5, training6, training7, training8, warc_q, webgraph,
+    training4, training5, training6, training7, training8, training9,
+    warc_q, webgraph,
     webgraph2, webtext_q, webtext2, webtext3,
 )
 
@@ -20,7 +21,8 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              geo_algebra, geo_graph,
              geo_cover_sql, geo_index, geo_pages, geo_wkb, geo_1d, training2,
              training3,
-             training4, training5, training6, training7, training8, webgraph,
+             training4, training5, training6, training7, training8,
+             training9, webgraph,
              warc_q, webgraph2, webtext_q, webtext2, webtext3, e2e_q,
              streaming_q, pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)

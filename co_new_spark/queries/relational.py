@@ -885,6 +885,53 @@ GROUP BY 1
 """
 
 
+def q_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """B9b: SCD Type-2 dimension build (Kimball) — the events stream as a
+    change log: per user, collapse consecutive repeats of event_type, then
+    version the survivors with [effective_from, effective_to) validity and
+    an is_current flag.  Both windows are PARTITIONED BY the dimension key
+    (lag to detect change, lead/row_number to close intervals), so each
+    key's history folds inside one reducer — the canonical merge-into-
+    dimension shape at 100 TB, no self-join, no global sort."""
+    ev = load(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (ev.withColumn("prev", F.lag("event_type").over(wo))
+            .filter(F.col("prev").isNull()
+                    | (F.col("prev") != F.col("event_type"))))
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ch.select(
+                "user_id",
+                F.col("event_type").alias("status"),
+                F.col("ts").alias("effective_from"),
+                F.lead("ts").over(wc).alias("effective_to"),
+                F.row_number().over(wc).cast("long").alias("version"))
+              .withColumn("is_current", F.col("effective_to").isNull())
+              .orderBy("user_id", "version"))
+
+
+SQL_SCD2 = """
+WITH ch AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), keep AS (
+  SELECT user_id, event_type, ts, event_id FROM ch
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       event_type AS status,
+       ts AS effective_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS effective_to,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS version,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM keep ORDER BY user_id, version
+"""
+
+
 QUERIES = {
     "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
     "rel_rank_family": (q_rank_family, SQL_RANK_FAMILY),
@@ -919,4 +966,5 @@ QUERIES = {
     "rel_interval_prefix_join": (q_interval_prefix_join, SQL_INTERVAL),
     "rel_set_intersect": (q_set_intersect, SQL_INTERSECT),
     "rel_set_except": (q_set_except, SQL_EXCEPT),
+    "rel_scd2": (q_scd2, SQL_SCD2),
 }
