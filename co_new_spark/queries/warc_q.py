@@ -121,6 +121,197 @@ FROM o GROUP BY shard ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# web_wet_export — WET conversion records (the OTHER Common Crawl container:
+# WARC-Type: conversion, payload = the extracted text of the response it
+# refers to).  A user of the CC ecosystem exports WET next to WARC; this
+# entry derives the full WET shard geometry — per-record header + payload
+# lengths, running byte offsets, extraction yield — from the pages fixture
+# with PURE Columns (the only Python crossing is the pinned extract_text
+# kernel the parity entry already oracle-gates).  Scale: one per-url window
+# (B9 latest), one per-SHARD offset window, one map-side-combined agg; at
+# 10^12 pages the shard key is the WET file unit, exactly the production
+# layout.  Oracle: the extraction spec is restated via the single-sourced
+# _sql_extract_expr and every length/offset re-derived arithmetically —
+# the web_warc_scan protocol (a one-byte framing error shifts every later
+# offset and breaks the hash).
+# ---------------------------------------------------------------------------
+
+_WET_SHARDS = 4
+
+
+def t_wet_export(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as tx
+    from .webtext_q import _fixture
+
+    pg = _fixture(spark)
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    latest = (pg.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1))
+    ext = latest.select(
+        "url",
+        F.length("html").alias("html_bytes"),
+        tx.extract_text(F.col("html")).alias("t"))
+    rec = ext.select(
+        "url", "html_bytes",
+        F.octet_length("t").cast("long").alias("clen"),
+        F.pmod(F.conv(F.substring(F.md5("url"), 1, 2), 16, 10).cast("long"),
+               F.lit(_WET_SHARDS)).alias("shard"))
+    hdr = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nContent-Length: "),
+        F.col("clen").cast("string"),
+        F.lit("\r\n\r\n"))
+    sized = rec.withColumn("hlen", F.octet_length(hdr).cast("long"))
+    wo = (Window.partitionBy("shard").orderBy("url")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = sized.withColumn(
+        "off", F.coalesce(F.sum(F.col("hlen") + F.col("clen") + 4).over(wo),
+                          F.lit(0)))
+    return (off.groupBy("shard")
+            .agg(F.count("*").alias("n_records"),
+                 F.sum("clen").alias("text_bytes"),
+                 F.sum("hlen").alias("header_bytes"),
+                 F.sum(F.col("hlen") + F.col("clen") + 4).alias("wet_bytes"),
+                 F.sum("off").alias("sum_offsets"),
+                 F.sum("html_bytes").alias("html_bytes"))
+            .withColumn("yield_micro",
+                        F.expr("(text_bytes * 1000000) div html_bytes"))
+            .orderBy("shard"))
+
+
+def _sql_wet_export() -> str:
+    from .webtext_q import FIXTURE_PAGES, _sql_extract_expr
+
+    return f"""
+WITH latest AS (
+  SELECT url, html, row_number() OVER (
+           PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM read_parquet('{FIXTURE_PAGES}')
+), rec AS (
+  SELECT url,
+         CAST(octet_length(html) AS BIGINT) AS html_bytes,
+         CAST(strlen({_sql_extract_expr('decode(html)')}) AS BIGINT) AS clen,
+         CAST(concat('0x', substring(md5(url), 1, 2)) AS BIGINT)
+           % {_WET_SHARDS} AS shard
+  FROM latest WHERE rn = 1
+), sized AS (
+  SELECT *, CAST(strlen(
+    'WARC/1.0' || {_CRLF_SQL} ||
+    'WARC-Type: conversion' || {_CRLF_SQL} ||
+    'WARC-Target-URI: ' || url || {_CRLF_SQL} ||
+    'Content-Length: ' || CAST(clen AS VARCHAR) || {_CRLF_SQL} || {_CRLF_SQL}
+  ) AS BIGINT) AS hlen
+  FROM rec
+), o AS (
+  SELECT shard, clen, hlen, html_bytes,
+         COALESCE(sum(hlen + clen + 4) OVER (
+           PARTITION BY shard ORDER BY url
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM sized
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(clen) AS BIGINT) AS text_bytes,
+       CAST(sum(hlen) AS BIGINT) AS header_bytes,
+       CAST(sum(hlen + clen + 4) AS BIGINT) AS wet_bytes,
+       CAST(sum(off) AS BIGINT) AS sum_offsets,
+       CAST(sum(html_bytes) AS BIGINT) AS html_bytes,
+       (CAST(sum(clen) AS BIGINT) * 1000000)
+         // CAST(sum(html_bytes) AS BIGINT) AS yield_micro
+FROM o GROUP BY shard ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# web_cdx_index — the CDX capture index (CC's lookup sidecar: one line per
+# CAPTURE, keyed by SURT urlkey + 14-digit timestamp, carrying the record's
+# byte offset + length inside its WARC shard).  SURT (Sort-friendly URI
+# Reordering Transform) reverses the host labels (com,example)/path) so a
+# plain lexicographic sort clusters a domain's captures — the 1-D-ification
+# of URL space, the web-side analogue of the grid's Morton claim.  Scale:
+# urlkey/lengths are pure Column string ops; the one window (offsets) is
+# partitioned by the WARC shard key; output is per-capture, exactly the
+# .cdx file contents.
+# ---------------------------------------------------------------------------
+
+_CDX_SHARDS = 4
+
+
+def t_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .webtext_q import _fixture
+
+    pg = _fixture(spark)
+    host = F.expr("parse_url(url, 'HOST')")
+    path = F.regexp_extract(
+        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    urlkey = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", "/").otherwise(path))
+    hdr = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nContent-Length: "),
+        F.length("html").cast("string"),
+        F.lit("\r\n\r\n"))
+    rec = pg.select(
+        "url",
+        urlkey.alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts_key"),
+        (F.octet_length(hdr) + F.length("html") + 4).cast("long")
+        .alias("rec_bytes"),
+        F.pmod(F.conv(F.substring(F.md5("url"), 1, 2), 16, 10).cast("long"),
+               F.lit(_CDX_SHARDS)).alias("shard"))
+    wo = (Window.partitionBy("shard").orderBy("urlkey", "ts_key", "url")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (rec.withColumn("offset",
+                           F.coalesce(F.sum("rec_bytes").over(wo), F.lit(0)))
+            .select("shard", "urlkey", "ts_key", "offset", "rec_bytes")
+            .orderBy("shard", "urlkey", "ts_key"))
+
+
+def _sql_cdx_index() -> str:
+    from .webtext_q import FIXTURE_PAGES, host_sql
+
+    return f"""
+WITH rec AS (
+  SELECT url,
+         array_to_string(list_reverse(
+           string_split({host_sql('url')}, '.')), ',') || ')' ||
+           CASE WHEN regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                THEN '/'
+                ELSE regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           END AS urlkey,
+         strftime(warc_ts, '%Y%m%d%H%M%S') AS ts_key,
+         CAST(strlen(
+           'WARC/1.0' || {_CRLF_SQL} ||
+           'WARC-Type: response' || {_CRLF_SQL} ||
+           'WARC-Target-URI: ' || url || {_CRLF_SQL} ||
+           'Content-Length: ' || CAST(octet_length(html) AS VARCHAR)
+             || {_CRLF_SQL} || {_CRLF_SQL})
+           + octet_length(html) + 4 AS BIGINT) AS rec_bytes,
+         CAST(concat('0x', substring(md5(url), 1, 2)) AS BIGINT)
+           % {_CDX_SHARDS} AS shard
+  FROM read_parquet('{FIXTURE_PAGES}')
+)
+SELECT shard, urlkey, ts_key,
+       COALESCE(sum(rec_bytes) OVER (
+         PARTITION BY shard ORDER BY urlkey, ts_key, url
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+       rec_bytes
+FROM rec ORDER BY shard, urlkey, ts_key
+"""
+
+
 QUERIES = {
     "web_warc_scan": (t_warc_scan, SQL_WARC_SCAN),
+    "web_wet_export": (t_wet_export, _sql_wet_export()),
+    "web_cdx_index": (t_cdx_index, _sql_cdx_index()),
 }

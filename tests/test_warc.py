@@ -65,3 +65,42 @@ def test_warc_entry_stats_consistent(spark):
         assert r.file_bytes == r.header_bytes + r.payload_bytes + 4 * r.n_records
         # last record's end == file size => offsets strictly inside the file
         assert r.sum_offsets < r.n_records * r.file_bytes
+
+
+def test_wet_export_geometry(spark):
+    """WET shards: container identity (wet = headers + payloads + seps),
+    extraction never grows bytes (yield <= 1.0), every latest-url record
+    lands in exactly one shard."""
+    from co_new_spark.queries.warc_q import _WET_SHARDS, t_wet_export
+    from co_new_spark.queries.webtext_q import _fixture
+
+    rows = t_wet_export(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= _WET_SHARDS
+    n_urls = _fixture(spark).select("url").distinct().count()
+    assert sum(r.n_records for r in rows) == n_urls
+    for r in rows:
+        assert r.wet_bytes == r.header_bytes + r.text_bytes + 4 * r.n_records
+        assert 0 < r.yield_micro <= 1_000_000
+
+
+def test_cdx_index_offsets_tile_and_surt(spark):
+    """CDX: within each shard the records tile the WARC byte range exactly
+    (offset[i+1] = offset[i] + rec_bytes[i] in (urlkey, ts) order), keys
+    are SURT-formed, one line per CAPTURE (not per url)."""
+    from co_new_spark.queries.warc_q import t_cdx_index
+    from co_new_spark.queries.webtext_q import _fixture
+
+    rows = t_cdx_index(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == _fixture(spark).count()  # every capture indexed
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for recs in by_shard.values():
+        recs.sort(key=lambda r: r.offset)
+        assert recs[0].offset == 0
+        for a, b in zip(recs, recs[1:]):
+            assert b.offset == a.offset + a.rec_bytes
+    # SURT: reversed host labels before ')', path after
+    k = rows[0].urlkey
+    assert ")" in k and "," in k.split(")")[0]
+    assert k.split(")")[1].startswith("/")

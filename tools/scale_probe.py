@@ -75,12 +75,20 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # vocabularies disjoint, so both the (w1,w2) key space and the marginal
 # table grow 10x: probes that the whole chain is linear in tokens with
 # no pair blowup (bigrams are positional, never cross-doc)
+# train_winnowing added round 5c: doc-partitioned frame-min windows — the
+# 'x{c}' suffix keeps per-copy gram sequences isomorphic, so 10x docs is
+# exactly 10x independent window partitions: probes that per-doc windows
+# never couple across docs
+# train_shingle_contain added round 5c: the capped shingle-key self-join —
+# suffixing makes cross-copy shingles disjoint, so the candidate pair
+# space is 10 disjoint 1x spaces: probes that the fan-in cap (not corpus
+# size) bounds per-shingle join width
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
            "train_simhash", "train_dsir_weights", "train_dedup_bloom",
            "train_perplexity_buckets", "train_kmeans_lloyd",
            "train_semdedup", "train_bpe_merges", "train_bm25_topk",
-           "train_pmi_pairs"]
+           "train_pmi_pairs", "train_winnowing", "train_shingle_contain"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -162,7 +170,9 @@ def main() -> None:
                "train_semdedup": n_emb,
                "train_bpe_merges": n_docs,
                "train_bm25_topk": n_docs,
-               "train_pmi_pairs": n_docs}
+               "train_pmi_pairs": n_docs,
+               "train_winnowing": n_docs,
+               "train_shingle_contain": n_docs}
 
     from co_new_spark.queries import mat
 
