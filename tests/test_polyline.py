@@ -1,0 +1,77 @@
+"""Encoded-polyline codec pinned to the PUBLIC spec vector.
+
+developers.google.com/maps/documentation/utilities/polylinealgorithm gives
+(38.5, -120.2), (40.7, -120.95), (43.252, -126.453)
+  -> "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+A codec that merely round-trips its own output could hide a symmetric bug
+(e.g. swapped continuation-bit polarity); matching the published string
+cannot.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SPEC_POINTS = [(38.5, -120.2), (40.7, -120.95), (43.252, -126.453)]
+SPEC_WIRE = "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+
+
+def _deltas():
+    lat = lng = 0
+    out = []
+    for la, ln in SPEC_POINTS:
+        la5, ln5 = round(la * 1e5), round(ln * 1e5)
+        out.append((la5 - lat, ln5 - lng))
+        lat, lng = la5, ln5
+    return out
+
+
+def test_column_encoder_matches_spec_vector(spark):
+    from co_new_spark.queries.geo_wkb import _pl_enc_col, _pl_zigzag_col
+
+    rows = [(i, dla, dln) for i, (dla, dln) in enumerate(_deltas())]
+    df = spark.createDataFrame(rows, "i long, dlat long, dlng long")
+    pair = F.concat(_pl_enc_col(_pl_zigzag_col(F.col("dlat"))),
+                    _pl_enc_col(_pl_zigzag_col(F.col("dlng"))))
+    got = "".join(r.pair for r in
+                  df.select("i", pair.alias("pair")).orderBy("i").collect())
+    assert got == SPEC_WIRE
+
+
+def test_sql_encoder_matches_spec_vector():
+    duckdb = pytest.importorskip("duckdb")
+    from co_new_spark.queries.geo_wkb import _pl_enc_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (i BIGINT, dlat BIGINT, dlng BIGINT)")
+    for i, (dla, dln) in enumerate(_deltas()):
+        con.execute("INSERT INTO d VALUES (?, ?, ?)", [i, dla, dln])
+    zz = "CASE WHEN {c} < 0 THEN -2*{c} - 1 ELSE 2*{c} END"
+    q = (f"SELECT string_agg({_pl_enc_sql(zz.format(c='dlat'))} || "
+         f"{_pl_enc_sql(zz.format(c='dlng'))}, '' ORDER BY i) FROM d")
+    assert con.execute(q).fetchone()[0] == SPEC_WIRE
+
+
+def test_entry_roundtrip_lossless(spark):
+    """The registry entry's decoded sums equal the source-integer sums
+    (decode(encode(x)) == x over every user trajectory), and every capture
+    is represented (sum of n_points == event count)."""
+    from co_new_spark.queries.geo_wkb import _LAT5, _LNG5, t_polyline_codec
+    from co_new_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = t_polyline_codec(spark, sf).toPandas()
+    src = (load(spark, sf, "events")
+           .groupBy("user_id")
+           .agg(F.count("*").alias("n_points"),
+                F.sum(F.expr(_LAT5)).alias("sum_lat5"),
+                F.sum(F.expr(_LNG5)).alias("sum_lng5"))
+           .toPandas())
+    m = got.merge(src, on="user_id", suffixes=("", "_src"))
+    assert len(m) == len(got) == len(src) > 0
+    pd.testing.assert_series_equal(
+        m["n_points"], m["n_points_src"], check_names=False)
+    pd.testing.assert_series_equal(
+        m["sum_lat5"], m["sum_lat5_src"], check_names=False)
+    pd.testing.assert_series_equal(
+        m["sum_lng5"], m["sum_lng5_src"], check_names=False)
