@@ -72,6 +72,9 @@ HEADLINE = [
     # round-5c: winnowing fingerprints (doc-partitioned frame min) and
     # capped-join shingle containment (directional near-dup)
     "train_winnowing", "train_shingle_contain",
+    # round-5d: encoded-polyline wire codec (native varint encode + one
+    # Arrow-batched decode over per-user strings)
+    "geo_polyline_codec",
 ]
 
 

@@ -75,3 +75,61 @@ def test_entry_roundtrip_lossless(spark):
         m["sum_lat5"], m["sum_lat5_src"], check_names=False)
     pd.testing.assert_series_equal(
         m["sum_lng5"], m["sum_lng5_src"], check_names=False)
+
+
+# --- hypothesis property: the fixed 6-chunk unrolling == the spec's
+# unbounded varint loop, for every delta the unroll claims to cover
+# (|delta| < 2^29 -> zigzag < 2^30 -> 6 chunks), and the sequential
+# decoder inverts it. Pure-Python mirrors of both sides keep this
+# Spark-free and fast; the Spark/SQL parity with the mirror is pinned by
+# the spec-vector tests above.
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _enc_loop(delta: int) -> str:
+    """The published algorithm, verbatim shape (unbounded while-loop)."""
+    v = (delta << 1) ^ (delta >> 63) if delta >= 0 else ~(delta << 1)
+    out = []
+    while v >= 0x20:
+        out.append(chr((0x20 | (v & 0x1F)) + 63))
+        v >>= 5
+    out.append(chr(v + 63))
+    return "".join(out)
+
+
+def _enc_unrolled(delta: int) -> str:
+    """Python mirror of _pl_enc_col/_pl_enc_sql's 6-chunk unroll."""
+    from co_new_spark.queries.geo_wkb import _PL_CHUNKS
+
+    v = -2 * delta - 1 if delta < 0 else 2 * delta
+    parts = []
+    for k in range(_PL_CHUNKS):
+        rest = v >> (5 * k)
+        if k > 0 and rest == 0:
+            continue
+        more = 32 if (v >> (5 * (k + 1))) > 0 else 0
+        parts.append(chr((rest & 31) + more + 63))
+    return "".join(parts)
+
+
+def _dec_one(s: str) -> int:
+    v = shift = i = 0
+    while True:
+        b = ord(s[i]) - 63
+        i += 1
+        v |= (b & 31) << shift
+        shift += 5
+        if b < 32:
+            break
+    assert i == len(s)
+    return (v >> 1) ^ -(v & 1)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.integers(-(2**29) + 1, 2**29 - 1))
+def test_unroll_equals_spec_loop_and_decodes(delta):
+    wire = _enc_unrolled(delta)
+    assert wire == _enc_loop(delta)
+    assert _dec_one(wire) == delta
