@@ -75,6 +75,12 @@ HEADLINE = [
     # round-5d: encoded-polyline wire codec (native varint encode + one
     # Arrow-batched decode over per-user strings)
     "geo_polyline_codec",
+    # round-5f: distributed-runtime primitives — two-pass exact heavy
+    # hitters (map-only MG candidates, gram stream never shuffled), the
+    # hand-built Bloom runtime-filter join, the differentiated hot/cold
+    # skew-split join, and SFC range-decomposition scan pruning
+    "train_heavy_ngrams", "rel_bloom_join", "rel_skew_split_join",
+    "geo_hilbert_ranges",
 ]
 
 

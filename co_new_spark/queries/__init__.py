@@ -9,7 +9,8 @@ from . import (
     geo_algebra, geo_cover_sql, geo_graph, geo_index, geo_pages, geo_wkb,
     geospatial,
     geo_1d, geospatial2, media_q,
-    pipeline_q, relational, relational2, e2e_q, streaming_q, training,
+    pipeline_q, relational, relational2, e2e_q, scale_ops, streaming_q,
+    training,
     training2, training3,
     training4, training5, training6, training7, training8, training9,
     warc_q, webgraph,
@@ -24,6 +25,7 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              training4, training5, training6, training7, training8,
              training9, webgraph,
              warc_q, webgraph2, webtext_q, webtext2, webtext3, e2e_q,
+             scale_ops,
              streaming_q, pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)
 

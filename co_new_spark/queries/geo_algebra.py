@@ -676,33 +676,49 @@ def g_hilbert_index(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "cell", "hd")
 
 
-def _sql_hilbert() -> str:
-    ny = nx = _HILBERT_R // 2
-    n = 1 << _HILBERT_ORDER
-    ctes = [f"""it0 AS (
-  SELECT event_id, cell, i * {1 << nx} + ix AS hx, j * {1 << ny} + iy AS hy,
-         CAST(0 AS BIGINT) AS hd
-  FROM cells WHERE cell >= 0)"""]
+def hilbert_iter_sql(order: int, src: str, carry: str,
+                     prefix: str = "it") -> tuple[str, str]:
+    """The unrolled rot-swap recurrence as a CTE chain (SQL spec mirror of
+    functions/cells_sql.with_hilbert_index).  ``src`` must yield columns
+    ``({carry,} hx, hy, hd)`` with hd initialized to 0; returns
+    ``(joined_cte_fragment, final_cte_name)``.  Single-sourced so every
+    oracle that needs a Hilbert index (geo_hilbert_index, scale_ops'
+    geo_hilbert_ranges) unrolls the identical arithmetic."""
+    n = 1 << order
+    cy = f"{carry}, " if carry else ""
+    ctes: list[str] = []
+    prev = src
     k = 0
     s = n >> 1
     while s > 0:
         k += 1
-        ctes.append(f"""it{k}a AS (
-  SELECT event_id, cell, hx, hy, hd,
+        ctes.append(f"""{prefix}{k}a AS (
+  SELECT {cy}hx, hy, hd,
          CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
          CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
-  FROM it{k - 1})""")
-        ctes.append(f"""it{k} AS (
-  SELECT event_id, cell,
+  FROM {prev})""")
+        ctes.append(f"""{prefix}{k} AS (
+  SELECT {cy}
          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hy ELSE hy END)
               ELSE hx END AS hx,
          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hx ELSE hx END)
               ELSE hy END AS hy,
          hd + {s * s} * xor(3 * rx, ry) AS hd
-  FROM it{k}a)""")
+  FROM {prefix}{k}a)""")
+        prev = f"{prefix}{k}"
         s >>= 1
-    return (f"WITH {_sql_cells_cte(_HILBERT_R)},\n" + ",\n".join(ctes)
-            + f"\nSELECT event_id, cell, hd FROM it{k}")
+    return ",\n".join(ctes), prev
+
+
+def _sql_hilbert() -> str:
+    ny = nx = _HILBERT_R // 2
+    it0 = f"""it0 AS (
+  SELECT event_id, cell, i * {1 << nx} + ix AS hx, j * {1 << ny} + iy AS hy,
+         CAST(0 AS BIGINT) AS hd
+  FROM cells WHERE cell >= 0)"""
+    chain, last = hilbert_iter_sql(_HILBERT_ORDER, "it0", "event_id, cell")
+    return (f"WITH {_sql_cells_cte(_HILBERT_R)},\n{it0},\n{chain}"
+            + f"\nSELECT event_id, cell, hd FROM {last}")
 
 
 # ---------------------------------------------------------------------------

@@ -83,12 +83,19 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # suffixing makes cross-copy shingles disjoint, so the candidate pair
 # space is 10 disjoint 1x spaces: probes that the fan-in cap (not corpus
 # size) bounds per-shingle join width
+# train_heavy_ngrams added round 5f: the two-pass exact heavy-hitter
+# trigrams — both passes are map-side-only over the gram stream, so 10x
+# grams must cost ~10x two scans.  NOTE the output legitimately shrinks
+# toward empty at 10x: per-copy gram counts are unchanged while the
+# corpus-relative floor N/K rises 10x (disjoint vocabularies) — the probe
+# measures the pass cost, the frequency floor is doing its job
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
            "train_simhash", "train_dsir_weights", "train_dedup_bloom",
            "train_perplexity_buckets", "train_kmeans_lloyd",
            "train_semdedup", "train_bpe_merges", "train_bm25_topk",
-           "train_pmi_pairs", "train_winnowing", "train_shingle_contain"]
+           "train_pmi_pairs", "train_winnowing", "train_shingle_contain",
+           "train_heavy_ngrams"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -172,7 +179,8 @@ def main() -> None:
                "train_bm25_topk": n_docs,
                "train_pmi_pairs": n_docs,
                "train_winnowing": n_docs,
-               "train_shingle_contain": n_docs}
+               "train_shingle_contain": n_docs,
+               "train_heavy_ngrams": n_docs}
 
     from co_new_spark.queries import mat
 
