@@ -292,8 +292,12 @@ def g_grid_cluster(spark: SparkSession, sf: str) -> DataFrame:
     cells) with NO pairwise distance computation; at 100 TB the only
     fact-sized operation is the first per-cell aggregate, the component
     iteration runs on the (tiny) dense-cell graph."""
-    pts = (_event_points(spark, sf)
-           .filter(F.col("event_id") < _CL_EVENTS)
+    from .training import _spread
+
+    # spread the raw event rows before the Arrow encode kernel + per-cell
+    # agg — a single-split parquet serializes the one fact-sized pass
+    pts = (_spread(_event_points(spark, sf)
+                   .filter(F.col("event_id") < _CL_EVENTS), "event_id")
            .withColumn("cell", geo.xy_to_cell_b(F.col("x"), F.col("y"), _CL_RBITS))
            .filter(F.col("cell") >= 0))
     # cache: dense feeds both sides of the edge join, the nodes arg and the

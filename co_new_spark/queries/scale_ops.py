@@ -96,36 +96,50 @@ def _word_trigrams(docs: DataFrame) -> DataFrame:
 
 
 def _mg_candidates(batches):
-    """Per-partition Misra-Gries summary over Arrow batches of ``tri``.
+    """Per-partition Misra-Gries summary over Arrow batches of ``hk``
+    (xxhash64 of the gram — int64, so the summary never touches strings
+    and the Arrow transfer is 8 bytes/gram; hashing only INFLATES counts,
+    so the superset guarantee is preserved and the exact-text recount
+    culls any collision passengers).
 
     Each batch is counted exactly (vectorized value_counts), merged into the
     running summary, then pruned to ``_HH_CAP`` counters by subtracting the
     (cap+1)-th largest count (the PODS'12 merge rule — keeps the additive
     error <= N_partition/(cap+1)).  Emits the surviving keys plus ONE
-    null-key row carrying the partition's gram count (so the global N needs
+    sentinel row carrying the partition's gram count (so the global N needs
     no second pass)."""
+    import numpy as np
     import pandas as pd
 
     summ: dict = {}
     total = 0
     for pdf in batches:
         total += len(pdf)
-        for tri, c in pdf["tri"].value_counts().items():
-            summ[tri] = summ.get(tri, 0) + int(c)
+        ks, cs = np.unique(pdf["hk"].to_numpy(), return_counts=True)
+        for k, c in zip(ks.tolist(), cs.tolist()):
+            summ[k] = summ.get(k, 0) + c
         if len(summ) > _HH_CAP:
             sub = sorted(summ.values(), reverse=True)[_HH_CAP]
             summ = {t: c - sub for t, c in summ.items() if c > sub}
-    yield pd.DataFrame({"tri": list(summ.keys()) + [None],
-                        "n_part": [0] * len(summ) + [total]})
+    yield pd.DataFrame({"hk": list(summ.keys()),
+                        "n_part": [0] * len(summ)})
+    yield pd.DataFrame({"hk": [0], "n_part": [total]})
 
 
 def t_heavy_ngrams(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    from .training import _spread
+
+    # spread the compact doc rows across slots BEFORE the gram explosion —
+    # a small parquet arrives as one split and would serialize both passes
+    # (at 100 TB the input has >= slots splits and this is a no-op)
+    docs = _spread(load(spark, sf, "documents"))
     grams = _word_trigrams(docs)
-    mg = grams.mapInPandas(_mg_candidates, "tri string, n_part long")
-    cands = mg.filter(F.col("tri").isNotNull()).select("tri").distinct()
+    mg = (grams.select(F.xxhash64("tri").alias("hk"))
+               .mapInPandas(_mg_candidates, "hk long, n_part long"))
+    cands = mg.filter(F.col("n_part") == 0).select("hk").distinct()
     n_total = mg.groupBy().agg(F.sum("n_part").alias("n_total"))
-    counted = (grams.join(F.broadcast(cands), "tri")
+    counted = (grams.join(F.broadcast(cands),
+                          F.xxhash64("tri") == F.col("hk"), "left_semi")
                     .groupBy("tri").agg(F.count("*").alias("n")))
     return (counted.crossJoin(F.broadcast(n_total))
                    .filter(F.col("n") * _HH_K > F.col("n_total"))

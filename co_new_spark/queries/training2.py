@@ -568,8 +568,11 @@ def t_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     Window ever sees the unlimited fact table (plan-gated in
     tests/test_plan_shapes.py::test_dsir_selection_has_no_global_window)."""
     from .mat import materialize
+    from .training import _spread
 
-    docs = load(spark, sf, "documents")
+    # spread doc rows before the bigram explosion — a single-split parquet
+    # serializes the pairs materialization (no-op at scale)
+    docs = _spread(load(spark, sf, "documents"))
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     bi = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),

@@ -191,8 +191,12 @@ def t_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     share; 3-gram counts -> duplicate fraction), joined on doc_id.  Both
     shuffles are (doc, term)-keyed with partial aggregation, so a
     pathological repeated phrase (or a document too large for in-memory
-    list algebra) collapses mapper-side.  No UDF, no window."""
-    docs = load(spark, sf, "documents").select("doc_id", "text")
+    list algebra) collapses mapper-side.  No UDF, no window.  The compact
+    doc rows spread across slots BEFORE the two explosions (training._spread
+    — a single-split parquet would serialize both; no-op at scale)."""
+    from .training import _spread
+
+    docs = _spread(load(spark, sf, "documents").select("doc_id", "text"))
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     uni = (docs.select("doc_id", F.explode(w).alias("tok"))
                .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
@@ -285,8 +289,11 @@ _PPL_TARGET = "es"     # the LM's training slice: Spanish docs
 
 def t_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     from .mat import materialize
+    from .training import _spread
 
-    docs = load(spark, sf, "documents")
+    # spread doc rows before the char-trigram explosion (see
+    # t_repetition_filter) — serial otherwise on a single-split parquet
+    docs = _spread(load(spark, sf, "documents"))
     n = F.length("text")
     tri = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),

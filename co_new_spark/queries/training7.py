@@ -172,7 +172,11 @@ def t_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     documents table — tokenizer training as a first-class distributed op
     (Sennrich et al. 2016).  See operators/bpe.py for the position-table
     formulation and the greedy-overlap parity rule."""
-    docs = load(spark, sf, "documents").select("doc_id", "text")
+    from .training import _spread
+
+    # spread doc rows across slots before the char explosion; repartitioning
+    # BY doc_id also pre-satisfies every round's per-doc window distribution
+    docs = _spread(load(spark, sf, "documents").select("doc_id", "text"))
     return bpe_train(docs, rounds=_BPE_T)
 
 

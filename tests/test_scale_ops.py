@@ -12,44 +12,37 @@ from tests.conftest import SF_DIR
 
 # --- Misra-Gries candidate pass (pure-pandas unit tests, no Spark) --------
 
-def _mg(stream, cap):
-    """Run the partition summarizer over one batch list."""
+def _mg(batches, cap):
+    """Run the partition summarizer (int64 hash-key interface)."""
     old = so._HH_CAP
     so._HH_CAP = cap
     try:
-        out = list(so._mg_candidates(
-            [pd.DataFrame({"tri": stream})]))[0]
+        out = pd.concat(list(so._mg_candidates(
+            [pd.DataFrame({"hk": b}) for b in batches])))
     finally:
         so._HH_CAP = old
-    cands = set(out[out["tri"].notna()]["tri"])
+    cands = set(out[out["n_part"] == 0]["hk"])
     n = int(out["n_part"].sum())
     return cands, n
 
 
 def test_mg_superset_guarantee():
-    # 100x 'hot', 60x 'warm', 200 singletons; cap=3 counters.
-    stream = ["hot"] * 100 + ["warm"] * 60 + [f"s{i}" for i in range(200)]
-    cands, n = _mg(stream, cap=3)
+    # 100x key 7, 60x key 9, 200 singletons; cap=3 counters.
+    stream = [7] * 100 + [9] * 60 + list(range(1000, 1200))
+    cands, n = _mg([stream], cap=3)
     assert n == len(stream)
     # any item with count > N/(cap+1) = 90 MUST survive
-    assert "hot" in cands
+    assert 7 in cands
     assert len(cands) <= 3
 
 
 def test_mg_multi_batch_merge():
     # the guarantee holds across batch merges too
-    b1 = ["x"] * 50 + [f"a{i}" for i in range(100)]
-    b2 = ["x"] * 50 + [f"b{i}" for i in range(100)]
-    old = so._HH_CAP
-    so._HH_CAP = 4
-    try:
-        out = list(so._mg_candidates(
-            [pd.DataFrame({"tri": b1}), pd.DataFrame({"tri": b2})]))[0]
-    finally:
-        so._HH_CAP = old
-    cands = set(out[out["tri"].notna()]["tri"])
-    assert int(out["n_part"].sum()) == 300
-    assert "x" in cands  # count 100 > 300/5 = 60
+    b1 = [5] * 50 + list(range(2000, 2100))
+    b2 = [5] * 50 + list(range(3000, 3100))
+    cands, n = _mg([b1, b2], cap=4)
+    assert n == 300
+    assert 5 in cands  # count 100 > 300/5 = 60
 
 
 # --- Bloom filter: sound (no false negatives) and actually pruning --------
