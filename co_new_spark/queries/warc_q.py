@@ -310,8 +310,150 @@ FROM rec ORDER BY shard, urlkey, ts_key
 """
 
 
+# ---------------------------------------------------------------------------
+# web_wat_export — the metadata container (WAT) completing the CC trio:
+# WARC (web_warc_scan) / WET (web_wet_export) / CDX (web_cdx_index) + WAT.
+# One WARC-Type: metadata record per page whose payload is a JSON envelope
+# carrying the WARC header echo, the actual content length, and the
+# extracted outlink list — the exact artifact the web-graph entries would
+# consume in production instead of re-parsing html.
+# ---------------------------------------------------------------------------
+
+_WAT_SHARDS = 4
+
+
+def wat_payload_cols():
+    """(n_links, payload) Columns over a (url, html) row — THE single
+    construction of the WAT JSON envelope (entry + pytest share it; the
+    DuckDB oracle restates it independently)."""
+    from .webgraph import _LINK_PAT
+
+    h = F.decode(F.col("html"), "UTF-8")
+    hrefs = F.regexp_extract_all(h, F.lit(_LINK_PAT), F.lit(1))
+    links_json = F.concat(
+        F.lit("["),
+        F.array_join(F.transform(
+            hrefs, lambda x: F.concat(F.lit('{"url":"'), x, F.lit('"}'))),
+            ","),
+        F.lit("]"))
+    payload = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        F.col("url"),
+        F.lit('","WARC-Type":"response"},"Payload-Metadata":'
+              '{"Actual-Content-Length":'),
+        F.octet_length("html").cast("string"),
+        F.lit(',"HTML-Metadata":{"Links":'), links_json, F.lit("}}}}"))
+    return F.size(hrefs).cast("long"), payload
+
+
+def t_wat_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-shard WAT geometry over the deterministic link corpus (the
+    SAME materialized ``linkpages`` bytes the web-graph entries read, so
+    the link lists here are provably the edges web_link_pagerank ranks).
+
+    The JSON envelope is built by raw native concat — the fixture's urls
+    and hrefs are JSON-safe by construction ([a-z0-9./:%-] only); a
+    production exporter would escape.  ``payload_sum`` is an
+    order-independent integer checksum of the payload BYTES (first 13 md5
+    hex digits as int64, summed per shard), so the oracle proves the JSON
+    byte-identical, not just same-length.  Offsets ride the per-shard
+    window exactly like WET/CDX — the shard is the WAT file unit."""
+    from pyspark.sql import Window
+
+    from .mat import materialize
+    from .webgraph import _link_pages
+
+    pg = materialize(_link_pages(spark), "linkpages", key=sf)
+    n_links, payload = wat_payload_cols()
+    rec = pg.select(
+        "url",
+        n_links.alias("n_links"),
+        payload.alias("payload"),
+        F.pmod(F.conv(F.substring(F.md5("url"), 1, 2), 16, 10).cast("long"),
+               F.lit(_WAT_SHARDS)).alias("shard"))
+    hdr = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length("payload").cast("string"),
+        F.lit("\r\n\r\n"))
+    sized = rec.select(
+        "url", "n_links", "shard",
+        F.octet_length("payload").cast("long").alias("jlen"),
+        F.octet_length(hdr).cast("long").alias("hlen"),
+        F.conv(F.substring(F.md5("payload"), 1, 13), 16, 10)
+         .cast("long").alias("psum"))
+    wo = (Window.partitionBy("shard").orderBy("url")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = sized.withColumn(
+        "off", F.coalesce(F.sum(F.col("hlen") + F.col("jlen") + 4).over(wo),
+                          F.lit(0)))
+    return (off.groupBy("shard")
+            .agg(F.count("*").alias("n_records"),
+                 F.sum("n_links").alias("n_links"),
+                 F.sum("jlen").alias("json_bytes"),
+                 F.sum(F.col("hlen") + F.col("jlen") + 4).alias("wat_bytes"),
+                 F.sum("off").alias("sum_offsets"),
+                 F.sum("psum").alias("payload_sum"))
+            .orderBy("shard"))
+
+
+def _sql_wat_export() -> str:
+    from .mat import mat_glob
+    from .webgraph import _LINK_PAT
+
+    return f"""
+WITH pg AS (
+  SELECT url, decode(html) AS h, CAST(octet_length(html) AS BIGINT) AS hb
+  FROM read_parquet('{mat_glob("linkpages")}')
+), rec AS (
+  SELECT url,
+         '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Target-URI":"'
+           || url
+           || '","WARC-Type":"response"}},"Payload-Metadata":'
+           || '{{"Actual-Content-Length":' || CAST(hb AS VARCHAR)
+           || ',"HTML-Metadata":{{"Links":['
+           || array_to_string(list_transform(
+                regexp_extract_all(h, '{_LINK_PAT}', 1),
+                x -> '{{"url":"' || x || '"}}'), ',')
+           || ']}}}}}}}}' AS payload,
+         CAST(len(regexp_extract_all(h, '{_LINK_PAT}', 1)) AS BIGINT)
+           AS n_links,
+         CAST(concat('0x', substring(md5(url), 1, 2)) AS BIGINT)
+           % {_WAT_SHARDS} AS shard
+  FROM pg
+), sized AS (
+  SELECT url, n_links, shard,
+         CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS jlen,
+         CAST(strlen(
+           'WARC/1.0' || {_CRLF_SQL} ||
+           'WARC-Type: metadata' || {_CRLF_SQL} ||
+           'WARC-Target-URI: ' || url || {_CRLF_SQL} ||
+           'Content-Length: '
+             || CAST(octet_length(CAST(payload AS BLOB)) AS VARCHAR)
+             || {_CRLF_SQL} || {_CRLF_SQL}) AS BIGINT) AS hlen,
+         CAST(concat('0x', substring(md5(payload), 1, 13)) AS BIGINT) AS psum
+  FROM rec
+), o AS (
+  SELECT shard, n_links, jlen, hlen, psum,
+         COALESCE(sum(hlen + jlen + 4) OVER (
+           PARTITION BY shard ORDER BY url
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM sized
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(n_links) AS BIGINT) AS n_links,
+       CAST(sum(jlen) AS BIGINT) AS json_bytes,
+       CAST(sum(hlen + jlen + 4) AS BIGINT) AS wat_bytes,
+       CAST(sum(off) AS BIGINT) AS sum_offsets,
+       CAST(sum(psum) AS BIGINT) AS payload_sum
+FROM o GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "web_warc_scan": (t_warc_scan, SQL_WARC_SCAN),
     "web_wet_export": (t_wet_export, _sql_wet_export()),
     "web_cdx_index": (t_cdx_index, _sql_cdx_index()),
+    "web_wat_export": (t_wat_export, _sql_wat_export()),
 }

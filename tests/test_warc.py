@@ -104,3 +104,34 @@ def test_cdx_index_offsets_tile_and_surt(spark):
     k = rows[0].urlkey
     assert ")" in k and "," in k.split(")")[0]
     assert k.split(")")[1].startswith("/")
+
+
+def test_wat_envelope_is_valid_json(spark):
+    """Every WAT payload must parse as JSON and carry exactly the fixture's
+    3 outlinks per page; the shard stats must tile the file geometry."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from co_new_spark.queries.mat import materialize
+    from co_new_spark.queries.warc_q import t_wat_export, wat_payload_cols
+    from co_new_spark.queries.webgraph import _link_pages
+    from tests.conftest import SF_DIR
+
+    pg = materialize(_link_pages(spark), "linkpages", key=SF_DIR)
+    _, payload = wat_payload_cols()
+    sample = pg.select("url", payload.alias("p"), F.length("html").alias("hb")).limit(20).collect()
+    assert sample
+    for r in sample:
+        env = json.loads(r["p"])["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == r["url"]
+        assert env["Payload-Metadata"]["Actual-Content-Length"] == r["hb"]
+        links = env["Payload-Metadata"]["HTML-Metadata"]["Links"]
+        assert len(links) == 3 and all(l["url"].startswith("https://") for l in links)
+
+    out = {r["shard"]: r for r in t_wat_export(spark, SF_DIR).collect()}
+    n = sum(r["n_records"] for r in out.values())
+    assert sum(r["n_links"] for r in out.values()) == 3 * n
+    for r in out.values():
+        # per-shard file geometry: wat_bytes == sum of record sizes
+        assert r["wat_bytes"] > r["json_bytes"] > 0
