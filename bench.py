@@ -81,6 +81,9 @@ HEADLINE = [
     # skew-split join, and SFC range-decomposition scan pruning
     "train_heavy_ngrams", "rel_bloom_join", "rel_skew_split_join",
     "geo_hilbert_ranges",
+    # round-5g: real compressed-image codec at batch scale (stdlib-zlib PNG
+    # decode inside mapInPandas, every scanline filter exercised)
+    "mm_png_decode",
 ]
 
 

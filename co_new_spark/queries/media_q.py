@@ -216,8 +216,151 @@ FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_png_decode — REAL compressed-image decode (round-5 upgrade of the
+# codec story): synthesize pixels per doc, encode to PNG (stdlib zlib
+# deflate), decode with the pure-numpy PNG decoder, emit features from the
+# DECODED pixels.  doc_id varies BOTH the channel layout (gray/RGB/RGBA)
+# and the scanline filter (0..4), so the corpus exercises every unfilter
+# path — incl. the Paeth predictor — against an oracle that re-derives the
+# features arithmetically and never sees a byte of the container: the
+# entries agree only if deflate -> chunk walk -> inflate -> unfilter is
+# lossless for every (layout, filter) combination.
+# ---------------------------------------------------------------------------
+
+
+def _png_params(did: int) -> tuple[int, int, int, int]:
+    return (5 + did % 6, 4 + did % 5,      # w, h
+            (1, 3, 4)[did % 3],            # channels
+            did % 5)                       # scanline filter type
+
+
+def t_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, ch, ft = _png_params(did)
+                ys, xs, cs = np.mgrid[0:h, 0:w, 0:ch]
+                px = ((did * 11 + ys * 17 + xs * 5 + cs * 29) % 256
+                      ).astype(np.uint8)
+                if ch == 1:
+                    px = px[:, :, 0]
+                dec = media.decode_png(media.encode_png(px, filter_type=ft))
+                nch = 1 if dec.ndim == 2 else dec.shape[2]
+                corner = dec[0, 0] if dec.ndim == 2 else dec[0, 0, 0]
+                rows.append((did, dec.shape[1], dec.shape[0], nch, ft,
+                             int(dec.astype(np.int64).sum()), int(corner)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_channels", "filter_type",
+                "pix_sum", "corner"])
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = ("doc_id long, width long, height long, n_channels long, "
+              "filter_type long, pix_sum long, corner long")
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+SQL_PNG_DECODE = """
+WITH p AS (
+  SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+         doc_id % 5 AS ft
+  FROM documents
+),
+s AS (SELECT i FROM generate_series(0, 439) AS t(i)),
+x AS (
+  SELECT p.doc_id, p.w, p.h, p.ch, p.ft,
+         (p.doc_id * 11
+          + (s.i // (p.w * p.ch)) * 17
+          + ((s.i % (p.w * p.ch)) // p.ch) * 5
+          + (s.i % p.ch) * 29) % 256 AS v
+  FROM p JOIN s ON s.i < p.w * p.h * p.ch
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ch AS BIGINT) AS n_channels, CAST(ft AS BIGINT) AS filter_type,
+       CAST(sum(v) AS BIGINT) AS pix_sum,
+       CAST(doc_id * 11 % 256 AS BIGINT) AS corner
+FROM x GROUP BY doc_id, w, h, ch, ft ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm_thumbnail — REAL resize over REAL decoded pixels: the remaining verb of
+# the multimodal quartet (decode / feature-extract / RESIZE / frame-sample).
+# PNG-decode the synthesized image, crop to even dims, 2x2 integer box
+# filter (exact floor mean — no float resampling, so the oracle re-derives
+# every thumbnail pixel arithmetically), emit thumbnail geometry + sums.
+# A one-pixel shift, channel mixup, or off-by-one crop changes thumb_sum.
+# ---------------------------------------------------------------------------
+
+
+def t_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, ch, ft = _png_params(did)
+                ys, xs, cs = np.mgrid[0:h, 0:w, 0:ch]
+                px = ((did * 11 + ys * 17 + xs * 5 + cs * 29) % 256
+                      ).astype(np.uint8)
+                src = px[:, :, 0] if ch == 1 else px
+                dec = media.decode_png(media.encode_png(src, filter_type=ft))
+                if dec.ndim == 2:
+                    dec = dec[:, :, None]
+                h2, w2 = dec.shape[0] // 2, dec.shape[1] // 2
+                crop = dec[: h2 * 2, : w2 * 2].astype(np.int64)
+                thumb = crop.reshape(h2, 2, w2, 2, -1).sum(axis=(1, 3)) // 4
+                rows.append((did, w2, h2,
+                             int(thumb.sum()), int(thumb[0, 0, 0])))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "th_w", "th_h", "thumb_sum", "thumb_corner"])
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = ("doc_id long, th_w long, th_h long, thumb_sum long, "
+              "thumb_corner long")
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+SQL_THUMBNAIL = """
+WITH p AS (
+  SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+  FROM documents
+),
+s AS (SELECT i FROM generate_series(0, 439) AS t(i)),
+x AS (
+  SELECT p.doc_id,
+         (p.w // 2) AS w2, (p.h // 2) AS h2,
+         (s.i // (p.w * p.ch)) AS y,
+         ((s.i % (p.w * p.ch)) // p.ch) AS xx,
+         (s.i % p.ch) AS c,
+         (p.doc_id * 11
+          + (s.i // (p.w * p.ch)) * 17
+          + ((s.i % (p.w * p.ch)) // p.ch) * 5
+          + (s.i % p.ch) * 29) % 256 AS v
+  FROM p JOIN s ON s.i < p.w * p.h * p.ch
+),
+tb AS (  -- exact 2x2 box filter on the cropped-even raster
+  SELECT doc_id, w2, h2, y // 2 AS ty, xx // 2 AS tx, c,
+         sum(v) // 4 AS tv
+  FROM x WHERE y < 2 * h2 AND xx < 2 * w2
+  GROUP BY doc_id, w2, h2, y // 2, xx // 2, c
+)
+SELECT doc_id, CAST(w2 AS BIGINT) AS th_w, CAST(h2 AS BIGINT) AS th_h,
+       CAST(sum(tv) AS BIGINT) AS thumb_sum,
+       CAST(max(CASE WHEN ty = 0 AND tx = 0 AND c = 0 THEN tv END)
+            AS BIGINT) AS thumb_corner
+FROM tb GROUP BY doc_id, w2, h2 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_wav_decode": (t_wav_decode, SQL_WAV_DECODE),
     "mm_bmp_decode": (t_bmp_decode, SQL_BMP_DECODE),
     "mm_audio_energy": (t_audio_energy, SQL_AUDIO_ENERGY),
+    "mm_png_decode": (t_png_decode, SQL_PNG_DECODE),
+    "mm_thumbnail": (t_thumbnail, SQL_THUMBNAIL),
 }

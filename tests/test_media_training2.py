@@ -12,7 +12,12 @@ from co_new_spark.sources.pages import pages
 
 
 def test_decode_image_stub_contract():
+    # JPEG remains codec-less -> loud unless the fake is requested
     with pytest.raises(NotImplementedError):
+        media.decode_image(b"\xff\xd8\xff\xe0jpegjunk")
+    # PNG now has a REAL decoder: malformed bytes are a ValueError, not a
+    # stub refusal
+    with pytest.raises(ValueError):
         media.decode_image(b"\x89PNG1234")
     a = media.decode_image(b"payload", deterministic_fake=True)
     b = media.decode_image(b"payload", deterministic_fake=True)
@@ -305,3 +310,57 @@ def test_audio_energy_windows_match_python(spark):
             ens.append(sum(v * v for v in w))
         mx = max(ens)
         assert got[did] == (nw, sum(ens), mx, ens.index(mx)), did
+
+
+def test_png_codec_roundtrip_and_spec_vector():
+    """decode_png inverts encode_png for every (layout, filter) pair, and
+    decodes a canonical real-world artifact: the ubiquitous base64 1x1
+    transparent-blue PNG (documented bytes; not produced by our encoder),
+    pinning header parse + zlib inflate against an external source."""
+    import base64
+
+    import numpy as np
+    import pytest
+
+    from co_new_spark.operators import media
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        for ft in range(5):
+            px = rng.integers(0, 256, (9, 14, ch), dtype=np.uint8)
+            arr = px[:, :, 0] if ch == 1 else px
+            got = media.decode_png(media.encode_png(arr, filter_type=ft))
+            assert np.array_equal(got, arr), (ch, ft)
+
+    tiny = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+        "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert media.sniff_format(tiny) == "png"
+    px = media.decode_png(tiny)
+    assert px.shape == (1, 1, 4) and px.dtype == np.uint8
+    assert px[0, 0].tolist() == [0, 0, 255, 127]  # semi-transparent blue
+
+    # decode_image now yields REAL features for PNG (no fake fallback)
+    feats = media.decode_image(media.encode_png(
+        rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)))
+    assert (feats["width"], feats["height"], feats["n_channels"]) == (24, 16, 3)
+
+    # unsupported variants stay loud
+    with pytest.raises(ValueError):
+        media.decode_png(b"\x89PNG\r\n\x1a\xFFjunk")
+    with pytest.raises(ValueError):
+        media.decode_png(tiny[:20])  # truncated chunk walk
+
+
+def test_thumbnail_box_filter_exact():
+    """The 2x2 integer box filter is the exact floor mean of each block."""
+    import numpy as np
+
+    px = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    h2, w2 = 3, 4
+    crop = px[: h2 * 2, : w2 * 2].astype(np.int64)
+    thumb = crop.reshape(h2, 2, w2, 2, -1).sum(axis=(1, 3)) // 4
+    for ty in range(h2):
+        for tx in range(w2):
+            blk = crop[2 * ty:2 * ty + 2, 2 * tx:2 * tx + 2, 0]
+            assert thumb[ty, tx, 0] == blk.sum() // 4
