@@ -281,8 +281,185 @@ def _grayscale(px: np.ndarray) -> np.ndarray:
     return (px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114)
 
 
+def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> list:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR/EOI, table
+    capped at 4096.  Width grows when the next free code reaches the width
+    ceiling — applied after each table add, the exact mirror of the
+    encoder's emit-then-add order, so the two stay bit-synchronized
+    (including the KwKwK code == next case).  Stops at ``npix`` indices,
+    tolerating streams that omit the EOI (the canonical 1x1 web GIF does)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out: list = []
+    nbits = len(data) * 8
+    bitpos = 0
+    width = mcs + 1
+    table: list = []
+    prev: list | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        width = mcs + 1
+        prev = None
+
+    reset()
+    while len(out) < npix and bitpos + width <= nbits:
+        code = 0
+        for b in range(width):
+            i = bitpos + b
+            if (data[i >> 3] >> (i & 7)) & 1:
+                code |= 1 << b
+        bitpos += width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            seq = table[code]
+        elif code == len(table) and prev is not None:  # KwKwK
+            seq = prev + [prev[0]]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(seq)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [seq[0]])
+            # one code EARLIER than the encoder's ceiling test: the
+            # decoder's table lags the encoder's by exactly one add at
+            # every read, the classic GIF-LZW off-by-one
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = seq
+    if len(out) < npix:
+        raise ValueError("LZW stream ended early")
+    return out[:npix]
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """GIF87a/89a -> ((H, W) uint8 palette indices, (N, 3) uint8 palette).
+    Pure python/numpy per the public GIF89a spec: logical screen
+    descriptor, global color table, extension-block skip, first image
+    descriptor, sub-block-framed LZW raster.  Interlace and local color
+    tables raise NotImplementedError (decode_image falls back per its
+    contract); animations decode as their first frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    flags = payload[10]
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    ncol = 2 << (flags & 7)
+    pal = np.frombuffer(payload, np.uint8, ncol * 3, pos).reshape(ncol, 3)
+    pos += ncol * 3
+    while pos < len(payload):
+        sep = payload[pos]
+        pos += 1
+        if sep == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif sep == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 4:pos + 6], "little")
+            h = int.from_bytes(payload[pos + 6:pos + 8], "little")
+            iflags = payload[pos + 8]
+            pos += 9
+            if iflags & 0x80:
+                raise NotImplementedError("GIF local color table")
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), mcs, w * h)
+            return np.array(idx, np.uint8).reshape(h, w), pal.copy()
+        elif sep == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block separator {sep:#x}")
+    raise ValueError("GIF contains no image")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """((H, W) uint8 indices, (N, 3) palette, N a power of two >= 4) ->
+    GIF89a bytes.  Standard LZW string-table encoder: leading CLEAR,
+    emit-then-add, width grows when the table reaches the width ceiling,
+    CLEAR again at 4096 — the bit-mirror of _gif_lzw_decode."""
+    h, w = indices.shape
+    ncol = len(palette)
+    if ncol < 4 or ncol & (ncol - 1):
+        raise ValueError("palette size must be a power of two >= 4")
+    mcs = ncol.bit_length() - 1
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    out = bytearray()
+    acc = bitcnt = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bitcnt
+        acc |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitcnt -= 8
+
+    width = mcs + 1
+    table: dict = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    emit(clear, width)
+    cur: tuple = ()
+    for k in map(int, indices.ravel()):
+        cand = cur + (k,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            if nxt - 1 == (1 << width) - 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            nxt = eoi + 1
+            width = mcs + 1
+        cur = (k,)
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(acc & 0xFF)
+
+    body = bytearray()
+    body += b"GIF89a"
+    body += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    body += bytes([0x80 | (mcs - 1), 0, 0])  # GCT flag+size, bg, aspect
+    body += palette.astype(np.uint8).tobytes()
+    body += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    body += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    body += bytes([mcs])
+    for i in range(0, len(out), 255):
+        blk = out[i:i + 255]
+        body += bytes([len(blk)]) + blk
+    body += b"\x00\x3b"
+    return bytes(body)
+
+
+def _decode_gif_rgb(payload: bytes) -> np.ndarray:
+    idx, pal = decode_gif(payload)
+    return pal[idx]
+
+
 _REAL_DECODERS = {"bmp": decode_bmp, "pgm": decode_pnm, "ppm": decode_pnm,
-                  "png": decode_png}
+                  "png": decode_png, "gif": _decode_gif_rgb}
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:

@@ -357,8 +357,75 @@ FROM tb GROUP BY doc_id, w2, h2 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_gif_decode — REAL palette-image decode through the GIF89a LZW codec
+# (operators/media.py: variable-width LSB-first codes, CLEAR/EOI, KwKwK,
+# width growth at every table-ceiling crossing).  doc_id varies the image
+# geometry AND the palette size (4/8/16 colors -> LZW min code size
+# 2/3/4), so the corpus exercises the width-growth schedule from three
+# different starting widths.  The oracle re-derives index sums, palette-
+# mapped RGB sums and the corner index arithmetically from doc_id — it
+# never sees a byte — so agreement proves LZW encode -> sub-block framing
+# -> decode is index-exact and the palette mapping is ordered correctly.
+# ---------------------------------------------------------------------------
+
+
+def _gif_params(did: int) -> tuple[int, int, int]:
+    return 4 + did % 5, 3 + did % 4, (4, 8, 16)[did % 3]  # w, h, ncolors
+
+
+def t_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, ncol = _gif_params(did)
+                ys, xs = np.mgrid[0:h, 0:w]
+                idx = ((did * 7 + ys * 13 + xs * 3) % ncol).astype(np.uint8)
+                ci, cc = np.mgrid[0:ncol, 0:3]
+                pal = ((ci * 37 + cc * 11 + did) % 256).astype(np.uint8)
+                dec, dpal = media.decode_gif(media.encode_gif(idx, pal))
+                rgb = dpal[dec].astype(np.int64)
+                rows.append((did, dec.shape[1], dec.shape[0], len(dpal),
+                             int(dec.astype(np.int64).sum()),
+                             int(rgb.sum()), int(dec[0, 0])))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_colors", "idx_sum",
+                "rgb_sum", "corner_idx"])
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = ("doc_id long, width long, height long, n_colors long, "
+              "idx_sum long, rgb_sum long, corner_idx long")
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+SQL_GIF_DECODE = """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS ncol
+  FROM documents
+),
+s AS (SELECT i FROM generate_series(0, 47) AS t(i)),
+x AS (
+  SELECT p.doc_id, p.w, p.h, p.ncol,
+         (p.doc_id * 7 + (s.i // p.w) * 13 + (s.i % p.w) * 3) % p.ncol AS idx
+  FROM p JOIN s ON s.i < p.w * p.h
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ncol AS BIGINT) AS n_colors,
+       CAST(sum(idx) AS BIGINT) AS idx_sum,
+       CAST(sum((idx * 37 + doc_id) % 256
+                + (idx * 37 + 11 + doc_id) % 256
+                + (idx * 37 + 22 + doc_id) % 256) AS BIGINT) AS rgb_sum,
+       CAST(doc_id * 7 % ncol AS BIGINT) AS corner_idx
+FROM x GROUP BY doc_id, w, h, ncol ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_wav_decode": (t_wav_decode, SQL_WAV_DECODE),
+    "mm_gif_decode": (t_gif_decode, SQL_GIF_DECODE),
     "mm_bmp_decode": (t_bmp_decode, SQL_BMP_DECODE),
     "mm_audio_energy": (t_audio_energy, SQL_AUDIO_ENERGY),
     "mm_png_decode": (t_png_decode, SQL_PNG_DECODE),
