@@ -15,7 +15,7 @@ from . import (
     training4, training5, training6, training7, training8, training9,
     training10,
     warc_q, webgraph,
-    webgraph2, webtext_q, webtext2, webtext3,
+    webgraph2, webtext_q, webtext2, webtext3, webtext4,
 )
 
 REGISTRY: dict = {}
@@ -25,7 +25,7 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              training3,
              training4, training5, training6, training7, training8,
              training9, training10, webgraph,
-             warc_q, webgraph2, webtext_q, webtext2, webtext3, e2e_q,
+             warc_q, webgraph2, webtext_q, webtext2, webtext3, webtext4, e2e_q,
              scale_ops,
              streaming_q, pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)
