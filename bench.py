@@ -84,6 +84,11 @@ HEADLINE = [
     # round-5g: real compressed-image codec at batch scale (stdlib-zlib PNG
     # decode inside mapInPandas, every scanline filter exercised)
     "mm_png_decode",
+    # round-5h: GIF LZW decode, content-defined chunking (Arrow window
+    # scan + chunk-store share join), hybrid dense+sparse retrieval
+    # fusion, and T5 span-corruption target construction
+    "mm_gif_decode", "web_cdc_chunks", "train_rrf_fusion",
+    "train_span_corruption",
 ]
 
 

@@ -23,11 +23,19 @@ _SEP = b"\r\n\r\n"
 
 
 def build_record(uri: str, payload: bytes,
-                 warc_type: str = "response") -> bytes:
-    """One WARC/1.0 record: header block + payload + CRLF CRLF."""
+                 warc_type: str = "response",
+                 extra_headers: list[tuple[str, str]] | None = None) -> bytes:
+    """One WARC/1.0 record: header block + payload + CRLF CRLF.
+
+    ``extra_headers`` (ordered (name, value) pairs — e.g. WARC-Date,
+    WARC-Payload-Digest, the revisit WARC-Refers-To-* family) are emitted
+    between WARC-Target-URI and Content-Length, in the given order, so the
+    byte layout is a pure function of the arguments."""
+    extra = "".join(f"{k}: {v}\r\n" for k, v in (extra_headers or []))
     header = (f"WARC/1.0\r\n"
               f"WARC-Type: {warc_type}\r\n"
               f"WARC-Target-URI: {uri}\r\n"
+              f"{extra}"
               f"Content-Length: {len(payload)}\r\n\r\n").encode("ascii")
     return header + payload + _SEP
 
@@ -53,6 +61,7 @@ def parse_warc(blob: bytes) -> list[dict]:
                 f"bad WARC version line at offset {pos}: {lines[0]!r}")
         uri = None
         clen = None
+        wtype = None
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             k = k.strip().lower()
@@ -60,6 +69,8 @@ def parse_warc(blob: bytes) -> list[dict]:
                 uri = v.strip()
             elif k == "content-length":
                 clen = int(v.strip())
+            elif k == "warc-type":
+                wtype = v.strip()
         if clen is None:
             raise ValueError(f"record at offset {pos} has no Content-Length")
         hlen = hdr_end + 4 - pos
@@ -72,6 +83,6 @@ def parse_warc(blob: bytes) -> list[dict]:
             raise ValueError(
                 f"record at offset {pos}: missing CRLF CRLF terminator")
         out.append({"offset": pos, "uri": uri, "content_length": clen,
-                    "header_length": hlen})
+                    "header_length": hlen, "warc_type": wtype})
         pos = body_end + 4
     return out

@@ -451,9 +451,165 @@ FROM o GROUP BY shard ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# web_warc_revisit — archive-layer dedup records (the WARC revisit type,
+# ISO 28500 §6.7; Common Crawl's identical-payload-digest convention): the
+# FIRST capture of a payload digest is stored as a full 'response' record;
+# every later capture becomes a 'revisit' record with NO payload, carrying
+# WARC-Refers-To-Target-URI / WARC-Refers-To-Date back to the original.
+# This is where dedup meets the container: the entry synthesizes 1-3
+# captures per document (arithmetic timestamps), elects originals with ONE
+# digest-partitioned window (bounded by the duplication factor — the
+# train_dedup_exact window class), builds REAL record bytes per shard
+# (captures of one doc deliberately scatter across files, so references
+# cross file boundaries like production), re-parses with the length-driven
+# walker, and reports per-shard storage-vs-logical byte savings.  The
+# oracle re-derives every header LENGTH from the same strings and the
+# offsets from a windowed running sum — a one-byte error in the revisit
+# header layout shifts every later offset and breaks the hash.
+# ---------------------------------------------------------------------------
+
+_RV_SHARDS = 4
+
+
+def t_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    caps = (docs.select(
+                "doc_id", "text",
+                F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3))
+                 .alias("c"))
+                .withColumn("ts", (F.col("doc_id") * 3 + F.col("c") * 7)
+                            % 100)
+                .withColumn("date", F.format_string(
+                    "2024-01-01T00:%02d:%02dZ",
+                    (F.col("ts") / 60).cast("int"), F.col("ts") % 60))
+                .withColumn("digest", F.md5(F.encode("text", "UTF-8")))
+                .withColumn("shard", (F.col("doc_id") + F.col("c") * 11)
+                            % _RV_SHARDS))
+    w = Window.partitionBy("digest")
+    first = F.min(F.struct("ts", "c", "date")).over(w)
+    caps = caps.select(
+        "doc_id", "c", "shard", "text", "date", "digest",
+        ((F.col("ts") == first.getField("ts"))
+         & (F.col("c") == first.getField("c"))).alias("is_resp"),
+        first.getField("date").alias("ref_date"))
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "c"])
+        parts, logical = [], []
+        for row in pdf.itertuples():
+            uri = f"{_URI_PREFIX}{int(row.doc_id)}"
+            payload = row.text.encode("utf-8")
+            logical.append(len(payload))
+            common = [("WARC-Date", row.date),
+                      ("WARC-Payload-Digest", f"md5:{row.digest}")]
+            if row.is_resp:
+                parts.append(warc.build_record(
+                    uri, payload, extra_headers=common))
+            else:
+                parts.append(warc.build_record(
+                    uri, b"", warc_type="revisit",
+                    extra_headers=common
+                    + [("WARC-Refers-To-Target-URI", uri),
+                       ("WARC-Refers-To-Date", row.ref_date)]))
+        recs = warc.parse_warc(b"".join(parts))
+        if len(recs) != len(pdf):
+            raise ValueError(
+                f"parsed {len(recs)} records from {len(pdf)} inputs")
+        shard = int(pdf["shard"].iloc[0])
+        return pd.DataFrame(
+            [(shard, r["offset"], r["content_length"], r["header_length"],
+              r["warc_type"] == "revisit", lg)
+             for r, lg in zip(recs, logical)],
+            columns=["shard", "offset", "content_length", "header_length",
+                     "is_revisit", "logical_len"])
+
+    rec = caps.groupBy("shard").applyInPandas(
+        per_shard,
+        "shard long, offset long, content_length long, header_length long, "
+        "is_revisit boolean, logical_len long")
+    return (rec.groupBy("shard")
+            .agg(F.count("*").alias("n_records"),
+                 F.sum((~F.col("is_revisit")).cast("long"))
+                  .alias("n_response"),
+                 F.sum(F.col("is_revisit").cast("long")).alias("n_revisit"),
+                 F.sum("content_length").alias("stored_payload_bytes"),
+                 F.sum("logical_len").alias("logical_payload_bytes"),
+                 (F.sum("logical_len") - F.sum("content_length"))
+                  .alias("saved_bytes"),
+                 F.sum("offset").alias("sum_offsets"),
+                 F.sum(F.col("header_length") + F.col("content_length") + 4)
+                  .alias("file_bytes"))
+            .orderBy("shard"))
+
+
+SQL_WARC_REVISIT = f"""
+WITH caps AS MATERIALIZED (
+  SELECT d.doc_id, t.c, d.text, md5(d.text) AS digest,
+         (d.doc_id * 3 + t.c * 7) % 100 AS ts,
+         (d.doc_id + t.c * 11) % {_RV_SHARDS} AS shard
+  FROM documents d
+  JOIN (SELECT i AS c FROM generate_series(0, 2) g(i)) t
+    ON t.c <= d.doc_id % 3),
+dated AS (
+  SELECT *, '2024-01-01T00:' || lpad(CAST(ts // 60 AS VARCHAR), 2, '0')
+            || ':' || lpad(CAST(ts % 60 AS VARCHAR), 2, '0') || 'Z' AS dt
+  FROM caps),
+elect AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY digest ORDER BY ts, c) = 1
+           AS is_resp,
+         first_value(dt) OVER (PARTITION BY digest ORDER BY ts, c
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               UNBOUNDED FOLLOWING) AS ref_date
+  FROM dated),
+r AS (
+  SELECT shard, doc_id, c, is_resp,
+         CAST(strlen(text) AS BIGINT) AS logical_len,
+         CAST(CASE WHEN is_resp THEN strlen(text) ELSE 0 END AS BIGINT)
+           AS clen,
+         CAST(strlen(
+           'WARC/1.0' || {_CRLF_SQL} ||
+           'WARC-Type: ' || CASE WHEN is_resp THEN 'response'
+                                 ELSE 'revisit' END || {_CRLF_SQL} ||
+           'WARC-Target-URI: {_URI_PREFIX}' || CAST(doc_id AS VARCHAR)
+             || {_CRLF_SQL} ||
+           'WARC-Date: ' || dt || {_CRLF_SQL} ||
+           'WARC-Payload-Digest: md5:' || digest || {_CRLF_SQL} ||
+           CASE WHEN is_resp THEN '' ELSE
+             'WARC-Refers-To-Target-URI: {_URI_PREFIX}'
+               || CAST(doc_id AS VARCHAR) || {_CRLF_SQL} ||
+             'WARC-Refers-To-Date: ' || ref_date || {_CRLF_SQL} END ||
+           'Content-Length: ' || CAST(CASE WHEN is_resp THEN strlen(text)
+                                            ELSE 0 END AS VARCHAR)
+             || {_CRLF_SQL} || {_CRLF_SQL}) AS BIGINT) AS hlen
+  FROM elect),
+o AS (
+  SELECT shard, is_resp, logical_len, clen, hlen,
+         COALESCE(sum(hlen + clen + 4) OVER (
+           PARTITION BY shard ORDER BY doc_id, c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM r)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN is_resp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_response,
+       CAST(sum(CASE WHEN is_resp THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_revisit,
+       CAST(sum(clen) AS BIGINT) AS stored_payload_bytes,
+       CAST(sum(logical_len) AS BIGINT) AS logical_payload_bytes,
+       CAST(sum(logical_len) - sum(clen) AS BIGINT) AS saved_bytes,
+       CAST(sum(off) AS BIGINT) AS sum_offsets,
+       CAST(sum(hlen + clen + 4) AS BIGINT) AS file_bytes
+FROM o GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "web_warc_scan": (t_warc_scan, SQL_WARC_SCAN),
     "web_wet_export": (t_wet_export, _sql_wet_export()),
     "web_cdx_index": (t_cdx_index, _sql_cdx_index()),
     "web_wat_export": (t_wat_export, _sql_wat_export()),
+    "web_warc_revisit": (t_warc_revisit, SQL_WARC_REVISIT),
 }

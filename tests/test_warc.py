@@ -135,3 +135,41 @@ def test_wat_envelope_is_valid_json(spark):
     for r in out.values():
         # per-shard file geometry: wat_bytes == sum of record sizes
         assert r["wat_bytes"] > r["json_bytes"] > 0
+
+
+def test_build_record_extra_headers_roundtrip():
+    from co_new_spark.functions import warc
+
+    rec = warc.build_record(
+        "https://a.co/x", b"", warc_type="revisit",
+        extra_headers=[("WARC-Date", "2024-01-01T00:00:07Z"),
+                       ("WARC-Refers-To-Target-URI", "https://a.co/x")])
+    out = warc.parse_warc(rec)
+    assert len(out) == 1
+    assert out[0]["warc_type"] == "revisit"
+    assert out[0]["content_length"] == 0
+    # extra headers land between Target-URI and Content-Length, in order
+    head = rec.split(b"\r\n\r\n")[0].decode()
+    lines = head.split("\r\n")
+    assert lines[3].startswith("WARC-Date:")
+    assert lines[4].startswith("WARC-Refers-To-Target-URI:")
+    assert lines[5].startswith("Content-Length:")
+
+
+def test_warc_revisit_dedup_semantics(spark):
+    from co_new_spark.queries.warc_q import t_warc_revisit
+    from tests.conftest import SF_DIR
+
+    rows = {r["shard"]: r for r in t_warc_revisit(spark, SF_DIR).collect()}
+    n_resp = sum(r["n_response"] for r in rows.values())
+    n_rev = sum(r["n_revisit"] for r in rows.values())
+    # 500 docs, 1 + doc_id % 3 captures each: exactly one response per doc
+    assert n_resp == 500
+    assert n_rev == sum(d % 3 for d in range(500))
+    for r in rows.values():
+        # revisits store zero payload: savings == logical - stored >= 0,
+        # with equality only if the shard holds no revisit
+        assert r["saved_bytes"] == (r["logical_payload_bytes"]
+                                    - r["stored_payload_bytes"])
+        assert (r["saved_bytes"] > 0) == (r["n_revisit"] > 0)
+        assert r["file_bytes"] > r["stored_payload_bytes"]

@@ -89,13 +89,17 @@ os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
 # toward empty at 10x: per-copy gram counts are unchanged while the
 # corpus-relative floor N/K rises 10x (disjoint vocabularies) — the probe
 # measures the pass cost, the frequency floor is doing its job
+# web_cdc_chunks added round 5h: the Arrow window scan is per-doc linear
+# and the 'x{c}' suffix makes cross-copy chunk bytes (and hence chunk
+# hashes) disjoint — probes that the chunk-store groupBy and the share
+# equi-join grow with unique content, never quadratically
 ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_substring_dedup", "train_neardup_scaled",
            "train_simhash", "train_dsir_weights", "train_dedup_bloom",
            "train_perplexity_buckets", "train_kmeans_lloyd",
            "train_semdedup", "train_bpe_merges", "train_bm25_topk",
            "train_pmi_pairs", "train_winnowing", "train_shingle_contain",
-           "train_heavy_ngrams"]
+           "train_heavy_ngrams", "web_cdc_chunks"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
