@@ -87,8 +87,8 @@ HEADLINE = [
     # round-5h: GIF LZW decode, content-defined chunking (Arrow window
     # scan + chunk-store share join), hybrid dense+sparse retrieval
     # fusion, and T5 span-corruption target construction
-    "mm_gif_decode", "web_cdc_chunks", "train_rrf_fusion",
-    "train_span_corruption",
+    "mm_gif_decode", "mm_jpeg_decode", "web_cdc_chunks",
+    "train_rrf_fusion", "train_span_corruption",
 ]
 
 

@@ -453,13 +453,346 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(body)
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1), grayscale: the web's dominant
+# lossy image container, decoded for real — marker walk, DQT/DHT/SOF0/SOS
+# parse, canonical Huffman reconstruction FROM THE STREAM's own DHT (the
+# decoder trusts no hardcoded table), 0xFF00 byte-unstuffing, DC-diff +
+# (run, size) AC entropy decode, zigzag, dequant, float64 IDCT.  Lossiness
+# is the format's, not the codec's: decode(encode(px)) equals the
+# arithmetically-predicted reconstruction exactly, which is what the
+# byte-blind oracle checks on DC-only (constant-block) images.
+# --------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# Annex-K-style luminance tables (BITS, HUFFVAL).  Correctness does not
+# hinge on these being the standard's exact tables: the encoder WRITES them
+# into DHT and the decoder READS DHT, so any valid prefix code round-trips.
+_JPG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_VALS = list(range(12))
+_JPG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPG_AC_VALS = (
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _huff_canonical(bits: list, vals: list) -> dict:
+    """BITS/HUFFVAL -> {symbol: (code, length)} (T.81 C.2 code assignment)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_mat() -> np.ndarray:
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        for b in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> b) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:      # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def encode_jpeg(gray: np.ndarray, q: int = 16) -> bytes:
+    """(H, W) uint8, H and W multiples of 8 -> baseline JPEG bytes with a
+    UNIFORM quantization table (every coefficient divided by ``q``) —
+    the fixture generator for the real decode path and a usable sink.
+    Quantization rounds half away from zero in exact integer arithmetic,
+    so the quantized surface is a pure function of (pixels, q)."""
+    h, w = gray.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg needs multiples-of-8 dimensions")
+    if not 1 <= q <= 255:
+        raise ValueError("quant value out of byte range")
+    dc_tab = _huff_canonical(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_tab = _huff_canonical(_JPG_AC_BITS, _JPG_AC_VALS)
+    A = _dct_mat()
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = gray[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] \
+                .astype(np.float64) - 128.0
+            F = A @ blk @ A.T
+            Fi = np.rint(F).astype(np.int64)  # exact for integer-valued F
+            # round-half-away integer quantization of Fi / q
+            mag = (2 * np.abs(Fi) + q) // (2 * q)
+            S = np.where(Fi < 0, -mag, mag).astype(np.int64)
+            zz = [int(S.ravel()[i]) for i in _ZIGZAG]
+
+            def put_val(v: int, size: int):
+                if size:
+                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            size = abs(diff).bit_length()
+            bw.put(*dc_tab[size])
+            put_val(diff, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_tab[0xF0])   # ZRL
+                    run -= 16
+                size = abs(zz[i]).bit_length()
+                bw.put(*ac_tab[(run << 4) | size])
+                put_val(zz[i], size)
+                run = 0
+            if last_nz < 63:
+                bw.put(*ac_tab[0x00])       # EOB
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    def dht(cls: int, tid: int, bits: list, vals: list) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    qtab = bytes([0]) + bytes([q] * 64)
+    sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + bytes([1, 1, 0x11, 0]))
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (b"\xff\xd8"
+            + seg(0xDB, qtab)
+            + seg(0xC0, sof)
+            + seg(0xC4, dht(0, 0, _JPG_DC_BITS, _JPG_DC_VALS))
+            + seg(0xC4, dht(1, 0, _JPG_AC_BITS, _JPG_AC_VALS))
+            + seg(0xDA, sos)
+            + bw.flush()
+            + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first reader over byte-stuffed entropy data."""
+
+    def __init__(self, blob: bytes, pos: int):
+        self.blob = blob
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if not self.n:
+            if self.pos >= len(self.blob):
+                raise ValueError("JPEG entropy data truncated")
+            b = self.blob[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.blob):
+                    raise ValueError("JPEG entropy data truncated at 0xFF")
+                m = self.blob[self.pos]
+                if m == 0x00:
+                    self.pos += 1           # stuffed byte
+                else:
+                    raise ValueError(f"unexpected marker 0xff{m:02x} "
+                                     "inside entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline grayscale JPEG -> (H, W) uint8.  Supports: SOF0, one
+    component, 8-bit DQT, stream-declared DHT, APPn/COM skip.
+    Progressive (SOF2), multi-component, and restart markers raise
+    NotImplementedError (decode_image falls back per its contract).
+    Reconstruction rounds floor(x + 0.5 + 1e-9): the epsilon breaks exact
+    .5 ties UPWARD on both sides of the oracle (float IDCT lands within
+    ~1e-13 of the rational value, the oracle computes the same rational
+    directly — without the epsilon a true tie could round differently)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict = {}
+    dc_dec: dict = {}
+    ac_dec: dict = {}
+    h = w = None
+    tq = td = ta = None
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        if ln < 2 or pos + 2 + ln > n:
+            raise ValueError(f"truncated JPEG segment at offset {pos}")
+        body = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tqi = body[p] >> 4, body[p] & 15
+                if pq:
+                    raise NotImplementedError("16-bit DQT")
+                qtabs[tqi] = list(body[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC0:
+            if body[5] != 1:
+                raise NotImplementedError("multi-component JPEG")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG")
+            tq = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"SOF{marker - 0xC0} JPEG")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17:p + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated JPEG DHT segment")
+                table = {(lc, c): s for s, (c, lc) in
+                         _huff_canonical(bits, vals).items()}
+                (ac_dec if cls else dc_dec)[tid] = table
+                p += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            td, ta = body[2] >> 4, body[2] & 15
+            pos = pos + 2 + ln
+            break
+        pos = pos + 2 + ln
+    if h is None or td is None or tq not in qtabs:
+        raise ValueError("JPEG missing SOF0/SOS/DQT")
+    qt = np.zeros(64, np.int64)
+    for i, zi in enumerate(_ZIGZAG):
+        qt[zi] = qtabs[tq][i]
+    dct, act = dc_dec[td], ac_dec[ta]
+    A = _dct_mat()
+
+    br = _BitReader(payload, pos)
+
+    def huff(table: dict) -> int:
+        code, lc = 0, 0
+        while lc < 17:
+            code = (code << 1) | br.bit()
+            lc += 1
+            if (lc, code) in table:
+                return table[(lc, code)]
+        raise ValueError("invalid Huffman code in entropy data")
+
+    def extend(v: int, size: int) -> int:
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), np.uint8)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = np.zeros(64, np.int64)
+            size = huff(dct)
+            diff = extend(br.bits(size), size) if size else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = huff(act)
+                if sym == 0x00:
+                    break
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"bad AC symbol {sym:#x}")
+                    i += 16
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = extend(br.bits(size), size)
+                i += 1
+            blk = np.zeros(64, np.int64)
+            for k, zi in enumerate(_ZIGZAG):
+                blk[zi] = zz[k]
+            coef = (blk * qt).reshape(8, 8).astype(np.float64)
+            samp = A.T @ coef @ A
+            rec = np.floor(samp + 0.5 + 1e-9) + 128
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                np.clip(rec, 0, 255).astype(np.uint8)
+    return out[:h, :w]
+
+
 def _decode_gif_rgb(payload: bytes) -> np.ndarray:
     idx, pal = decode_gif(payload)
     return pal[idx]
 
 
 _REAL_DECODERS = {"bmp": decode_bmp, "pgm": decode_pnm, "ppm": decode_pnm,
-                  "png": decode_png, "gif": _decode_gif_rgb}
+                  "png": decode_png, "gif": _decode_gif_rgb,
+                  "jpeg": decode_jpeg}
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:

@@ -423,9 +423,93 @@ FROM x GROUP BY doc_id, w, h, ncol ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_jpeg_decode — REAL lossy-codec decode (baseline JPEG, ITU-T T.81):
+# marker walk, stream-declared Huffman tables, byte-unstuffed DC/AC entropy
+# decode, zigzag, dequant, float64 IDCT.  The corpus is constant-per-block
+# images, so the LOSSY reconstruction is arithmetically predictable: the
+# only surviving coefficient is the DC, and the decoded block value is
+# clip(floor(S*q/8 + .5 + 1e-9) + 128) with S the round-half-away
+# quantized 8*(v-128).  The oracle computes that closed form per block —
+# it never sees a byte — so agreement proves the ENTIRE container path
+# (incl. Huffman round-trip of every DC diff) bit-exact, while the
+# format's lossiness (v != rec for q > 1) is faithfully reproduced, not
+# averaged away.  doc_id varies geometry AND the quant value q in 1..31.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_params(did: int) -> tuple[int, int, int]:
+    return (8 * (1 + did % 4), 8 * (1 + did % 3), 1 + did % 31)  # w, h, q
+
+
+def t_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, q = _jpeg_params(did)
+                bys, bxs = np.mgrid[0:h // 8, 0:w // 8]
+                vals = ((did * 31 + bxs * 7 + bys * 13) % 256)
+                img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+                dec = media.decode_jpeg(media.encode_jpeg(img, q=q))
+                rows.append((did, dec.shape[1], dec.shape[0], q,
+                             (h // 8) * (w // 8),
+                             int(dec.astype(np.int64).sum()),
+                             int(dec[0, 0])))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "q", "n_blocks", "pix_sum",
+                "corner"])
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = ("doc_id long, width long, height long, q long, "
+              "n_blocks long, pix_sum long, corner long")
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+SQL_JPEG_DECODE = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh,
+         1 + doc_id % 31 AS q
+  FROM documents
+),
+s AS (SELECT i FROM generate_series(0, 11) t(i)),
+b AS (
+  SELECT p.doc_id, p.bw, p.bh, p.q,
+         (p.doc_id * 31 + (s.i % p.bw) * 7 + (s.i // p.bw) * 13) % 256 AS v
+  FROM p JOIN s ON s.i < p.bw * p.bh
+),
+r AS (
+  SELECT doc_id, bw, bh, q, v,
+         8 * (v - 128) AS t,
+         CASE WHEN 8 * (v - 128) < 0
+              THEN -((2 * abs(8 * (v - 128)) + q) // (2 * q))
+              ELSE (2 * abs(8 * (v - 128)) + q) // (2 * q) END AS sq
+  FROM b
+),
+d AS (
+  -- rec is a pure function of (v, q), so ANY block sharing the corner
+  -- block's v (which always exists: i = 0 has v = doc_id*31 %% 256)
+  -- yields the corner reconstruction
+  SELECT doc_id, bw, bh, q, v,
+         least(255, greatest(0,
+           CAST(floor(sq * q / 8.0 + 0.5 + 1e-9) AS BIGINT) + 128)) AS rec
+  FROM r
+)
+SELECT doc_id, CAST(bw * 8 AS BIGINT) AS width,
+       CAST(bh * 8 AS BIGINT) AS height, CAST(q AS BIGINT) AS q,
+       CAST(bw * bh AS BIGINT) AS n_blocks,
+       CAST(sum(64 * rec) AS BIGINT) AS pix_sum,
+       CAST(max(CASE WHEN v = doc_id * 31 % 256 THEN rec END) AS BIGINT)
+         AS corner
+FROM d GROUP BY doc_id, bw, bh, q ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_wav_decode": (t_wav_decode, SQL_WAV_DECODE),
     "mm_gif_decode": (t_gif_decode, SQL_GIF_DECODE),
+    "mm_jpeg_decode": (t_jpeg_decode, SQL_JPEG_DECODE),
     "mm_bmp_decode": (t_bmp_decode, SQL_BMP_DECODE),
     "mm_audio_energy": (t_audio_energy, SQL_AUDIO_ENERGY),
     "mm_png_decode": (t_png_decode, SQL_PNG_DECODE),

@@ -12,11 +12,10 @@ from co_new_spark.sources.pages import pages
 
 
 def test_decode_image_stub_contract():
-    # JPEG remains codec-less -> loud unless the fake is requested
-    with pytest.raises(NotImplementedError):
+    # JPEG and PNG now have REAL decoders: malformed bytes are a
+    # ValueError, not a stub refusal
+    with pytest.raises(ValueError):
         media.decode_image(b"\xff\xd8\xff\xe0jpegjunk")
-    # PNG now has a REAL decoder: malformed bytes are a ValueError, not a
-    # stub refusal
     with pytest.raises(ValueError):
         media.decode_image(b"\x89PNG1234")
     a = media.decode_image(b"payload", deterministic_fake=True)
@@ -412,3 +411,67 @@ def test_gif_spec_vector_and_extension_skip():
     # and through the generic image surface: 1x1 RGB via the palette
     feats = media.decode_image(tiny)
     assert (feats["width"], feats["height"], feats["n_channels"]) == (1, 1, 3)
+
+
+def test_jpeg_codec_dc_exactness_and_ac_roundtrip():
+    """Constant-block images reconstruct to the arithmetically predicted
+    values at every quant level (the oracle's closed form); full random
+    images at q=1 round-trip within the +-1 the float DCT rounding allows
+    — real lossy machinery, exact where the math says it must be."""
+    import math
+
+    import numpy as np
+
+    from co_new_spark.operators import media
+
+    rng = np.random.default_rng(3)
+
+    def pred(v, q):
+        t = 8 * (int(v) - 128)
+        mag = (2 * abs(t) + q) // (2 * q)
+        s = -mag if t < 0 else mag
+        return min(255, max(0, math.floor(s * q / 8.0 + 0.5 + 1e-9) + 128))
+
+    for q in (1, 2, 7, 16, 31, 255):
+        vals = rng.integers(0, 256, (2, 3))
+        img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+        dec = media.decode_jpeg(media.encode_jpeg(img, q=q))
+        exp = np.kron(np.vectorize(lambda v: pred(v, q))(vals),
+                      np.ones((8, 8))).astype(np.uint8)
+        assert np.array_equal(dec, exp), q
+
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    dec = media.decode_jpeg(media.encode_jpeg(img, q=1))
+    assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 1
+    # higher q: lossy but bounded by the quantization step
+    dec16 = media.decode_jpeg(media.encode_jpeg(img, q=16))
+    assert dec16.shape == img.shape
+    assert int(np.mean(np.abs(dec16.astype(int) - img.astype(int)))) < 16
+
+
+def test_jpeg_decoder_contracts():
+    import numpy as np
+    import pytest
+
+    from co_new_spark.operators import media
+
+    img = np.full((8, 8), 200, np.uint8)
+    payload = media.encode_jpeg(img, q=4)
+    assert media.sniff_format(payload) == "jpeg"
+    # generic surface: grayscale features
+    feats = media.decode_image(payload)
+    assert (feats["width"], feats["height"], feats["n_channels"]) == (8, 8, 1)
+    # truncation is loud
+    with pytest.raises(ValueError):
+        media.decode_jpeg(payload[:len(payload) // 2])
+    # progressive SOF2 is a loud stub, not a wrong answer
+    prog = bytearray(payload)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        media.decode_jpeg(bytes(prog))
+    # 0xFF byte-stuffing actually exercised: an all-255 image emits 0xFF
+    # entropy bytes with stuffed zeros and still round-trips
+    bright = np.full((16, 16), 255, np.uint8)
+    assert np.array_equal(
+        media.decode_jpeg(media.encode_jpeg(bright, q=1)), bright)
