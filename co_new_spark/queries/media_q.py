@@ -64,7 +64,11 @@ def t_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
                 "doc_id", "n_channels", "sample_rate", "n_frames",
                 "duration_us", "sumsq"])
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    from .training import _spread
+
+    # per-doc codec work is the dominant cost and embarrassingly
+    # parallel: spread the compact id rows across slots first
+    docs = _spread(load(spark, sf, "documents").select("doc_id"))
     schema = ("doc_id long, n_channels long, sample_rate long, "
               "n_frames long, duration_us long, sumsq long")
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
@@ -116,7 +120,11 @@ def t_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
                 "doc_id", "width", "height", "n_channels", "pix_sum",
                 "corner_red"])
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    from .training import _spread
+
+    # per-doc codec work is the dominant cost and embarrassingly
+    # parallel: spread the compact id rows across slots first
+    docs = _spread(load(spark, sf, "documents").select("doc_id"))
     schema = ("doc_id long, width long, height long, n_channels long, "
               "pix_sum long, corner_red long")
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
@@ -179,7 +187,11 @@ def t_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
                 "doc_id", "n_windows", "total_sq", "max_win_sq",
                 "argmax_win"])
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    from .training import _spread
+
+    # per-doc codec work is the dominant cost and embarrassingly
+    # parallel: spread the compact id rows across slots first
+    docs = _spread(load(spark, sf, "documents").select("doc_id"))
     schema = ("doc_id long, n_windows long, total_sq long, "
               "max_win_sq long, argmax_win long")
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
@@ -256,7 +268,11 @@ def t_png_decode(spark: SparkSession, sf: str) -> DataFrame:
                 "doc_id", "width", "height", "n_channels", "filter_type",
                 "pix_sum", "corner"])
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    from .training import _spread
+
+    # per-doc codec work is the dominant cost and embarrassingly
+    # parallel: spread the compact id rows across slots first
+    docs = _spread(load(spark, sf, "documents").select("doc_id"))
     schema = ("doc_id long, width long, height long, n_channels long, "
               "filter_type long, pix_sum long, corner long")
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
@@ -318,7 +334,11 @@ def t_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "th_w", "th_h", "thumb_sum", "thumb_corner"])
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    from .training import _spread
+
+    # per-doc codec work is the dominant cost and embarrassingly
+    # parallel: spread the compact id rows across slots first
+    docs = _spread(load(spark, sf, "documents").select("doc_id"))
     schema = ("doc_id long, th_w long, th_h long, thumb_sum long, "
               "thumb_corner long")
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
@@ -394,7 +414,11 @@ def t_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
                 "doc_id", "width", "height", "n_colors", "idx_sum",
                 "rgb_sum", "corner_idx"])
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    from .training import _spread
+
+    # per-doc codec work is the dominant cost and embarrassingly
+    # parallel: spread the compact id rows across slots first
+    docs = _spread(load(spark, sf, "documents").select("doc_id"))
     schema = ("doc_id long, width long, height long, n_colors long, "
               "idx_sum long, rgb_sum long, corner_idx long")
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
@@ -461,7 +485,11 @@ def t_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
                 "doc_id", "width", "height", "q", "n_blocks", "pix_sum",
                 "corner"])
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    from .training import _spread
+
+    # per-doc codec work is the dominant cost and embarrassingly
+    # parallel: spread the compact id rows across slots first
+    docs = _spread(load(spark, sf, "documents").select("doc_id"))
     schema = ("doc_id long, width long, height long, q long, "
               "n_blocks long, pix_sum long, corner long")
     return docs.mapInPandas(batches, schema).orderBy("doc_id")

@@ -184,7 +184,8 @@ def main() -> None:
                "train_pmi_pairs": n_docs,
                "train_winnowing": n_docs,
                "train_shingle_contain": n_docs,
-               "train_heavy_ngrams": n_docs}
+               "train_heavy_ngrams": n_docs,
+               "web_cdc_chunks": n_docs}
 
     from co_new_spark.queries import mat
 
