@@ -89,6 +89,10 @@ HEADLINE = [
     # fusion, and T5 span-corruption target construction
     "mm_gif_decode", "mm_jpeg_decode", "web_cdc_chunks",
     "train_rrf_fusion", "train_span_corruption",
+    # round-5i: Kneser-Ney bigram LM scoring (types-table model build +
+    # one (doc,type)x type equi-join) and HTTP/1.1 response parsing (pure
+    # codegen projection, zero data shuffles)
+    "train_kn_bigram", "web_http_headers",
 ]
 
 
@@ -181,6 +185,7 @@ def run() -> dict:
                   "train_dsir_weights": ["dsir_pairs", "dsir_scores",
                                          "dsir_weights"],
                   "train_perplexity_buckets": ["ppl_pairs", "ppl_scores"],
+                  "train_kn_bigram": ["knb_bgc", "knb_cvw"],
                   "web_link_pagerank": ["linkpages"]}
 
     def time_entry(name: str) -> float:
