@@ -93,6 +93,10 @@ HEADLINE = [
     # one (doc,type)x type equi-join) and HTTP/1.1 response parsing (pure
     # codegen projection, zero data shuffles)
     "train_kn_bigram", "web_http_headers",
+    # round-5j: exact set-similarity self-join with lossless prefix +
+    # positional filtering (AllPairs/PPJoin) — the deterministic third leg
+    # of the near-dup family (vs probabilistic MinHash/SimHash)
+    "train_setsim_join",
 ]
 
 

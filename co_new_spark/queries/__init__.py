@@ -13,7 +13,7 @@ from . import (
     training,
     training2, training3,
     training4, training5, training6, training7, training8, training9,
-    training10, training11, training12,
+    training10, training11, training12, training13,
     warc_q, webgraph,
     webgraph2, webtext_q, webtext2, webtext3, webtext4, webtext5,
 )
@@ -24,7 +24,8 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              geo_cover_sql, geo_index, geo_pages, geo_wkb, geo_1d, training2,
              training3,
              training4, training5, training6, training7, training8,
-             training9, training10, training11, training12, webgraph,
+             training9, training10, training11, training12, training13,
+             webgraph,
              warc_q, webgraph2, webtext_q, webtext2, webtext3, webtext4,
              webtext5, e2e_q,
              scale_ops,
