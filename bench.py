@@ -97,6 +97,9 @@ HEADLINE = [
     # positional filtering (AllPairs/PPJoin) — the deterministic third leg
     # of the near-dup family (vs probabilistic MinHash/SimHash)
     "train_setsim_join",
+    # round-5j: exact edit-distance self-join (Ed-Join q-gram prefix filter
+    # + bounded native levenshtein verify)
+    "train_edit_join",
 ]
 
 

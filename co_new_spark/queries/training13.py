@@ -1,12 +1,13 @@
-"""Training-pipeline surface, part 13: EXACT set-similarity self-join with
-lossless prefix + positional filtering (AllPairs, Bayardo et al., WWW 2007;
-PPJoin, Xiao et al., WWW 2008).  The missing third leg of the near-dup
-family: MinHash-LSH and SimHash (training.py) are *probabilistic* candidate
-generators; this entry returns the exact all-pairs-above-threshold answer —
-every document pair with token-set Jaccard >= t, no false negatives BY
+"""Training-pipeline surface, part 13: EXACT similarity self-joins with
+lossless prefix filtering — set similarity (AllPairs, Bayardo et al., WWW
+2007; PPJoin, Xiao et al., WWW 2008) and string edit distance (Ed-Join, Xiao
+et al., PVLDB 2008; q-gram count bound from Gravano et al., VLDB 2001).  The
+missing deterministic legs of the near-dup family: MinHash-LSH and SimHash
+(training.py) are *probabilistic* candidate generators; these entries return
+the exact all-pairs-above-threshold answer — no false negatives BY
 CONSTRUCTION, without ever materializing the all-pairs cross join.
 
-One driver-oracle-checked entry:
+Two driver-oracle-checked entries:
 
 * ``train_setsim_join`` — all unordered doc pairs with Jaccard >= 3/5 over
   distinct word 3-gram shingles (the same ``_shingles`` every near-dup entry
@@ -15,6 +16,20 @@ One driver-oracle-checked entry:
   joins on EVERY shared (df-capped) shingle; this one joins only on the
   PREFIX, so the candidate-generating join shrinks by a factor of ~1/(1-t)
   and needs no df cutoff to stay safe on boilerplate.
+
+* ``train_edit_join`` — all unordered doc pairs whose 64-char text prefixes
+  are within Levenshtein distance K=3, over the universe of docs with >= 16
+  prefix chars.  The exact metric-space analogue for titles/URLs/headers
+  where token sets are too coarse.  Prefix filter with char q-grams (q=4):
+  an edit operation destroys at most q of a string's (l-q+1) positional
+  q-grams, so two strings with ed <= K share at least one gram among each
+  side's K*q+1 = 13 globally-rarest DISTINCT grams (if a's rarest 13 miss
+  b's whole gram set, a owns K*q+1 grams outside b's multiset => ed > K;
+  the shared-gram-must-be-in-both-prefixes step is the same total-order
+  argument as the set case).  Candidates verified with Spark's native
+  bounded ``levenshtein(a, b, K)`` (O(K*l) banded DP, not O(l^2)); DuckDB's
+  unbounded ``levenshtein`` is the oracle's ground truth over the TRUE
+  all-pairs cross join — no pruning shared with the engine under test.
 
 Why the pruning is lossless (so Spark matches the oracle's brute force):
 order every token by ascending corpus document-frequency (rarest first, ties
@@ -159,6 +174,99 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Ed-Join: exact edit-distance self-join (Xiao et al., PVLDB 2008)
+
+# threshold K, q-gram width Q; prefix = K*Q + 1 globally-rarest distinct grams
+_ED_K = 3
+_ED_Q = 4
+_ED_PFX = _ED_K * _ED_Q + 1
+_ED_SLEN = 64   # compare the first 64 chars of each document
+_ED_MINL = 16   # universe: prefixes with at least 16 chars
+
+
+def _ed_strings(docs: DataFrame) -> DataFrame:
+    """(doc_id, s, l) — the 64-char text prefix and its char length."""
+    s = F.substring(F.col("text"), 1, _ED_SLEN)
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", s.alias("s"), F.length(s).alias("l"))
+            .filter(F.col("l") >= _ED_MINL))
+
+
+def edit_join(docs: DataFrame) -> DataFrame:
+    """Exact Levenshtein <= K self-join via lossless q-gram prefix filter."""
+    base = _ed_strings(docs)
+
+    # distinct positional char q-grams, row-local (transform over a sequence
+    # of start offsets — no UDF, no shuffle until the df agg)
+    grams = (base.select(
+        "doc_id", "l",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.col("l") - _ED_Q + 1),
+            lambda i: F.col("s").substr(i, F.lit(_ED_Q))))).alias("g")))
+
+    # rarest-first global order (corpus df ASC, gram ASC); per-doc rank is a
+    # window PARTITIONED by doc_id — bounded by string length, never corpus-
+    # sized.  Keep only the first K*Q+1 grams: the inverted index the
+    # candidate join probes excludes every frequent gram by construction.
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    pfx = (grams.join(dfreq, "g")
+           .withColumn("pos", F.row_number().over(
+               Window.partitionBy("doc_id").orderBy("df", "g")))
+           .filter(F.col("pos") <= _ED_PFX)
+           .select("doc_id", "l", "g"))
+
+    a = pfx.select(F.col("doc_id").alias("da"), F.col("l").alias("la"), "g")
+    b = pfx.select(F.col("doc_id").alias("db"), F.col("l").alias("lb"), "g")
+    cand = (a.join(b, "g")
+            .filter(F.col("da") < F.col("db"))
+            # length filter: each edit changes length by at most 1
+            .filter(F.abs(F.col("la") - F.col("lb")) <= _ED_K)
+            .select("da", "db")
+            .distinct())
+
+    # exact verification on the candidate set only: bounded banded-DP
+    # levenshtein (O(K*l) per pair; returns -1 when the distance exceeds K)
+    sa = base.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"),
+                     F.col("l").alias("len_a"))
+    sb = base.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"),
+                     F.col("l").alias("len_b"))
+    return (cand.join(sa, "da").join(sb, "db")
+            .withColumn("ed", F.levenshtein("sa", "sb", _ED_K))
+            .filter(F.col("ed") >= 0)
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                    F.col("len_a").cast("long").alias("len_a"),
+                    F.col("len_b").cast("long").alias("len_b"),
+                    F.col("ed").cast("long").alias("ed"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def t_edit_join(spark: SparkSession, sf: str) -> DataFrame:
+    from .training import _spread
+
+    docs = _spread(load(spark, sf, "documents").select("doc_id", "text"))
+    return edit_join(docs)
+
+
+# oracle: TRUE all-pairs cross join + unbounded levenshtein — shares no
+# pruning with the engine under test, so any false negative from the prefix
+# or length filters surfaces as a missing row
+SQL_EDIT_JOIN = f"""
+WITH s AS (
+  SELECT doc_id, substr(text, 1, {_ED_SLEN}) AS s,
+         length(substr(text, 1, {_ED_SLEN})) AS l
+  FROM documents
+  WHERE text IS NOT NULL AND length(substr(text, 1, {_ED_SLEN})) >= {_ED_MINL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(a.l AS BIGINT) AS len_a, CAST(b.l AS BIGINT) AS len_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= {_ED_K}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "train_setsim_join": (t_setsim_join, SQL_SETSIM_JOIN),
+    "train_edit_join": (t_edit_join, SQL_EDIT_JOIN),
 }

@@ -85,3 +85,103 @@ def test_prefix_join_smaller_than_full_join(spark):
         - ((_T_NUM * F.col("la") + (_T_DEN - 1)) / _T_DEN).cast("long")
         + F.lit(1)).count()
     assert pfx < full / 2  # t=3/5 keeps ~2/5 of each set (+1)
+
+
+# ---------------------------------------------------------------------------
+# Ed-Join (train_edit_join)
+
+from co_new_spark.queries.training13 import _ED_K, _ED_MINL, _ED_SLEN, edit_join
+
+
+def _lev(a, b):
+    """Plain O(l^2) DP — independent ground truth for the bounded native fn."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _ed_brute(rows):
+    strs = {d: t[:_ED_SLEN] for d, t in rows if t is not None
+            and len(t[:_ED_SLEN]) >= _ED_MINL}
+    out = {}
+    for (da, sa), (db, sb) in itertools.combinations(sorted(strs.items()), 2):
+        ed = _lev(sa, sb)
+        if ed <= _ED_K:
+            out[(da, db)] = (len(sa), len(sb), ed)
+    return out
+
+
+def _ed_run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = edit_join(df).collect()
+    return {(r.doc_a, r.doc_b): (r.len_a, r.len_b, r.ed) for r in got}
+
+
+def test_edjoin_parity_handmade(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # ed 0
+        (2, "the quick brown fox jumped over the lazy dog"),  # ed 2 (insert+sub)
+        (3, "the quick brown cat jumps over the lazy dog"),   # ed 3
+        (4, "a completely different sentence about spark"),
+        (5, "short str"),                                     # < 16 chars: out
+        (6, None),                                            # null: out
+        (7, "x" * 100),                                       # prefix-truncated
+        (8, "x" * 99 + "y"),                                  # same 64-prefix as 7
+    ]
+    assert _ed_run(spark, rows) == _ed_brute(rows)
+
+
+def test_edjoin_lossless_on_random_edit_clusters(spark):
+    """Planted <=K-edit neighbours around random 20-40 char seeds, plus noise
+    docs sharing hot grams — the prefix/length filters must miss nothing."""
+    rng = random.Random(131)
+    alpha = "abcdef "
+    rows, d = [], 0
+    for _ in range(12):
+        seed = "".join(rng.choice(alpha) for _ in range(rng.randint(20, 40)))
+        rows.append((d, seed)); d += 1
+        for _ in range(3):   # mutate 0..4 times (some past K => excluded pairs)
+            s = list(seed)
+            for _ in range(rng.randint(0, 4)):
+                op = rng.randrange(3)
+                p = rng.randrange(len(s))
+                if op == 0:
+                    s[p] = rng.choice(alpha)
+                elif op == 1 and len(s) > _ED_MINL + 1:
+                    del s[p]
+                else:
+                    s.insert(p, rng.choice(alpha))
+            rows.append((d, "".join(s))); d += 1
+    assert _ed_run(spark, rows) == _ed_brute(rows)
+
+
+def test_edjoin_prefix_index_drops_hot_grams(spark):
+    """Every doc shares the hot boilerplate gram; rarest-first ranking must
+    keep it OUT of every prefix, so the candidate join never fans out on it."""
+    from co_new_spark.queries.training13 import _ED_PFX, _ED_Q, _ed_strings
+
+    rows = []
+    for d in range(25):
+        rng = random.Random(d)
+        rows.append((d, "common boilerplate header " + "".join(
+            rng.choice("xyzuvw") for _ in range(30))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = _ed_strings(df)
+    grams = (base.select("doc_id", F.explode(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.col("l") - _ED_Q + 1),
+        lambda i: F.col("s").substr(i, F.lit(_ED_Q))))).alias("g")))
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+    pfx = (grams.join(dfreq, "g")
+           .withColumn("pos", F.row_number().over(
+               Window.partitionBy("doc_id").orderBy("df", "g")))
+           .filter(F.col("pos") <= _ED_PFX))
+    hot = pfx.filter(F.col("g") == "comm").count()
+    assert hot == 0  # df=25 gram never enters the inverted prefix index
