@@ -100,6 +100,9 @@ HEADLINE = [
     # round-5j: exact edit-distance self-join (Ed-Join q-gram prefix filter
     # + bounded native levenshtein verify)
     "train_edit_join",
+    # round-5j: RFC 3629 UTF-8 byte-level validation (row-local aggregate
+    # fold, zero data shuffles)
+    "web_utf8_validate",
 ]
 
 

@@ -16,6 +16,7 @@ from . import (
     training10, training11, training12, training13,
     warc_q, webgraph,
     webgraph2, webtext_q, webtext2, webtext3, webtext4, webtext5,
+    webtext6,
 )
 
 REGISTRY: dict = {}
@@ -27,7 +28,7 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              training9, training10, training11, training12, training13,
              webgraph,
              warc_q, webgraph2, webtext_q, webtext2, webtext3, webtext4,
-             webtext5, e2e_q,
+             webtext5, webtext6, e2e_q,
              scale_ops,
              streaming_q, pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)
