@@ -103,6 +103,8 @@ HEADLINE = [
     # round-5j: RFC 3629 UTF-8 byte-level validation (row-local aggregate
     # fold, zero data shuffles)
     "web_utf8_validate",
+    # round-5j: warc.gz per-record gzip members — CC's actual on-disk unit
+    "web_warc_gz",
 ]
 
 
