@@ -105,6 +105,9 @@ HEADLINE = [
     "web_utf8_validate",
     # round-5j: warc.gz per-record gzip members — CC's actual on-disk unit
     "web_warc_gz",
+    # round-5j: ColBERT-style MaxSim late-interaction retrieval (integer
+    # hashed token vectors, salted top-k)
+    "train_maxsim_topk",
 ]
 
 
