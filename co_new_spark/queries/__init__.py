@@ -15,7 +15,7 @@ from . import (
     training4, training5, training6, training7, training8, training9,
     training10, training11, training12, training13, training14,
     warc2_q, warc_q, webgraph,
-    webgraph2, webtext_q, webtext2, webtext3, webtext4, webtext5,
+    webgraph2, webgraph3, webtext_q, webtext2, webtext3, webtext4, webtext5,
     webtext6,
 )
 
@@ -27,7 +27,8 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              training4, training5, training6, training7, training8,
              training9, training10, training11, training12, training13,
              training14, webgraph,
-             warc_q, warc2_q, webgraph2, webtext_q, webtext2, webtext3, webtext4,
+             warc_q, warc2_q, webgraph2, webgraph3, webtext_q, webtext2,
+             webtext3, webtext4,
              webtext5, webtext6, e2e_q,
              scale_ops,
              streaming_q, pipeline_q, media_q):
