@@ -1,0 +1,62 @@
+"""STR packing: distributed exact ranking vs sequential python mirror."""
+
+import duckdb
+import pytest
+
+from co_new_spark.queries.geo_pack import _S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pts():
+    return duckdb.sql(
+        f"SELECT event_id,"
+        f" CAST(3678500.0 + ((event_id * 2654435761) % 2097152) AS BIGINT),"
+        f" CAST(970000.0 + ((event_id * 40503) % 2621440) AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')").fetchall()
+
+
+def _mirror(pts):
+    """{leaf: [(x, y), ...]} — sequential STR in plain python."""
+    n = len(pts)
+    xs = sorted(pts, key=lambda r: (r[1], r[2], r[0]))
+    leaves = {}
+    slices = {}
+    for i, r in enumerate(xs):
+        slices.setdefault(i * _S // n, []).append(r)
+    for s, rows in slices.items():
+        rows.sort(key=lambda r: (r[2], r[1], r[0]))
+        ns = len(rows)
+        for j, r in enumerate(rows):
+            leaves.setdefault(s * _S + j * _S // ns, []).append((r[1], r[2]))
+    return leaves
+
+
+def test_engine_matches_sequential_str(spark, pts):
+    from co_new_spark.queries.geo_pack import g_str_pack
+
+    want = _mirror(pts)
+    got = {r.leaf: r for r in g_str_pack(spark, SF).collect()}
+    assert set(got) == set(want)
+    for leaf, members in want.items():
+        g = got[leaf]
+        xs, ys = [x for x, _ in members], [y for _, y in members]
+        assert (g.n_rects, g.x_min, g.x_max, g.y_min, g.y_max) == \
+               (len(members), min(xs), max(xs), min(ys), max(ys)), leaf
+
+
+def test_leaves_are_balanced_and_tile_within_slices(pts):
+    leaves = _mirror(pts)
+    n = len(pts)
+    sizes = sorted(len(v) for v in leaves.values())
+    # rank-arithmetic cuts keep every leaf within one of the ideal size
+    ideal = n / (_S * _S)
+    assert sizes[0] >= int(ideal) - 1 and sizes[-1] <= int(ideal) + 2
+    # within a slice, leaf y-ranges are disjoint except at shared boundary
+    for s in range(_S):
+        spans = sorted((min(y for _, y in leaves[s * _S + j]),
+                        max(y for _, y in leaves[s * _S + j]))
+                       for j in range(_S) if s * _S + j in leaves)
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert lo >= hi
