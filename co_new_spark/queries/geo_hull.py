@@ -1,0 +1,154 @@
+"""Geospatial surface: convex hull — two-phase distributed monotone chain.
+
+Why it exists: the convex hull is the remaining classic computational-
+geometry primitive the registry lacked (alongside PIP, clipping,
+Douglas-Peucker, segment intersection, skyline, STR packing); production
+uses are coverage footprints, dissolve outlines, and bounding polygons
+for tile/partition pruning.
+
+Decomposition (the textbook distributed hull): CH(A ∪ B) = CH(CH(A) ∪
+CH(B)) — the hull operator is a SEMIGROUP on point sets, so
+  1. each partition computes its LOCAL hull with Andrew's monotone chain
+     (an applyInPandas over a hash-assigned group key — int64 numpy cross
+     products, no floats),
+  2. the union of local hulls (expected O(P·h), h = hull size — tiny) is
+     re-hulled in one final group.
+This is the map-side-combine shape for a holistic operator: the fact
+table is touched once, partition-locally; only candidate vertices — the
+points that survive a local hull — ever shuffle.
+
+Semantics: hull VERTICES only — collinear boundary points and interior
+points are excluded (strict-turn pops), over the DISTINCT point set.
+
+Exactness: all turn tests are int64 cross products on integer
+coordinates (|coord| < 2^12, |cross| < 2^26); the output is the vertex
+SET, so no angular ordering (and no atan2 floats) crosses engines.
+
+Scale design (10^12 points): phase 1 is embarrassingly parallel and
+output-bounded by O(h) per partition (h ~ log n for scattered points);
+phase 2's single group is P·h rows — dimension-sized by construction,
+the same "bounded candidates to one combiner" contract as the IVF
+centroid build (operators/ann.py).  Nothing fact-sized shuffles.
+
+Oracle (different algorithm entirely): the SUPPORTING-EDGE criterion —
+p is a hull vertex iff some directed edge (p, q) has EVERY other point r
+strictly to its left or on the closed segment [p, q].  Every vertex's
+CCW-next vertex is such a witness; a collinear boundary point always
+sees the edge's far vertex fail the segment test, and an interior point
+always has someone to the right (proof sketch in tests).  That is one
+O(n^2) pair scan x O(n) bool_and in SQL — brute force, sharing zero
+structure with monotone chain.
+
+Corpus: 240 md5-derived integer points in [0, 4096)^2 plus 5 planted
+far-corner points, one of them the exact midpoint of the hull's top edge
+(so the vertex-only semantics is actually exercised), deduped in both
+engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NPTS = 240
+_PARTS = 8
+# planted far corners; (5000, 9000) sits exactly midway on the hull's top
+# edge (1000, 9000)-(9000, 9000) => collinear boundary point, must be
+# excluded by the vertex-only semantics
+_PLANT = [(9000, 1000), (9000, 9000), (1000, 9000), (5000, 9000),
+          (1000, 1000)]
+
+
+def _points(spark: SparkSession) -> DataFrame:
+    df = spark.range(_NPTS)
+
+    def hx(sfx: str):
+        h = F.md5(F.concat_ws("_", F.lit("hull"), F.col("id"), F.lit(sfx)))
+        return F.pmod(F.conv(F.substring(h, 1, 3), 16, 10).cast("long"),
+                      F.lit(4096))
+
+    rnd = df.select(hx("x").alias("x"), hx("y").alias("y"))
+    plant = spark.createDataFrame(_PLANT, "x long, y long")
+    return rnd.union(plant).distinct()
+
+
+def _chain(xs, ys):
+    """Monotone chain on int64 arrays -> list[(x, y)] hull vertices."""
+    pts = sorted(set(zip((int(a) for a in xs), (int(b) for b in ys))))
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(list(reversed(pts)))
+    return lower[:-1] + upper[:-1]
+
+
+def _hull_udf(pdf: pd.DataFrame) -> pd.DataFrame:
+    hull = _chain(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+    return pd.DataFrame(hull, columns=["x", "y"])
+
+
+def g_convex_hull(spark: SparkSession, sf: str) -> DataFrame:
+    """Hull vertex set (x, y) via local-hull -> merge-hull."""
+    pts = _points(spark)
+    keyed = pts.withColumn("g", F.pmod(F.hash("x", "y"), F.lit(_PARTS)))
+    local = keyed.groupBy("g").applyInPandas(
+        lambda _, pdf: _hull_udf(pdf), "x long, y long")
+    merged = local.withColumn("g", F.lit(0)).groupBy("g").applyInPandas(
+        lambda _, pdf: _hull_udf(pdf), "x long, y long")
+    return merged.orderBy("x", "y")
+
+
+_SQL_PTS = f"""
+  SELECT DISTINCT x, y FROM (
+    SELECT CAST(concat('0x', substring(md5(
+             concat('hull_', CAST(range AS VARCHAR), '_x')), 1, 3)) AS BIGINT)
+             % 4096 AS x,
+           CAST(concat('0x', substring(md5(
+             concat('hull_', CAST(range AS VARCHAR), '_y')), 1, 3)) AS BIGINT)
+             % 4096 AS y
+    FROM range({_NPTS})
+    UNION ALL
+    SELECT * FROM (VALUES {', '.join(f'({x}, {y})' for x, y in _PLANT)})
+  )"""
+
+
+SQL_CONVEX_HULL = f"""
+WITH pts AS MATERIALIZED ({_SQL_PTS}
+), ids AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY x, y) AS id, x, y FROM pts
+), edge AS (
+  -- supporting-edge criterion: (p,q) with every r strictly left or on
+  -- the closed segment [p,q]
+  SELECT p.id AS pid
+  FROM ids p
+  JOIN ids q ON q.id <> p.id
+  JOIN ids r ON r.id <> p.id AND r.id <> q.id
+  GROUP BY p.id, q.id, p.x, p.y, q.x, q.y
+  HAVING bool_and(
+      (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) > 0
+      OR ((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) = 0
+          AND r.x BETWEEN least(p.x, q.x) AND greatest(p.x, q.x)
+          AND r.y BETWEEN least(p.y, q.y) AND greatest(p.y, q.y)))
+)
+SELECT DISTINCT i.x, i.y
+FROM ids i JOIN edge e ON e.pid = i.id
+ORDER BY i.x, i.y
+"""
+
+
+QUERIES = {
+    "geo_convex_hull": (g_convex_hull, SQL_CONVEX_HULL),
+}

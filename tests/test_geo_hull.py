@@ -1,0 +1,66 @@
+"""Distributed two-phase hull vs direct hull + semigroup property."""
+
+import hashlib
+import random
+
+import pytest
+
+from co_new_spark.queries.geo_hull import _NPTS, _PLANT, _chain
+
+
+def _corpus():
+    pts = set()
+    for i in range(_NPTS):
+        x = int(hashlib.md5(f"hull_{i}_x".encode()).hexdigest()[:3], 16) % 4096
+        y = int(hashlib.md5(f"hull_{i}_y".encode()).hexdigest()[:3], 16) % 4096
+        pts.add((x, y))
+    return pts | set(_PLANT)
+
+
+def test_engine_matches_direct_hull(spark):
+    from co_new_spark.queries.geo_hull import g_convex_hull
+
+    pts = _corpus()
+    want = sorted(_chain([p[0] for p in pts], [p[1] for p in pts]))
+    got = sorted((r.x, r.y) for r in
+                 g_convex_hull(spark, "/root/testdata/sf0.001").collect())
+    assert got == want
+    # planted collinear midpoint of the (1000,9000)-(9000,9000) top edge
+    # must be on the boundary but NOT a vertex
+    assert (5000, 9000) not in got
+    assert (1000, 9000) in got and (9000, 9000) in got
+
+
+def test_hull_is_a_semigroup_under_partitioning():
+    # CH(A u B) == CH(CH(A) u CH(B)) for random splits — the algebraic
+    # fact phase 1/phase 2 relies on.
+    rng = random.Random(7)
+    for _ in range(20):
+        pts = {(rng.randrange(1000), rng.randrange(1000))
+               for _ in range(rng.randrange(5, 120))}
+        direct = sorted(_chain([p[0] for p in pts], [p[1] for p in pts]))
+        parts = [set(), set(), set()]
+        for p in pts:
+            parts[rng.randrange(3)].add(p)
+        cand = set()
+        for part in parts:
+            if part:
+                cand |= set(_chain([p[0] for p in part],
+                                   [p[1] for p in part]))
+        merged = sorted(_chain([p[0] for p in cand], [p[1] for p in cand]))
+        assert merged == direct
+
+
+@pytest.mark.parametrize("pts,want", [
+    # square + center + edge midpoint: vertices only
+    ([(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (2, 0)],
+     [(0, 0), (0, 4), (4, 0), (4, 4)]),
+    # all collinear: endpoints only
+    ([(0, 0), (1, 1), (2, 2), (3, 3)], [(0, 0), (3, 3)]),
+    # duplicates collapse
+    ([(0, 0), (0, 0), (1, 0), (0, 1)], [(0, 0), (0, 1), (1, 0)]),
+    # two points
+    ([(5, 5), (1, 2)], [(1, 2), (5, 5)]),
+])
+def test_chain_spec_vectors(pts, want):
+    assert sorted(_chain([p[0] for p in pts], [p[1] for p in pts])) == want
