@@ -108,6 +108,10 @@ HEADLINE = [
     # round-5j: ColBERT-style MaxSim late-interaction retrieval (integer
     # hashed token vectors, salted top-k)
     "train_maxsim_topk",
+    # round-5k: sf-scaled spatial operators over the event lattice — the
+    # bucket-decomposed Pareto frontier and STR bulk-load packing (exact
+    # global ranking without a global sort)
+    "geo_skyline", "geo_str_pack",
 ]
 
 

@@ -149,6 +149,51 @@ ORDER BY i.x, i.y
 """
 
 
+def g_diameter(spark: SparkSession, sf: str) -> DataFrame:
+    """Farthest-pair (diameter) of the point set: one row
+    (d2, x1, y1, x2, y2), pair lex-ordered and lex-min among ties.
+
+    Every maximizer of squared distance is a hull VERTEX (d2 is strictly
+    convex along any segment, so a boundary non-vertex or interior point
+    is strictly beaten by an endpoint of its containing segment) — so the
+    pair search runs on the two-phase hull's candidate set, which is
+    dimension-sized no matter how large the input: the 10^12-point
+    diameter costs one hull reduction plus an O(h^2) literal join."""
+    hull = g_convex_hull(spark, sf)
+    a = hull.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = hull.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = (a.join(b, (F.col("x1") < F.col("x2"))
+                    | ((F.col("x1") == F.col("x2"))
+                       & (F.col("y1") < F.col("y2"))))
+             .withColumn("d2", (F.col("x2") - F.col("x1"))
+                         * (F.col("x2") - F.col("x1"))
+                         + (F.col("y2") - F.col("y1"))
+                         * (F.col("y2") - F.col("y1"))))
+    mx = pairs.groupBy().agg(F.max("d2").alias("d2"))
+    return (pairs.join(F.broadcast(mx), "d2")
+            .groupBy("d2")
+            .agg(F.min(F.struct("x1", "y1", "x2", "y2")).alias("p"))
+            .select("d2", "p.x1", "p.y1", "p.x2", "p.y2"))
+
+
+SQL_DIAMETER = f"""
+WITH pts AS MATERIALIZED ({_SQL_PTS}
+), pairs AS (
+  -- brute force over ALL distinct pairs — the oracle does not know the
+  -- maximizers are hull vertices
+  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+  FROM pts a JOIN pts b ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+), mx AS (SELECT max(d2) AS d2 FROM pairs)
+SELECT d2, min(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)).x1 AS x1,
+       min(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)).y1 AS y1,
+       min(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)).x2 AS x2,
+       min(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)).y2 AS y2
+FROM pairs JOIN mx USING (d2) GROUP BY d2
+"""
+
+
 QUERIES = {
     "geo_convex_hull": (g_convex_hull, SQL_CONVEX_HULL),
+    "geo_diameter": (g_diameter, SQL_DIAMETER),
 }

@@ -64,3 +64,21 @@ def test_hull_is_a_semigroup_under_partitioning():
 ])
 def test_chain_spec_vectors(pts, want):
     assert sorted(_chain([p[0] for p in pts], [p[1] for p in pts])) == want
+
+
+def test_diameter_matches_brute_force(spark):
+    from co_new_spark.queries.geo_hull import g_diameter
+
+    pts = sorted(_corpus())
+    best = None
+    for i, p in enumerate(pts):
+        for q in pts[i + 1:]:
+            d2 = (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+            key = (-d2, p, q)
+            if best is None or key < best:
+                best = key
+    r = g_diameter(spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.d2, (row.x1, row.y1), (row.x2, row.y2)) == \
+           (-best[0], best[1], best[2])
