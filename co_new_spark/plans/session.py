@@ -52,4 +52,8 @@ def get_spark(app: str = "co_new_spark", master: str | None = None,
         b = b.config(k, v)
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    if os.environ.get("SPARK_GRAFT_NO_PROGRESS"):
+        # sweep tools pipe stdout to files; the \r-redrawn console progress
+        # bar glues stage fragments onto result lines there
+        b = b.config("spark.ui.showConsoleProgress", "false")
     return b.getOrCreate()

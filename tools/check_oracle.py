@@ -15,6 +15,8 @@ import traceback
 
 sys.path.insert(0, ".")
 
+import os
+
 import duckdb  # noqa: E402
 
 TABLES = ("region nation customer supplier part orders lineitem events "
@@ -46,6 +48,9 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from co_new_spark.plans.session import get_spark
 
+    # progress bars write \r-prefixed lines that glue onto PASS/FAIL output
+    # when the sweep is piped to a file — keep the log line-clean
+    os.environ.setdefault("SPARK_GRAFT_NO_PROGRESS", "1")
     spark = get_spark(app="oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

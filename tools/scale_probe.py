@@ -99,7 +99,13 @@ ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            "train_perplexity_buckets", "train_kmeans_lloyd",
            "train_semdedup", "train_bpe_merges", "train_bm25_topk",
            "train_pmi_pairs", "train_winnowing", "train_shingle_contain",
-           "train_heavy_ngrams", "web_cdc_chunks"]
+           "train_heavy_ngrams", "web_cdc_chunks",
+           # round-5k: the two sf-scaled spatial additions over events —
+           # skyline probes that dedup + bucket histogram + partitioned
+           # windows stay linear (the frontier itself only grows ~log n);
+           # str_pack probes the two rank shuffles (bucket histogram +
+           # slice window) at 10x the points
+           "geo_skyline", "geo_str_pack"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -185,7 +191,8 @@ def main() -> None:
                "train_winnowing": n_docs,
                "train_shingle_contain": n_docs,
                "train_heavy_ngrams": n_docs,
-               "web_cdc_chunks": n_docs}
+               "web_cdc_chunks": n_docs,
+               "geo_skyline": n_ev, "geo_str_pack": n_ev}
 
     from co_new_spark.queries import mat
 
