@@ -8,7 +8,7 @@ from __future__ import annotations
 from . import (
     geo_algebra, geo_cover_sql, geo_graph, geo_index, geo_pages, geo_wkb,
     geospatial,
-    geo_1d, geo_hull, geo_envelope, geo_hull, geo_match, geo_pack, geo_simplify, geo_sjoin, geo_skyline, geospatial2, media_q,
+    geo_1d, geo_envelope, geo_hull, geo_match, geo_pack, geo_simplify, geo_sjoin, geo_skyline, geospatial2, media_q,
     pipeline_q, relational, relational2, e2e_q, scale_ops, streaming_q,
     training,
     training2, training3,

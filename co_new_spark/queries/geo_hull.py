@@ -100,15 +100,19 @@ def _hull_udf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(hull, columns=["x", "y"])
 
 
-def g_convex_hull(spark: SparkSession, sf: str) -> DataFrame:
-    """Hull vertex set (x, y) via local-hull -> merge-hull."""
+def _hull_points(spark: SparkSession) -> DataFrame:
+    """Unordered hull vertex set via local-hull -> merge-hull."""
     pts = _points(spark)
     keyed = pts.withColumn("g", F.pmod(F.hash("x", "y"), F.lit(_PARTS)))
     local = keyed.groupBy("g").applyInPandas(
         lambda _, pdf: _hull_udf(pdf), "x long, y long")
-    merged = local.withColumn("g", F.lit(0)).groupBy("g").applyInPandas(
+    return local.withColumn("g", F.lit(0)).groupBy("g").applyInPandas(
         lambda _, pdf: _hull_udf(pdf), "x long, y long")
-    return merged.orderBy("x", "y")
+
+
+def g_convex_hull(spark: SparkSession, sf: str) -> DataFrame:
+    """Hull vertex set (x, y); the sort is presentation-only."""
+    return _hull_points(spark).orderBy("x", "y")
 
 
 _SQL_PTS = f"""
@@ -158,8 +162,10 @@ def g_diameter(spark: SparkSession, sf: str) -> DataFrame:
     is strictly beaten by an endpoint of its containing segment) — so the
     pair search runs on the two-phase hull's candidate set, which is
     dimension-sized no matter how large the input: the 10^12-point
-    diameter costs one hull reduction plus an O(h^2) literal join."""
-    hull = g_convex_hull(spark, sf)
+    diameter costs ONE hull reduction (checkpointed — two downstream
+    branches consume it, and an uncached hull would re-run the phase-1
+    fact scan per branch) plus an O(h^2) literal join."""
+    hull = _hull_points(spark).localCheckpoint(eager=True)
     a = hull.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = hull.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
     pairs = (a.join(b, (F.col("x1") < F.col("x2"))

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .geospatial import _event_points
+from .geospatial import _XENG, _YENG, _event_points
 
 _BW = 16384  # x bucket width for the rank histogram
 _S = 16      # slices (and leaves per slice): 256 leaves total
@@ -84,8 +84,8 @@ def g_str_pack(spark: SparkSession, sf: str) -> DataFrame:
 SQL_STR_PACK = f"""
 WITH pts AS (
   SELECT event_id,
-         CAST(3678500.0 + ((event_id * 2654435761) % 2097152) AS BIGINT) AS x,
-         CAST(970000.0 + ((event_id * 40503) % 2621440) AS BIGINT) AS y
+         CAST({_XENG} AS BIGINT) AS x,
+         CAST({_YENG} AS BIGINT) AS y
   FROM events
 ), xr AS (
   SELECT *, row_number() OVER (ORDER BY x, y, event_id) AS xrank,

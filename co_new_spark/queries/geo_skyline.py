@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .geospatial import _event_points
+from .geospatial import _XENG, _YENG, _event_points
 
 _BW = 16384  # bucket width (x spans 2^21 => ~128 buckets)
 
@@ -90,11 +90,11 @@ def g_skyline(spark: SparkSession, sf: str) -> DataFrame:
             .select("x", (-F.col("y")).alias("y")).orderBy("x"))
 
 
-SQL_SKYLINE = """
+SQL_SKYLINE = f"""
 WITH pts AS (
   SELECT DISTINCT
-         CAST(3678500.0 + ((event_id * 2654435761) % 2097152) AS BIGINT) AS x,
-         -CAST(970000.0 + ((event_id * 40503) % 2621440) AS BIGINT) AS y
+         CAST({_XENG} AS BIGINT) AS x,
+         -CAST({_YENG} AS BIGINT) AS y
   FROM events
 ), scan AS (
   -- textbook sequential skyline: lex sort, running exclusive min of y

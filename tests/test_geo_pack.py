@@ -4,6 +4,7 @@ import duckdb
 import pytest
 
 from co_new_spark.queries.geo_pack import _S
+from co_new_spark.queries.geospatial import _XENG, _YENG
 
 SF = "/root/testdata/sf0.001"
 
@@ -11,9 +12,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def pts():
     return duckdb.sql(
-        f"SELECT event_id,"
-        f" CAST(3678500.0 + ((event_id * 2654435761) % 2097152) AS BIGINT),"
-        f" CAST(970000.0 + ((event_id * 40503) % 2621440) AS BIGINT)"
+        f"SELECT event_id, CAST({_XENG} AS BIGINT), CAST({_YENG} AS BIGINT)"
         f" FROM read_parquet('{SF}/events.parquet')").fetchall()
 
 

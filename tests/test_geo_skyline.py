@@ -3,13 +3,14 @@
 import duckdb
 import pytest
 
+from co_new_spark.queries.geospatial import _XENG, _YENG
+
 SF = "/root/testdata/sf0.001"
 
 
 def _points():
     rows = duckdb.sql(
-        f"SELECT DISTINCT CAST(3678500.0 + ((event_id * 2654435761) % 2097152) AS BIGINT),"
-        f" CAST(970000.0 + ((event_id * 40503) % 2621440) AS BIGINT)"
+        f"SELECT DISTINCT CAST({_XENG} AS BIGINT), CAST({_YENG} AS BIGINT)"
         f" FROM read_parquet('{SF}/events.parquet')").fetchall()
     return [(x, y) for x, y in rows]
 
