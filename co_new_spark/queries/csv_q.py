@@ -58,7 +58,9 @@ from pyspark.sql import functions as F
 
 _NSH = 4      # shards (files)
 _NR = 100     # records per shard
-_CH = 256     # chunk size (bytes)
+_CH = 256     # chunk size — CHARACTER units; the corpus is pure ASCII so
+              # chars == bytes and output offsets double as byte seeks; a
+              # non-ASCII corpus would need byte-domain chunking first
 
 
 def _h(*parts):
@@ -133,6 +135,32 @@ def _scan(pdf_iter):
                           "commas", "qcommas", "qnewlines", "quotes"])
 
 
+def assemble_records(spans: DataFrame, counters: list[str],
+                     rid_shift: int = 0) -> DataFrame:
+    """Shared splittable-parse record assembly (csv_q + json_q twins):
+    record ordinal = breaks-in-earlier-chunks (shard-partitioned chunk-dim
+    prefix) + span ordinal (+shift for structural leading breaks); groupBy
+    record sums the requested counters map-side and anchors end = the
+    terminal break offset, start = end - len.  count("brk") skips the
+    null tail span; records without a terminal break (the empty tail) are
+    dropped."""
+    wc = (Window.partitionBy("shard").orderBy("cid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bc = spans.groupBy("shard", "cid").agg(F.count("brk").alias("nbrk"))
+    bc = bc.select("shard", "cid",
+                   F.coalesce(F.sum("nbrk").over(wc), F.lit(0))
+                   .alias("brk_before"))
+    rec = (spans.join(bc, ["shard", "cid"])
+           .withColumn("rid", F.col("brk_before") + F.col("span")
+                       + F.lit(rid_shift))
+           .filter(F.col("rid") >= 0)
+           .groupBy("shard", "rid")
+           .agg(F.max("brk").alias("end"), F.sum("nbytes").alias("len"),
+                *[F.sum(c).alias(c) for c in counters])
+           .filter(F.col("end").isNotNull()))
+    return rec.withColumn("start", F.col("end") - F.col("len"))
+
+
 def g_csv_split(spark: SparkSession, sf: str) -> DataFrame:
     ch = _chunks(spark).localCheckpoint(eager=True)
 
@@ -155,29 +183,14 @@ def g_csv_split(spark: SparkSession, sf: str) -> DataFrame:
                "commas long, qcommas long, qnewlines long, quotes long")
     spans = spans.localCheckpoint(eager=True)
 
-    # record ordinal = breaks in earlier chunks (chunk-dim prefix) + span
-    bc = spans.groupBy("shard", "cid").agg(
-        F.count("brk").alias("nbrk"))  # count(col) skips the null tail span
-    bc = bc.select(
-        "shard", "cid",
-        F.coalesce(F.sum("nbrk").over(wc), F.lit(0)).alias("brk_before"))
-    rec = (spans.join(bc, ["shard", "cid"])
-           .withColumn("rid", F.col("brk_before") + F.col("span"))
-           .groupBy("shard", "rid")
-           .agg(F.max("brk").alias("end"),
-                F.sum("nbytes").alias("len"),
-                (F.sum("commas") + 1).alias("n_fields"),
-                F.sum("qcommas").alias("qc"),
-                F.sum("qnewlines").alias("qn"),
-                F.sum("quotes").alias("nq"))
-           .filter(F.col("end").isNotNull()))  # drop the empty tail span
-    cls = (F.when(F.col("nq") == 4, F.lit(3))
-            .when(F.col("qc") > 0, F.lit(1))
-            .when(F.col("qn") > 0, F.lit(2))
+    rec = assemble_records(spans, ["commas", "qcommas", "qnewlines", "quotes"])
+    cls = (F.when(F.col("quotes") == 4, F.lit(3))
+            .when(F.col("qcommas") > 0, F.lit(1))
+            .when(F.col("qnewlines") > 0, F.lit(2))
             .otherwise(F.lit(0)))
-    return (rec.select("shard", "rid",
-                       (F.col("end") - F.col("len")).alias("start"),
-                       "len", "n_fields", cls.alias("quoted_class"))
+    return (rec.select("shard", "rid", "start", "len",
+                       (F.col("commas") + 1).alias("n_fields"),
+                       cls.alias("quoted_class"))
             .orderBy("shard", "rid"))
 
 

@@ -46,7 +46,11 @@ _NI = 300    # intervals
 _BX = 4096   # start range
 _LEN = 256   # max length
 _BW = 256    # bucket width
-_NB = _BX // _BW + 2  # bucket-count bound (starts + max overhang)
+# bucket-count bound DERIVED from the knobs (starts span _BX, intervals
+# overhang by up to _LEN) so tuning _BW/_LEN/_BX keeps the limit safe —
+# an undersized limit on the unordered dim would silently DROP whole
+# buckets through the inner join (pytest pins the arithmetic)
+_NB = (_BX + _LEN) // _BW + 2
 
 
 def _ivals(spark: SparkSession) -> DataFrame:
@@ -84,7 +88,10 @@ def g_silhouette(spark: SparkSession, sf: str) -> DataFrame:
                     & (F.col("x1") <= F.col("b"))
                     & (F.col("b") < F.col("x2")), "left")
             .groupBy("g", "b")
-            .agg(F.coalesce(F.max("h"), F.lit(0)).alias("ph")))
+            .agg(F.coalesce(F.max("h"), F.lit(0)).alias("ph"))
+            .localCheckpoint(eager=True))  # two consumers below (the
+    # boundary dim and the final join) — uncached, the cover join and
+    # per-breakpoint agg would run twice
 
     # distributed lag: in-bucket window + previous-non-empty-bucket boundary
     wb = Window.partitionBy("g").orderBy("b")

@@ -56,14 +56,15 @@ from pyspark.sql import functions as F
 _NSH = 4
 _NR = 100
 _CH = 133  # chosen so planted escape PAIRS straddle chunk edges (4 do) —
-           # the pending-escape state must actually cross boundaries
+           # the pending-escape state must actually cross boundaries.
+           # CHARACTER units (corpus is pure ASCII, chars == bytes; a
+           # non-ASCII corpus would need byte-domain chunking first)
 
 # lexer states: 0 outside string, 1 in string, 2 in string after backslash
 _NSTATES = 3
 
 
-def _h(*parts):
-    return F.md5(F.concat_ws("_", *parts))
+from .csv_q import _h, assemble_records  # shared splittable-parse helpers
 
 
 def _objects(spark: SparkSession) -> DataFrame:
@@ -206,25 +207,14 @@ def g_json_split(spark: SparkSession, sf: str) -> DataFrame:
                "colons long, eq long, eb long, bis long"
     ).localCheckpoint(eager=True)
 
-    bc = spans.groupBy("shard", "cid").agg(F.count("brk").alias("nbrk"))
-    bc = bc.select("shard", "cid",
-                   F.coalesce(F.sum("nbrk").over(wc), F.lit(0))
-                   .alias("brk_before"))
-    rec = (spans.join(bc, ["shard", "cid"])
-           .withColumn("rid", F.col("brk_before") + F.col("span") - 1)
-           .filter(F.col("rid") >= 0)
-           .groupBy("shard", "rid")
-           .agg(F.max("brk").alias("end"), F.sum("nbytes").alias("len"),
-                F.sum("colons").alias("n_keys"), F.sum("eq").alias("eq"),
-                F.sum("eb").alias("eb"), F.sum("bis").alias("bis"))
-           .filter(F.col("end").isNotNull()))
+    # rid_shift=-1: the opening '[' is a structural break owning no record
+    rec = assemble_records(spans, ["colons", "eq", "eb", "bis"], rid_shift=-1)
     cls = (F.when(F.col("bis") > 0, F.lit(2))
             .when(F.col("eq") > 0, F.lit(1))
             .when(F.col("eb") > 0, F.lit(3))
             .otherwise(F.lit(0)))
-    return (rec.select("shard", "rid",
-                       (F.col("end") - F.col("len")).alias("start"),
-                       "len", "n_keys",
+    return (rec.select("shard", "rid", "start", "len",
+                       F.col("colons").alias("n_keys"),
                        (F.col("eq") + F.col("eb")).alias("esc"),
                        cls.alias("quoted_class"))
             .orderBy("shard", "rid"))

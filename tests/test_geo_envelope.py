@@ -80,3 +80,12 @@ def test_bucketed_mirror_equals_brute(raw):
                 got.append((b, prof[g][b]))
             prev = prof[g][b]
     assert got == want
+
+
+def test_bucket_bound_covers_every_possible_bucket():
+    # the engine's limit(_NB) on the unordered bucket dim must never
+    # truncate: max breakpoint is a start (< _BX) plus a length (<= _LEN),
+    # so the largest bucket id is (_BX - 1 + _LEN) // _BW < _NB
+    from co_new_spark.queries.geo_envelope import _BW, _BX, _LEN, _NB
+
+    assert (_BX - 1 + _LEN) // _BW < _NB
