@@ -170,6 +170,80 @@ ORDER BY aid, bid
 """
 
 
+_CP_CS = 65536   # closest-pair cell side
+_CP_CAP = 2000   # point budget (sf-stable above sf0.001)
+
+
+def g_closest_pair(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact closest pair of event points via the grid neighborhood join
+    (the PBSM idea at point scale, and geo_diameter's dual): assign each
+    point to a _CP_CS cell, equi-join each point against its own and the
+    8 neighboring cells, and take the struct-min of (d2, lex pair).
+
+    Exactness precondition (pytest-pinned): any pair at distance < _CP_CS
+    shares a cell or adjacent cells, so the neighborhood join sees every
+    candidate for the minimum as long as the true minimum is below
+    _CP_CS.  Measured d_true ~ 8.9e3 << 6.6e4 on every sf.  The general
+    scheme regrids at the round-1 estimate; this lattice never needs the
+    second round.
+
+    Scale design (10^12 points): the only fact shuffle is the (cx, cy)
+    equi-join with a 9x fan-out on one side; occupancy is the tuning knob
+    (cell ~ expected NN distance); the min agg combines map-side, so the
+    driver sees one row.  No all-pairs join anywhere — the oracle runs
+    exactly that as the foil."""
+    from .geospatial import _event_points
+
+    pts = (_event_points(spark, sf)
+           .filter(F.col("event_id") < _CP_CAP)
+           .select(F.col("x").cast("long").alias("x"),
+                   F.col("y").cast("long").alias("y"))
+           .distinct())
+    cell = lambda c: F.floor(c / F.lit(float(_CP_CS)))
+    a = pts.select("x", "y", cell(F.col("x")).alias("cx"),
+                   cell(F.col("y")).alias("cy"))
+    ring = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    b = (a.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
+                  F.col("cx").alias("bcx"), F.col("cy").alias("bcy"))
+         .select("*", F.explode(ring).alias("di"))
+         .select("*", F.explode(ring).alias("dj"))
+         .select("x2", "y2", (F.col("bcx") + F.col("di")).alias("cx"),
+                 (F.col("bcy") + F.col("dj")).alias("cy")))
+    pairs = (a.join(b, ["cx", "cy"])
+             .filter((F.col("x") < F.col("x2"))
+                     | ((F.col("x") == F.col("x2"))
+                        & (F.col("y") < F.col("y2")))))
+    d2 = ((F.col("x2") - F.col("x")) * (F.col("x2") - F.col("x"))
+          + (F.col("y2") - F.col("y")) * (F.col("y2") - F.col("y")))
+    m = pairs.groupBy().agg(
+        F.min(F.struct(d2.alias("d2"), F.col("x").alias("x1"),
+                       F.col("y").alias("y1"), F.col("x2").alias("x2"),
+                       F.col("y2").alias("y2"))).alias("m"))
+    return m.select("m.d2", "m.x1", "m.y1", "m.x2", "m.y2")
+
+
+SQL_CLOSEST_PAIR = f"""
+WITH pts AS (
+  SELECT DISTINCT
+         CAST(3678500.0 + ((event_id * 2654435761) % 2097152) AS BIGINT) AS x,
+         CAST(970000.0 + ((event_id * 40503) % 2621440) AS BIGINT) AS y
+  FROM events WHERE event_id < {_CP_CAP}
+), pr AS (
+  -- the foil: true all-pairs min, no grid anywhere
+  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+  FROM pts a JOIN pts b ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+), mn AS (SELECT min(d2) AS d2 FROM pr)
+SELECT d2,
+       min(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)).x1 AS x1,
+       min(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)).y1 AS y1,
+       min(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)).x2 AS x2,
+       min(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)).y2 AS y2
+FROM pr JOIN mn USING (d2) GROUP BY d2
+"""
+
+
 QUERIES = {
     "geo_segment_intersect": (g_segment_intersect, SQL_SEGMENT_INTERSECT),
+    "geo_closest_pair": (g_closest_pair, SQL_CLOSEST_PAIR),
 }

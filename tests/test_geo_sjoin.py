@@ -90,3 +90,30 @@ def test_corpus_exercises_both_classes():
     sa, sb = _segs("a"), _segs("b")
     classes = {_classify(a, b) for a in sa for b in sb}
     assert "proper" in classes and None in classes
+
+
+def test_closest_pair_matches_brute_and_precondition_holds(spark):
+    import duckdb
+
+    from co_new_spark.queries.geo_sjoin import _CP_CAP, _CP_CS, g_closest_pair
+    from co_new_spark.queries.geospatial import _XENG, _YENG
+
+    pts = duckdb.sql(
+        f"SELECT DISTINCT CAST({_XENG} AS BIGINT), CAST({_YENG} AS BIGINT)"
+        f" FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+        f" WHERE event_id < {_CP_CAP}").fetchall()
+    best = None
+    for i, p in enumerate(pts):
+        for q in pts[i + 1:]:
+            a, b = min(p, q), max(p, q)
+            d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            key = (d2, a, b)
+            if best is None or key < best:
+                best = key
+    # the one-round grid search is exact only while the true minimum is
+    # below the cell side — pin the precondition the docstring claims
+    assert best[0] < _CP_CS * _CP_CS
+    r = g_closest_pair(spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.d2, (row.x1, row.y1), (row.x2, row.y2)) == best
