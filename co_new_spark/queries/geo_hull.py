@@ -129,8 +129,9 @@ _SQL_PTS = f"""
   )"""
 
 
-SQL_CONVEX_HULL = f"""
-WITH pts AS MATERIALIZED ({_SQL_PTS}
+# the ONE SQL hull derivation (supporting-edge criterion), shared by the
+# hull entry and the min-rectangle entry as a CTE block ending in `hull`
+_SQL_HULL_CTES = f"""pts AS MATERIALIZED ({_SQL_PTS}
 ), ids AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY x, y) AS id, x, y FROM pts
 ), edge AS (
@@ -146,10 +147,15 @@ WITH pts AS MATERIALIZED ({_SQL_PTS}
       OR ((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) = 0
           AND r.x BETWEEN least(p.x, q.x) AND greatest(p.x, q.x)
           AND r.y BETWEEN least(p.y, q.y) AND greatest(p.y, q.y)))
-)
-SELECT DISTINCT i.x, i.y
-FROM ids i JOIN edge e ON e.pid = i.id
-ORDER BY i.x, i.y
+), hull AS MATERIALIZED (
+  SELECT DISTINCT i.x, i.y
+  FROM ids i JOIN edge e ON e.pid = i.id
+)"""
+
+SQL_CONVEX_HULL = f"""
+WITH {_SQL_HULL_CTES}
+SELECT x, y FROM hull
+ORDER BY x, y
 """
 
 
@@ -199,7 +205,89 @@ FROM pairs JOIN mx USING (d2) GROUP BY d2
 """
 
 
+def min_rect(hull: DataFrame) -> DataFrame:
+    """Minimum-area enclosing rectangle of a hull-vertex DataFrame (x, y)
+    -> one row (area, px, py, qx, qy, wpar, wper, len2).
+
+    Rotating-calipers THEOREM as the spec: the minimum rectangle has a side
+    collinear with a hull edge, so enumerating every lex-ordered hull
+    VERTEX PAIR as a candidate direction is a superset of the edge
+    directions — every candidate is a valid enclosing rectangle, the true
+    minimum is among them, hence min-over-candidates IS the minimum (and no
+    edge-adjacency/angular-ordering computation is needed).  All projection
+    extents are exact int64 (par = d·v, perp = d×v; widths multiply within
+    int64 at this coordinate range); the ONLY float is one int64->double
+    cast + one IEEE division per candidate, identical in both engines, and
+    the argmin is a struct-min over (area, pair, widths) so parallel
+    same-area directions resolve identically cross-engine.
+
+    Scale: both join sides are the hull candidate set — dimension-sized no
+    matter the input (the g_diameter contract); the h^2 x h expansion is
+    O(h^3) on tens of vertices, nothing fact-sized."""
+    a = hull.select(F.col("x").alias("px"), F.col("y").alias("py"))
+    b = hull.select(F.col("x").alias("qx"), F.col("y").alias("qy"))
+    dirs = (a.join(b, (F.col("px") < F.col("qx"))
+                   | ((F.col("px") == F.col("qx"))
+                      & (F.col("py") < F.col("qy"))))
+             .select("px", "py", "qx", "qy",
+                     (F.col("qx") - F.col("px")).alias("dx"),
+                     (F.col("qy") - F.col("py")).alias("dy"))
+             .withColumn("len2", F.col("dx") * F.col("dx")
+                         + F.col("dy") * F.col("dy")))
+    v = hull.select(F.col("x").alias("vx"), F.col("y").alias("vy"))
+    par = F.col("dx") * F.col("vx") + F.col("dy") * F.col("vy")
+    per = F.col("dx") * F.col("vy") - F.col("dy") * F.col("vx")
+    ext = (dirs.crossJoin(v)
+           .groupBy("px", "py", "qx", "qy", "len2")
+           .agg((F.max(par) - F.min(par)).alias("wpar"),
+                (F.max(per) - F.min(per)).alias("wper")))
+    cand = ext.select(
+        ((F.col("wpar") * F.col("wper")).cast("double")
+         / F.col("len2").cast("double")).alias("area"),
+        "px", "py", "qx", "qy", "wpar", "wper", "len2")
+    s = cand.groupBy().agg(F.min(F.struct(
+        "area", "px", "py", "qx", "qy", "wpar", "wper", "len2")).alias("s"))
+    return s.select("s.area", "s.px", "s.py", "s.qx", "s.qy",
+                    "s.wpar", "s.wper", "s.len2")
+
+
+def g_min_rect(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-area oriented bounding rectangle of the hull corpus."""
+    hull = _hull_points(spark).localCheckpoint(eager=True)
+    return min_rect(hull)
+
+
+SQL_MIN_RECT = f"""
+WITH {_SQL_HULL_CTES}, dirs AS (
+  SELECT a.x AS px, a.y AS py, b.x AS qx, b.y AS qy,
+         b.x - a.x AS dx, b.y - a.y AS dy,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS len2
+  FROM hull a JOIN hull b
+    ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+), ext AS (
+  SELECT d.px, d.py, d.qx, d.qy, d.len2,
+         max(d.dx * v.x + d.dy * v.y) - min(d.dx * v.x + d.dy * v.y) AS wpar,
+         max(d.dx * v.y - d.dy * v.x) - min(d.dx * v.y - d.dy * v.x) AS wper
+  FROM dirs d, hull v
+  GROUP BY d.px, d.py, d.qx, d.qy, d.len2
+), cand AS (
+  SELECT CAST(wpar * wper AS DOUBLE) / CAST(len2 AS DOUBLE) AS area,
+         px, py, qx, qy, wpar, wper, len2
+  FROM ext
+), m AS (
+  SELECT min(struct_pack(area := area, px := px, py := py, qx := qx,
+                         qy := qy, wpar := wpar, wper := wper,
+                         len2 := len2)) AS s
+  FROM cand
+)
+SELECT s.area AS area, s.px AS px, s.py AS py, s.qx AS qx, s.qy AS qy,
+       s.wpar AS wpar, s.wper AS wper, s.len2 AS len2
+FROM m
+"""
+
+
 QUERIES = {
     "geo_convex_hull": (g_convex_hull, SQL_CONVEX_HULL),
     "geo_diameter": (g_diameter, SQL_DIAMETER),
+    "geo_min_rect": (g_min_rect, SQL_MIN_RECT),
 }
