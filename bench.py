@@ -112,6 +112,10 @@ HEADLINE = [
     # bucket-decomposed Pareto frontier and STR bulk-load packing (exact
     # global ranking without a global sort)
     "geo_skyline", "geo_str_pack",
+    # round-5 continuing: Boruvka MSF (fact-sized only in the first
+    # points->cells agg; CO_MST_EVENTS raised below) and the unigram-LM
+    # Viterbi fold over the sf-scaled documents table
+    "geo_mst", "train_unigram_lm",
 ]
 
 
@@ -122,6 +126,7 @@ def run() -> dict:
     os.environ.setdefault("CO_ND_DOCS", str(1 << 60))
     os.environ.setdefault("CO_CLUSTER_EVENTS", str(1 << 60))
     os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
+    os.environ.setdefault("CO_MST_EVENTS", str(1 << 60))
 
     from pyspark.sql import functions as F
 
