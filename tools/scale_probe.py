@@ -36,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("CO_ND_DOCS", str(1 << 60))
 os.environ.setdefault("CO_CLUSTER_EVENTS", str(1 << 60))
 os.environ.setdefault("CO_PR_EVENTS", str(1 << 60))
+os.environ.setdefault("CO_MST_EVENTS", str(1 << 60))
+os.environ.setdefault("CO_CT_EVENTS", str(1 << 60))
 
 # train_simhash added round 5 (VERDICT ask #3): the guaranteed-recall
 # banding explodes 28 block-pair keys per doc — probe that the candidate
@@ -105,7 +107,15 @@ ENTRIES = ["train_neardup_components", "geo_grid_cluster",
            # windows stay linear (the frontier itself only grows ~log n);
            # str_pack probes the two rank shuffles (bucket histogram +
            # slice window) at 10x the points
-           "geo_skyline", "geo_str_pack"]
+           "geo_skyline", "geo_str_pack",
+           # round-5 continuing: geo_mst probes that only the first
+           # points->cells agg grows 10x while the Boruvka rounds stay on
+           # the lattice-bounded graph; geo_contour likewise (one fact agg,
+           # then raster-sized block assembly); train_unigram_lm probes the
+           # row-local DP fold — 10x docs must cost ~10x one codegen scan;
+           # geo_rtree_probe probes directory build (two rank shuffles) +
+           # pruned refine at 10x points
+           "geo_mst", "geo_contour", "train_unigram_lm", "geo_rtree_probe"]
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -192,7 +202,9 @@ def main() -> None:
                "train_shingle_contain": n_docs,
                "train_heavy_ngrams": n_docs,
                "web_cdc_chunks": n_docs,
-               "geo_skyline": n_ev, "geo_str_pack": n_ev}
+               "geo_skyline": n_ev, "geo_str_pack": n_ev,
+               "geo_mst": n_ev, "geo_contour": n_ev,
+               "geo_rtree_probe": n_ev, "train_unigram_lm": n_docs}
 
     from co_new_spark.queries import mat
 
