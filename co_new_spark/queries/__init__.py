@@ -18,7 +18,7 @@ from . import (
     training16, training17, training18,
     warc2_q, warc_q, webgraph,
     webgraph2, webgraph3, webtext_q, webtext2, webtext3, webtext4, webtext5,
-    webtext6, webtext7,
+    webtext6, webtext7, webtext8,
 )
 
 REGISTRY: dict = {}
@@ -32,7 +32,7 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              training14, training15, training16, training17, training18, webgraph,
              warc_q, warc2_q, webgraph2, webgraph3, webtext_q, webtext2,
              webtext3, webtext4,
-             webtext5, webtext6, webtext7, e2e_q,
+             webtext5, webtext6, webtext7, webtext8, e2e_q,
              scale_ops,
              streaming_q, pipeline_q, media_q):
     REGISTRY.update(_mod.QUERIES)

@@ -1,0 +1,139 @@
+"""Hand-built HyperLogLog (``web_hll_vocab``) — per-source distinct-shingle
+cardinality as an EXACT-ARITHMETIC sketch (Flajolet et al. 2007, public
+algorithm, independently coded as DataFrame ops).
+
+Why it exists: the registry uses Spark's built-in HLL++
+(rel_approx_distinct) but the sketch family it hand-builds — Count-Min,
+Count-Sketch, Bloom, MinHash, SimHash — lacked the cardinality member.
+Hand-building it shows the 100 TB shape explicitly: the sketch IS a
+groupBy — register index and rank are per-row expressions, the partial
+hash aggregate builds per-partition sketches, the exchange combiner merges
+them by register-max, and only ``groups x 64`` register rows ever shuffle
+(here: 10^12 exploded shingles collapse mapper-side to 20 x 64 rows).
+
+Exactness protocol: the hash is 60 md5 bits (15 hex chars -> int64), the
+register rank is trailing-zeros + 1 computed STRING-WISE — ``length(bin(x))
+- length(regexp_replace(bin(x), '0+$', '')) + 1`` — which is padding-
+insensitive (DuckDB's bin() may zero-pad where Spark's doesn't; trailing
+zeros don't care), and the harmonic-mean denominator is the exact integer
+``num = sum(1 << (55 - reg))`` (<= 64 * 2^55 < 2^62), so registers, zero
+counts, and num are all hash-exact cross-engine.  The only float is the
+final ``alpha * m^2 * 2^55 / num`` — one literal times one exact int64
+division, IEEE-identical in both engines.  No small-range linear-counting
+branch in the entry (it would need ln(); at ~850 distinct per source every
+register is hit, v_zeros = 0, and the raw estimator is in its unbiased
+regime — the pytest gates both facts).
+
+Oracle: the same sketch restated in SQL (shingle explode via
+generate_series, registers, the shifted sum, the one division).  Accuracy
+vs TRUE distinct counts and the merge law (sketch(A ∪ B) = register-max)
+are pytest-gated on the python mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+_HLL_M = 64          # registers (b = 6 index bits)
+_HLL_RBITS = 55      # rank cap: 60-bit hash minus 6 index bits + headroom
+_HLL_ALPHA = 0.709   # alpha_64
+# the whole numerator is ONE compile-time double literal shared verbatim
+_HLL_ANUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RBITS)
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    w = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1),
+                              F.element_at(w, i + 2)))
+    return d.select("source", F.explode(sh).alias("s"))
+
+
+def g_hll_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    sh = _shingles(d)
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    # integer div, NOT floor(h/64): the double quotient is inexact past 2^53
+    sh2 = sh.select("source", h.alias("h")) \
+            .withColumn("rest", F.expr(f"h div {_HLL_M}"))
+    b = F.bin(F.col("rest"))
+    tz = F.length(b) - F.length(F.regexp_replace(b, "0+$", ""))
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_RBITS)) \
+           .otherwise(tz + 1).cast("long")
+    obs = (sh2.select("source", F.pmod(F.col("h"), F.lit(_HLL_M)).alias("idx"),
+                      rho.alias("rho"))
+              .groupBy("source", "idx").agg(F.max("rho").alias("reg")))
+    grid = (d.select("source").distinct()
+             .crossJoin(spark.range(_HLL_M).select(
+                 F.col("id").alias("idx"))))
+    regs = (grid.join(obs, ["source", "idx"], "left")
+                .select("source", "idx",
+                        F.coalesce("reg", F.lit(0)).cast("long").alias("reg")))
+    agg = (regs.groupBy("source")
+           .agg(F.expr(f"sum(CAST(1 AS BIGINT) << "
+                       f"CAST({_HLL_RBITS} - reg AS INT))").alias("num"),
+                F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+                 .cast("long").alias("v_zeros")))
+    exact = (sh.groupBy("source")
+               .agg(F.countDistinct("s").alias("exact_d")))
+    return (agg.join(exact, "source")
+            .select("source", "num", "v_zeros",
+                    (F.lit(_HLL_ANUM) / F.col("num").cast("double"))
+                    .alias("raw_est"), "exact_d")
+            .orderBy("source"))
+
+
+SQL_HLL_VOCAB = f"""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT source, concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]) AS s
+  FROM (SELECT source, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        FROM w)
+), hh AS (
+  SELECT source,
+         CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), rr AS (
+  SELECT source, h % {_HLL_M} AS idx, h // {_HLL_M} AS rest FROM hh
+), ro AS (
+  SELECT source, idx,
+         CASE WHEN rest = 0 THEN {_HLL_RBITS}
+              ELSE length(bin(rest))
+                   - length(regexp_replace(bin(rest), '0+$', '')) + 1
+         END AS rho
+  FROM rr
+), obs AS (
+  SELECT source, idx, max(rho) AS reg FROM ro GROUP BY source, idx
+), grid AS (
+  SELECT DISTINCT d.source, t.idx
+  FROM documents d, unnest(generate_series(0, {_HLL_M - 1})) AS t(idx)
+), regs AS (
+  SELECT g.source, g.idx, coalesce(o.reg, 0) AS reg
+  FROM grid g LEFT JOIN obs o ON o.source = g.source AND o.idx = g.idx
+), agg AS (
+  SELECT source,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RBITS} - reg)) AS BIGINT)
+           AS num,
+         CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_zeros
+  FROM regs GROUP BY source
+), ex AS (
+  SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS exact_d
+  FROM sh GROUP BY source
+)
+SELECT a.source, a.num, a.v_zeros,
+       {_HLL_ANUM!r} / CAST(a.num AS DOUBLE) AS raw_est, ex.exact_d
+FROM agg a JOIN ex ON ex.source = a.source
+ORDER BY a.source
+"""
+
+
+QUERIES = {
+    "web_hll_vocab": (g_hll_vocab, SQL_HLL_VOCAB),
+}
