@@ -9,7 +9,7 @@ from . import (
     csv_q, grep_q, json_q,
     geo_algebra, geo_cover_sql, geo_graph, geo_index, geo_pages, geo_wkb,
     geospatial,
-    geo_1d, geo_contour, geo_dtw, geo_envelope, geo_hull, geo_match, geo_mst, geo_pack, geo_simplify, geo_sjoin, geo_skyline, geospatial2, media_q,
+    geo_1d, geo_contour, geo_dtw, geo_envelope, geo_resample, geo_hull, geo_match, geo_mst, geo_pack, geo_simplify, geo_sjoin, geo_skyline, geospatial2, media_q,
     pipeline_q, relational, relational2, e2e_q, scale_ops, streaming_q,
     training,
     training2, training3,
@@ -25,7 +25,7 @@ REGISTRY: dict = {}
 for _mod in (relational, relational2, training, geospatial, geospatial2,
              geo_algebra, geo_graph,
              geo_cover_sql, geo_index, geo_pages, geo_wkb, geo_1d,
-             geo_contour, geo_dtw, geo_envelope, geo_hull, geo_match, geo_mst, geo_pack, geo_simplify, geo_sjoin, geo_skyline, csv_q, grep_q, json_q, training2,
+             geo_contour, geo_dtw, geo_envelope, geo_resample, geo_hull, geo_match, geo_mst, geo_pack, geo_simplify, geo_sjoin, geo_skyline, csv_q, grep_q, json_q, training2,
              training3,
              training4, training5, training6, training7, training8,
              training9, training10, training11, training12, training13,
