@@ -15,7 +15,7 @@ from . import (
     training2, training3,
     training4, training5, training6, training7, training8, training9,
     training10, training11, training12, training13, training14, training15,
-    training16, training17, training18,
+    training16, training17, training18, training19,
     warc2_q, warc_q, webgraph,
     webgraph2, webgraph3, webtext_q, webtext2, webtext3, webtext4, webtext5,
     webtext6, webtext7, webtext8,
@@ -29,7 +29,7 @@ for _mod in (relational, relational2, training, geospatial, geospatial2,
              training3,
              training4, training5, training6, training7, training8,
              training9, training10, training11, training12, training13,
-             training14, training15, training16, training17, training18, webgraph,
+             training14, training15, training16, training17, training18, training19, webgraph,
              warc_q, warc2_q, webgraph2, webgraph3, webtext_q, webtext2,
              webtext3, webtext4,
              webtext5, webtext6, webtext7, webtext8, e2e_q,

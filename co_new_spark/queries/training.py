@@ -134,13 +134,16 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
 def _shingles(col):
     """Distinct word 3-gram shingles of a space-separated text column."""
     w = F.split(col, " ")
-    n = F.greatest(F.size(w) - (JACCARD_NGRAM - 1), F.lit(0))
-    return F.array_distinct(
+    n = F.size(w) - (JACCARD_NGRAM - 1)
+    # mask, don't clamp: sequence(1, 0) DESCENDS in Spark ([1, 0]), which
+    # would emit ghost partial shingles for <3-word docs (latent here —
+    # every corpus doc has >= 3 words — but the guard is free)
+    return F.when(n >= 1, F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n),
             lambda i: F.concat_ws(" ", w[i - 1], w[i], w[i + 1]),
         )
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def jaccard_pairs(src: DataFrame, id_col: str = "doc_id",

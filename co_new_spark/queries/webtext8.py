@@ -46,10 +46,14 @@ _HLL_ANUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RBITS)
 
 def _shingles(d: DataFrame) -> DataFrame:
     w = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+    # mask, don't clamp: sequence(1, 0) DESCENDS in Spark (the geo_resample
+    # lesson), and element_at(w, 0) is a runtime error — a <3-word doc must
+    # yield an empty array, not a backwards index walk
+    sh = F.when(F.size(w) >= 3, F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1),
-                              F.element_at(w, i + 2)))
+                              F.element_at(w, i + 2)))) \
+          .otherwise(F.array().cast("array<string>"))
     return d.select("source", F.explode(sh).alias("s"))
 
 
