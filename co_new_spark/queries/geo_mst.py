@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 
 from ..functions import geo
 from ..grid import grids
+from ..operators.components import connected_components
 from ..operators.knn import ring_cells_udf
 from .geospatial import _XENG, _YENG, _event_points
 from .sql_grid import l0_case, morton_ref
@@ -240,3 +241,108 @@ ORDER BY u, v
 QUERIES = {
     "geo_mst": (g_mst, SQL_MST),
 }
+
+
+# --------------------------------------------------------------------------
+# geo_single_linkage — k-region clustering by cutting the k-1 heaviest MSF
+# edges: the textbook MST->clustering composition (single-linkage
+# agglomerative clustering computes exactly this dendrogram cut).
+# --------------------------------------------------------------------------
+#
+# Shape: boruvka_msf supplies the forest (lattice-bounded); the cut drops
+# the k-1 globally heaviest edges by the SAME strict (w, u, v) total order
+# that made the MSF unique (so the cut — and therefore every cluster label
+# — is engine-deterministic even with tied weights); cluster labels are the
+# min-cell CC of the surviving edges (operators/components.py).  Everything
+# after the one fact-sized points->cells aggregate is graph-sized.
+#
+# The oracle re-derives the MSF by the cycle property (nothing about
+# Boruvka), re-applies the same cut rule, and labels clusters with a
+# semi-naive recursive closure over surviving edges — min-reachable-cell
+# per cell, the CC spec restated declaratively.
+
+_SL_K = 8   # target cluster count (per CONNECTED tree; see note below)
+
+
+def g_single_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """(cell, cluster, n_cells-per-cluster) under the k-cut of the MSF.
+
+    Note the forest semantics: cutting k-1 edges from a forest with c trees
+    yields c + k - 1 clusters; the cut count is fixed (k-1 heaviest edges
+    GLOBALLY), matching the oracle exactly."""
+    nodes, edges = _density_graph(spark, sf)
+    msf = boruvka_msf(nodes.select("cell"), edges)
+    # k-1 heaviest MSF edges by the strict total order; the MSF is
+    # graph-sized (lattice-bounded), so a TakeOrdered on it is not a
+    # fact-table sort
+    heavy = (msf.orderBy(F.col("w").desc(), F.col("u").desc(),
+                         F.col("v").desc())
+                .limit(_SL_K - 1))
+    keep = msf.join(heavy, ["u", "v", "w"], "left_anti")
+    cc = connected_components(keep.select("u", "v"), nodes.select("cell"))
+    lab = cc.toDF("cell", "cluster")
+    sizes = lab.groupBy("cluster").agg(F.count("*").alias("n_cells"))
+    out = (lab.join(sizes, "cluster")
+              .select("cell", "cluster", "n_cells")
+              .orderBy("cell"))
+    out = out.localCheckpoint(eager=True)
+    nodes.unpersist()
+    return out
+
+
+SQL_SINGLE_LINKAGE = f"""
+WITH RECURSIVE raw AS (
+  SELECT {_XENG} AS x, {_YENG} AS y FROM events WHERE event_id < {_MST_EVENTS}
+), g AS (
+  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_MST_S!r}) AS BIGINT) AS gi,
+         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_MST_S!r}) AS BIGINT) AS gj
+  FROM raw
+), lat AS (
+  SELECT gi, gj, gi // {_MST_NSIDE} AS i, gj // {_MST_NSIDE} AS j,
+         gi % {_MST_NSIDE} AS ix, gj % {_MST_NSIDE} AS iy
+  FROM g
+), nodes AS (
+  SELECT gi, gj,
+         ((min({_MST_L0}) * {1 << _MST_RBITS} + min({_MST_MORTON})) * 64
+          + {4 + _MST_RBITS}) AS cell,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lat WHERE {_MST_L0} >= 0
+  GROUP BY gi, gj
+), ew AS (
+  SELECT a.cell AS u, b.cell AS v, CAST(abs(a.n - b.n) AS BIGINT) AS w
+  FROM nodes a JOIN nodes b
+    ON abs(a.gi - b.gi) <= 1 AND abs(a.gj - b.gj) <= 1 AND a.cell < b.cell
+), reach AS (
+  SELECT u AS pu, v AS pv, w AS pw, u AS r FROM ew
+  UNION
+  SELECT t.pu, t.pv, t.pw,
+         CASE WHEN f.u = t.r THEN f.v ELSE f.u END AS r
+  FROM reach t JOIN ew f
+    ON (f.u = t.r OR f.v = t.r)
+   AND (f.w, f.u, f.v) < (t.pw, t.pu, t.pv)
+), msf AS MATERIALIZED (
+  SELECT e.u, e.v, e.w FROM ew e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM reach r WHERE r.pu = e.u AND r.pv = e.v AND r.r = e.v)
+), keep AS MATERIALIZED (
+  SELECT u, v, w FROM msf
+  ORDER BY w DESC, u DESC, v DESC
+  OFFSET {_SL_K - 1}
+), lab0 AS (
+  -- min-reachable-cell closure over surviving edges (the CC spec)
+  SELECT cell AS node, cell AS r FROM nodes
+  UNION
+  SELECT l.node, CASE WHEN k.u = l.r THEN k.v ELSE k.u END AS r
+  FROM lab0 l JOIN keep k ON k.u = l.r OR k.v = l.r
+), lab AS MATERIALIZED (
+  SELECT node AS cell, min(r) AS cluster FROM lab0 GROUP BY node
+)
+SELECT l.cell, l.cluster, s.n_cells
+FROM lab l JOIN (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_cells
+  FROM lab GROUP BY cluster) s ON s.cluster = l.cluster
+ORDER BY l.cell
+"""
+
+
+QUERIES["geo_single_linkage"] = (g_single_linkage, SQL_SINGLE_LINKAGE)

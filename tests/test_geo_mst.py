@@ -90,3 +90,49 @@ def test_entry_is_a_spanning_forest_of_the_density_graph(spark):
     ncomp = len({find(n) for n in nd})
     assert len(got) == len(nd) - ncomp
     assert len(got) == len({(u, v) for u, v, _ in got})  # no duplicate edges
+
+
+def test_single_linkage_matches_cut_mirror(spark):
+    from co_new_spark.queries.geo_mst import _SL_K, g_single_linkage
+
+    nodes, edges = _density_graph(spark, SF_DIR)
+    nd = [r.cell for r in nodes.select("cell").collect()]
+    ed = [(r.u, r.v, r.w) for r in edges.collect()]
+    nodes.unpersist()
+    msf = _kruskal(nd, ed)
+    # same cut rule: drop the k-1 heaviest by the strict (w, u, v) order
+    heavy = set(sorted(msf, key=lambda e: (e[2], e[0], e[1]))[-(_SL_K - 1):])
+    keep = [e for e in msf if e not in heavy]
+    parent = {n: n for n in nd}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, _w in keep:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    lab = {n: find(n) for n in nd}
+    from collections import Counter
+    sizes = Counter(lab.values())
+    want = sorted((n, lab[n], sizes[lab[n]]) for n in nd)
+    got = sorted((r.cell, r.cluster, r.n_cells)
+                 for r in g_single_linkage(spark, SF_DIR).collect())
+    assert got == want
+    # forest semantics: cutting k-1 edges adds exactly k-1 clusters
+    # (components of the FULL msf give the before-count)
+    parent2 = {n: n for n in nd}
+
+    def find2(x):
+        while parent2[x] != x:
+            parent2[x] = parent2[parent2[x]]
+            x = parent2[x]
+        return x
+
+    for u, v, _w in msf:
+        parent2[max(find2(u), find2(v))] = min(find2(u), find2(v))
+    c_before = len({find2(n) for n in nd})
+    assert len(sizes) == c_before + (_SL_K - 1)
