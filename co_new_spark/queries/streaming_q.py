@@ -393,3 +393,55 @@ QUERIES = {
     "stream_late_data": (s_late_data, _sql_late_data()),
     "stream_cdc_merge": (s_cdc_merge, _sql_cdc_merge()),
 }
+
+
+def s_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming HLL register maintenance: approximate distinct users per
+    event_type with sketch state that is O(types x 64) REGARDLESS of stream
+    length — the canonical bounded-state streaming aggregate (an unbounded
+    streaming countDistinct would grow state with every new key; the
+    register max does not).  Hash/rank expressions are single-sourced with
+    the batch sketch (webtext8.md5_h60 / rho_of_rest), and the oracle is
+    the batch restatement over the same rows — the streaming-equals-batch
+    check every sketch pipeline needs before trusting incremental state."""
+    from .webtext8 import _HLL_M, md5_h60, rho_of_rest
+
+    ev = _events_stream(spark, sf)
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    st = (ev.select("event_type", md5_h60(key).alias("h"))
+            .withColumn("rest", F.expr(f"h div {_HLL_M}"))
+            .select("event_type",
+                    F.pmod(F.col("h"), F.lit(_HLL_M)).alias("idx"),
+                    rho_of_rest(F.col("rest")).alias("rho"))
+            .groupBy("event_type", "idx")
+            .agg(F.max("rho").alias("reg")))
+    out = sp.run_available_now(st, "complete", state_partitions=4)
+    return out.orderBy("event_type", "idx")
+
+
+def _sql_hll_registers() -> str:
+    from .webtext8 import _HLL_M, _HLL_RBITS
+
+    return f"""
+WITH hh AS (
+  SELECT event_type,
+         CAST(concat('0x', substring(md5(concat('u',
+                  CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events
+), rr AS (
+  SELECT event_type, h % {_HLL_M} AS idx, h // {_HLL_M} AS rest FROM hh
+), ro AS (
+  SELECT event_type, idx,
+         CASE WHEN rest = 0 THEN {_HLL_RBITS}
+              ELSE length(bin(rest))
+                   - length(regexp_replace(bin(rest), '0+$', '')) + 1
+         END AS rho
+  FROM rr
+)
+SELECT event_type, idx, max(rho) AS reg
+FROM ro GROUP BY event_type, idx
+ORDER BY event_type, idx
+"""
+
+
+QUERIES["stream_hll_registers"] = (s_hll_registers, _sql_hll_registers())

@@ -44,6 +44,22 @@ _HLL_ALPHA = 0.709   # alpha_64
 _HLL_ANUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RBITS)
 
 
+def md5_h60(col):
+    """60-bit md5-derived non-negative int64 hash (15 hex chars)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def rho_of_rest(rest):
+    """HLL register rank of the post-index hash bits: trailing zeros + 1,
+    computed string-wise on bin() so DuckDB's zero-padded rendering agrees
+    (trailing zeros are padding-insensitive); rest == 0 caps at _HLL_RBITS.
+    ``rest`` must be a staged non-negative long Column."""
+    b = F.bin(rest)
+    tz = F.length(b) - F.length(F.regexp_replace(b, "0+$", ""))
+    return (F.when(rest == 0, F.lit(_HLL_RBITS))
+             .otherwise(tz + 1).cast("long"))
+
+
 def _shingles(d: DataFrame) -> DataFrame:
     w = F.split(F.col("text"), " ")
     # mask, don't clamp: sequence(1, 0) DESCENDS in Spark (the geo_resample
@@ -60,16 +76,11 @@ def _shingles(d: DataFrame) -> DataFrame:
 def g_hll_vocab(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     sh = _shingles(d)
-    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
     # integer div, NOT floor(h/64): the double quotient is inexact past 2^53
-    sh2 = sh.select("source", h.alias("h")) \
+    sh2 = sh.select("source", md5_h60(F.col("s")).alias("h")) \
             .withColumn("rest", F.expr(f"h div {_HLL_M}"))
-    b = F.bin(F.col("rest"))
-    tz = F.length(b) - F.length(F.regexp_replace(b, "0+$", ""))
-    rho = F.when(F.col("rest") == 0, F.lit(_HLL_RBITS)) \
-           .otherwise(tz + 1).cast("long")
     obs = (sh2.select("source", F.pmod(F.col("h"), F.lit(_HLL_M)).alias("idx"),
-                      rho.alias("rho"))
+                      rho_of_rest(F.col("rest")).alias("rho"))
               .groupBy("source", "idx").agg(F.max("rho").alias("reg")))
     grid = (d.select("source").distinct()
              .crossJoin(spark.range(_HLL_M).select(

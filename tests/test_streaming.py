@@ -204,3 +204,32 @@ def test_stream_upsert_merges_latest_per_key(spark, tmp_path):
             assert got[k] == (1, 0)
     # seed commit + one merge commit per micro-batch
     assert lineage.snapshots(spark, base).count() >= 3
+
+
+def test_stream_hll_registers_equal_batch(spark):
+    """Streaming register maintenance == the same aggregate run as a plain
+    batch query (stream-equals-batch inside Spark, on top of the DuckDB
+    oracle), and sketch state stays bounded by types x 64."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+
+    from co_new_spark.queries.streaming_q import s_hll_registers
+    from co_new_spark.queries.webtext8 import _HLL_M, md5_h60, rho_of_rest
+    from co_new_spark.sources.tables import load
+
+    got = [(r.event_type, r.idx, r.reg)
+           for r in s_hll_registers(spark, SF_DIR).collect()]
+    ev = load(spark, SF_DIR, "events")
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    batch = (ev.select("event_type", md5_h60(key).alias("h"))
+               .withColumn("rest", F.expr(f"h div {_HLL_M}"))
+               .select("event_type",
+                       F.pmod(F.col("h"), F.lit(_HLL_M)).alias("idx"),
+                       rho_of_rest(F.col("rest")).alias("rho"))
+               .groupBy("event_type", "idx")
+               .agg(F.max("rho").alias("reg")))
+    want = sorted((r.event_type, r.idx, r.reg) for r in batch.collect())
+    assert sorted(got) == want
+    n_types = ev.select("event_type").distinct().count()
+    assert len(got) <= n_types * _HLL_M      # bounded sketch state
