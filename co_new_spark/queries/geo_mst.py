@@ -199,8 +199,9 @@ _MST_S = grids.L0_SIDE / _MST_NSIDE
 _MST_L0 = l0_case()
 _MST_MORTON = morton_ref(_MST_RBITS, "iy", "ix")
 
-SQL_MST = f"""
-WITH RECURSIVE raw AS (
+# THE one SQL derivation of the density graph + cycle-property reach
+# closure, shared by both entry oracles (single-sourcing rule)
+_SQL_GRAPH_CTES = f"""raw AS (
   SELECT {_XENG} AS x, {_YENG} AS y FROM events WHERE event_id < {_MST_EVENTS}
 ), g AS (
   SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_MST_S!r}) AS BIGINT) AS gi,
@@ -229,11 +230,15 @@ WITH RECURSIVE raw AS (
   FROM reach t JOIN ew f
     ON (f.u = t.r OR f.v = t.r)
    AND (f.w, f.u, f.v) < (t.pw, t.pu, t.pv)
-)
-SELECT e.u, e.v, e.w
-FROM ew e
-WHERE NOT EXISTS (
-  SELECT 1 FROM reach r WHERE r.pu = e.u AND r.pv = e.v AND r.r = e.v)
+), msf AS MATERIALIZED (
+  SELECT e.u, e.v, e.w FROM ew e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM reach r WHERE r.pu = e.u AND r.pv = e.v AND r.r = e.v)
+)"""
+
+SQL_MST = f"""
+WITH RECURSIVE {_SQL_GRAPH_CTES}
+SELECT u, v, w FROM msf
 ORDER BY u, v
 """
 
@@ -291,40 +296,7 @@ def g_single_linkage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SINGLE_LINKAGE = f"""
-WITH RECURSIVE raw AS (
-  SELECT {_XENG} AS x, {_YENG} AS y FROM events WHERE event_id < {_MST_EVENTS}
-), g AS (
-  SELECT CAST(floor((x - {grids.L0_ORIGIN_X!r}) / {_MST_S!r}) AS BIGINT) AS gi,
-         CAST(floor((y - {grids.L0_ORIGIN_Y!r}) / {_MST_S!r}) AS BIGINT) AS gj
-  FROM raw
-), lat AS (
-  SELECT gi, gj, gi // {_MST_NSIDE} AS i, gj // {_MST_NSIDE} AS j,
-         gi % {_MST_NSIDE} AS ix, gj % {_MST_NSIDE} AS iy
-  FROM g
-), nodes AS (
-  SELECT gi, gj,
-         ((min({_MST_L0}) * {1 << _MST_RBITS} + min({_MST_MORTON})) * 64
-          + {4 + _MST_RBITS}) AS cell,
-         CAST(count(*) AS BIGINT) AS n
-  FROM lat WHERE {_MST_L0} >= 0
-  GROUP BY gi, gj
-), ew AS (
-  SELECT a.cell AS u, b.cell AS v, CAST(abs(a.n - b.n) AS BIGINT) AS w
-  FROM nodes a JOIN nodes b
-    ON abs(a.gi - b.gi) <= 1 AND abs(a.gj - b.gj) <= 1 AND a.cell < b.cell
-), reach AS (
-  SELECT u AS pu, v AS pv, w AS pw, u AS r FROM ew
-  UNION
-  SELECT t.pu, t.pv, t.pw,
-         CASE WHEN f.u = t.r THEN f.v ELSE f.u END AS r
-  FROM reach t JOIN ew f
-    ON (f.u = t.r OR f.v = t.r)
-   AND (f.w, f.u, f.v) < (t.pw, t.pu, t.pv)
-), msf AS MATERIALIZED (
-  SELECT e.u, e.v, e.w FROM ew e
-  WHERE NOT EXISTS (
-    SELECT 1 FROM reach r WHERE r.pu = e.u AND r.pv = e.v AND r.r = e.v)
-), keep AS MATERIALIZED (
+WITH RECURSIVE {_SQL_GRAPH_CTES}, keep AS MATERIALIZED (
   SELECT u, v, w FROM msf
   ORDER BY w DESC, u DESC, v DESC
   OFFSET {_SL_K - 1}

@@ -420,22 +420,17 @@ def s_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_hll_registers() -> str:
-    from .webtext8 import _HLL_M, _HLL_RBITS
+    from .webtext8 import _HLL_M, sql_h60, sql_rho
 
     return f"""
 WITH hh AS (
   SELECT event_type,
-         CAST(concat('0x', substring(md5(concat('u',
-                  CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+         {sql_h60("concat('u', CAST(user_id AS VARCHAR))")} AS h
   FROM events
 ), rr AS (
   SELECT event_type, h % {_HLL_M} AS idx, h // {_HLL_M} AS rest FROM hh
 ), ro AS (
-  SELECT event_type, idx,
-         CASE WHEN rest = 0 THEN {_HLL_RBITS}
-              ELSE length(bin(rest))
-                   - length(regexp_replace(bin(rest), '0+$', '')) + 1
-         END AS rho
+  SELECT event_type, idx, {sql_rho('rest')} AS rho
   FROM rr
 )
 SELECT event_type, idx, max(rho) AS reg

@@ -85,16 +85,20 @@ def _sqldet(a, b, c, d, e, f, g, h, i):
     return _SQL_DET.format(a=a, b=b, c=c, d=d, e=e, f=f, g=g, h=h, i=i)
 
 
-SQL_LINREG = f"""
-WITH f AS (
-  SELECT least(len(string_split(text, ' ')), {_LR_CAP}) AS x1,
+_SQL_FEATURES = f"""
+  SELECT doc_id,
+         least(len(string_split(text, ' ')), {_LR_CAP}) AS x1,
          least(length(text) - length(replace(text, 'e', '')), {_LR_CAP})
-           AS x2,
-         3 * least(len(string_split(text, ' ')), {_LR_CAP})
-           - 2 * least(length(text) - length(replace(text, 'e', '')),
-                       {_LR_CAP})
+           AS x2
+  FROM documents WHERE doc_id < {_LR_DOCS}"""
+
+SQL_LINREG = f"""
+WITH f0 AS ({_SQL_FEATURES}
+), f AS (
+  SELECT x1, x2,
+         3 * x1 - 2 * x2
            + (doc_id * {_LR_NOISE_MUL}) % {_LR_NOISE_MOD} - 10 AS y
-  FROM documents WHERE doc_id < {_LR_DOCS}
+  FROM f0
 ), s AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,

@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
-from .training18 import _LR_CAP, _LR_DOCS, _features
+from .training18 import (_LR_CAP, _LR_DOCS, _LR_NOISE_MOD,
+                         _LR_NOISE_MUL, _SQL_FEATURES, _features)
 
 _BS_T = 3            # boosting rounds
 _BS_SCALE = 1000     # target milli-units
@@ -130,16 +131,12 @@ def _round_ctes(k: int) -> str:
 
 
 SQL_BOOST_STUMPS = f"""
-WITH f0 AS (
-  SELECT doc_id,
-         least(len(string_split(text, ' ')), {_LR_CAP}) AS x1,
-         least(length(text) - length(replace(text, 'e', '')), {_LR_CAP})
-           AS x2
-  FROM documents WHERE doc_id < {_LR_DOCS}
+WITH f0 AS ({_SQL_FEATURES}
 ), resid0 AS MATERIALIZED (
   SELECT doc_id, x1, x2,
          (3 * x1 - 2 * x2
-          + (doc_id * 2654435761) % 21 - 10) * {_BS_SCALE} AS r
+          + (doc_id * {_LR_NOISE_MUL}) % {_LR_NOISE_MOD} - 10)
+         * {_BS_SCALE} AS r
   FROM f0
 ), thr AS (
   SELECT fv.f, t.th

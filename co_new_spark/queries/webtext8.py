@@ -60,6 +60,18 @@ def rho_of_rest(rest):
              .otherwise(tz + 1).cast("long"))
 
 
+def sql_h60(expr: str) -> str:
+    """The md5_h60 hash restated in SQL over an arbitrary expression."""
+    return (f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)")
+
+
+def sql_rho(rest: str) -> str:
+    """The rho_of_rest rank restated in SQL over a rest expression."""
+    return (f"CASE WHEN {rest} = 0 THEN {_HLL_RBITS} "
+            f"ELSE length(bin({rest})) "
+            f"- length(regexp_replace(bin({rest}), '0+$', '')) + 1 END")
+
+
 def _shingles(d: DataFrame) -> DataFrame:
     w = F.split(F.col("text"), " ")
     # mask, don't clamp: sequence(1, 0) DESCENDS in Spark (the geo_resample
@@ -111,17 +123,12 @@ WITH w AS (
                unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
         FROM w)
 ), hh AS (
-  SELECT source,
-         CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h
+  SELECT source, {sql_h60('s')} AS h
   FROM sh
 ), rr AS (
   SELECT source, h % {_HLL_M} AS idx, h // {_HLL_M} AS rest FROM hh
 ), ro AS (
-  SELECT source, idx,
-         CASE WHEN rest = 0 THEN {_HLL_RBITS}
-              ELSE length(bin(rest))
-                   - length(regexp_replace(bin(rest), '0+$', '')) + 1
-         END AS rho
+  SELECT source, idx, {sql_rho('rest')} AS rho
   FROM rr
 ), obs AS (
   SELECT source, idx, max(rho) AS reg FROM ro GROUP BY source, idx
