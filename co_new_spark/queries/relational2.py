@@ -84,6 +84,52 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame aggregates per user (B16's value-based
+    frame variant — every other frame in the registry is ROWS-based).
+
+    Why RANGE and not ROWS: a RANGE frame includes ALL peer rows with equal
+    order value, so the result is deterministic under timestamp ties
+    without an event_id tie-break in the ORDER BY — the tie-robust frame
+    semantics production sessionization wants.  One shuffle on user_id;
+    frames are computed in a single pass per partition.
+
+    Exactness: the frame key is integer epoch seconds (unix_timestamp
+    truncates; the oracle floors epoch() — the geo_resample lesson), and
+    the summed measure is floor(value * 1024) — a power-of-two scale of the
+    double column, exact in both engines."""
+    from pyspark.sql import Window
+
+    ev = (load(spark, sf, "events")
+          .filter(F.col("user_id") < 40)
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").cast("long").alias("t"),
+                  F.floor(F.col("value") * 1024).cast("long").alias("iv")))
+    w = (Window.partitionBy("user_id").orderBy("t")
+         .rangeBetween(-3600, Window.currentRow))
+    return (ev.select("user_id", "event_id", "t",
+                      F.count("*").over(w).alias("n_1h"),
+                      F.sum("iv").over(w).alias("iv_1h"))
+              .orderBy("user_id", "event_id"))
+
+
+SQL_RANGE_FRAME = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 1024) AS BIGINT) AS iv
+  FROM events WHERE user_id < 40
+)
+SELECT user_id, event_id, t,
+       count(*) OVER w AS n_1h,
+       sum(iv) OVER w AS iv_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "rel_bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "rel_range_frame": (q_range_frame, SQL_RANGE_FRAME),
 }

@@ -73,3 +73,45 @@ def test_pyramid_levels_conserve_counts(spark):
     assert len(set(by_depth.values())) == 1       # every level sums the same
     n_cells = {d: sum(1 for r in out if r["depth"] == d) for d in by_depth}
     assert n_cells[4] <= n_cells[6] <= n_cells[8] <= n_cells[10] <= n_cells[12]
+
+
+def test_range_frame_mirror_and_peer_semantics(spark):
+    import duckdb
+
+    from conftest import SF_DIR
+
+    from co_new_spark.queries.relational2 import q_range_frame
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT),
+             CAST(floor(value * 1024) AS BIGINT)
+      FROM read_parquet('{SF_DIR}/events.parquet') WHERE user_id < 40""")\
+        .fetchall()
+    by_user = {}
+    for u, e, t, iv in rows:
+        by_user.setdefault(u, []).append((t, e, iv))
+    want = {}
+    for u, evs in by_user.items():
+        for t, e, iv in evs:
+            inwin = [(tt, vv) for tt, _ee, vv in evs if t - 3600 <= tt <= t]
+            want[(u, e)] = (t, len(inwin), sum(v for _t, v in inwin))
+    got = {(r.user_id, r.event_id): (r.t, r.n_1h, r.iv_1h)
+           for r in q_range_frame(spark, SF_DIR).collect()}
+    assert got == want
+    assert len(got) > 500
+
+
+def test_range_frame_includes_equal_time_peers(spark):
+    # RANGE vs ROWS: peers at the SAME order value are all in each other's
+    # frame, so both tied rows see n=2 — a ROWS frame would give 1 and 2
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, 100, 5), (1, 100, 7), (1, 5000, 1)], "u long, t long, v long")
+    w = Window.partitionBy("u").orderBy("t").rangeBetween(-3600, 0)
+    got = {(r.t, r.v): r.n for r in
+           df.select("t", "v", F.count("*").over(w).alias("n")).collect()}
+    assert got[(100, 5)] == 2 and got[(100, 7)] == 2
+    assert got[(5000, 1)] == 1          # 4900s gap: outside the frame
