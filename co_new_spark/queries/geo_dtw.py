@@ -63,8 +63,13 @@ def _paired(spark: SparkSession) -> DataFrame:
         F.slice("ys", _SH + 1, _TP).alias("by"))
 
 
-def _dtw_col():
-    """dtw(ax, ay, bx, by) as nested Catalyst folds — pure codegen."""
+def _dp_col(combine):
+    """Generic 2-D alignment DP over (ax, ay, bx, by) as nested Catalyst
+    folds — pure codegen.  ``combine(cost, best)`` is the semiring step:
+    DTW uses cost + best (min-sum), discrete Fréchet uses
+    greatest(cost, best) (min-max / bottleneck).  Everything else — the
+    fold walk, the BIG boundary sentinels, the left/up/diag plumbing — is
+    identical, so the two entries share this one implementation."""
     def cost(i, j):
         dx = F.element_at("ax", i + 1) - F.element_at("bx", j + 1)
         dy = F.element_at("ay", i + 1) - F.element_at("by", j + 1)
@@ -83,7 +88,7 @@ def _dtw_col():
             left = F.when(j == 0, F.lit(_BIG)) \
                     .otherwise(F.element_at(acc, F.size(acc)))
             best = F.least(up, diag, left)
-            return F.array_append(acc, cost(i, j) + best)
+            return F.array_append(acc, combine(cost(i, j), best))
 
         return F.aggregate(idx, F.array().cast("array<bigint>"), cell)
 
@@ -93,9 +98,31 @@ def _dtw_col():
     return F.element_at(final, _TP)
 
 
+def _dtw_col():
+    return _dp_col(lambda c, b: c + b)
+
+
+def _frechet_col():
+    return _dp_col(F.greatest)
+
+
 def g_dtw_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return (_paired(spark)
             .select("pair", _dtw_col().alias("dtw"))
+            .orderBy("pair"))
+
+
+def g_frechet_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Discrete Fréchet distance per pair — the BOTTLENECK member of the
+    alignment-DP semiring family: min over monotone warps of the MAX
+    per-step cost (Eiter-Mannila 1994, public algorithm), vs DTW's min of
+    the SUM and Viterbi's min-plus chain.  The dog-leash trajectory metric
+    that is robust to a few bad legs (one outlier leg bounds the score
+    instead of accumulating into it).  Same corpus, same nested fold, one
+    combiner swap — and frechet <= dtw per pair by construction (a warp's
+    max never exceeds its sum of non-negative costs), pytest-gated."""
+    return (_paired(spark)
+            .select("pair", _frechet_col().alias("frechet"))
             .orderBy("pair"))
 
 
@@ -121,34 +148,41 @@ def _sql_walk(shift: int) -> str:
   FROM cells WHERE t >= {shift} AND t < {shift + _TP} GROUP BY traj"""
 
 
-def _sql_anchor() -> str:
-    # dp[0][0] = cost; dp[0][j] = cost + left.  The left neighbor is
+def _sql_anchor(comb) -> str:
+    # dp[0][0] = cost; dp[0][j] = comb(cost, left).  The left neighbor is
     # INLINED (each cell's expression embeds the previous once — linear
     # growth): a bare lateral alias would be shadowed by the recursive
     # table's same-named column in the step, silently computing a
     # different recurrence (caught by the oracle diff).
     exprs = ["dx0_0"]
     for j in range(1, _TP):
-        exprs.append(f"dx0_{j} + ({exprs[j - 1]})")
+        exprs.append(comb(f"dx0_{j}", f"({exprs[j - 1]})"))
     return ", ".join(f"{e} AS c{j}" for j, e in enumerate(exprs))
 
 
-def _sql_step() -> str:
-    # dp[i][0] = cost + up; dp[i][j] = cost + least(up, diag, left)
+def _sql_step(comb) -> str:
+    # dp[i][0] = comb(cost, up); dp[i][j] = comb(cost, least(up, diag, left))
     def cost(j):
         branches = " ".join(
             f"WHEN {i} THEN o.dx{i}_{j}" for i in range(1, _TP))
         return f"CASE p.i + 1 {branches} END"
 
-    exprs = [f"{cost(0)} + p.c0"]
+    exprs = [comb(cost(0), "p.c0")]
     for j in range(1, _TP):
-        exprs.append(
-            f"{cost(j)} + least(p.c{j}, p.c{j - 1}, ({exprs[j - 1]}))")
+        exprs.append(comb(
+            cost(j), f"least(p.c{j}, p.c{j - 1}, ({exprs[j - 1]}))"))
     return ", ".join(f"{e} AS c{j}" for j, e in enumerate(exprs))
 
 
-SQL_DTW_PAIRS = f"""
-WITH RECURSIVE raw AS (
+def _comb_sum(c: str, b: str) -> str:
+    return f"{c} + {b}"
+
+
+def _comb_max(c: str, b: str) -> str:
+    return f"greatest({c}, {b})"
+
+
+_SQL_PAIR_CTES = f"""raw AS (
   SELECT range // {_T} AS traj, range % {_T} AS t,
          CASE WHEN range % {_T} = 0
               THEN 64 + CAST(concat('0x', substring(md5(
@@ -177,17 +211,27 @@ WITH RECURSIVE raw AS (
 ), costs AS MATERIALIZED (
   SELECT a.pair, {_sql_costs()}
   FROM wa a JOIN wb b USING (pair)
-), dp AS (
-  SELECT pair, 0 AS i, {_sql_anchor()} FROM costs
+)"""
+
+
+def _sql_dp(comb, outname: str) -> str:
+    return f"""
+WITH RECURSIVE {_SQL_PAIR_CTES}, dp AS (
+  SELECT pair, 0 AS i, {_sql_anchor(comb)} FROM costs
   UNION ALL
-  SELECT o.pair, p.i + 1 AS i, {_sql_step()}
+  SELECT o.pair, p.i + 1 AS i, {_sql_step(comb)}
   FROM dp p JOIN costs o ON o.pair = p.pair WHERE p.i + 1 < {_TP}
 )
-SELECT pair, CAST(c{_TP - 1} AS BIGINT) AS dtw
+SELECT pair, CAST(c{_TP - 1} AS BIGINT) AS {outname}
 FROM dp WHERE i = {_TP - 1} ORDER BY pair
 """
 
 
+SQL_DTW_PAIRS = _sql_dp(_comb_sum, "dtw")
+SQL_FRECHET_PAIRS = _sql_dp(_comb_max, "frechet")
+
+
 QUERIES = {
     "geo_dtw_pairs": (g_dtw_pairs, SQL_DTW_PAIRS),
+    "geo_frechet_pairs": (g_frechet_pairs, SQL_FRECHET_PAIRS),
 }

@@ -67,3 +67,63 @@ def test_warping_actually_beats_the_diagonal_mostly(walks):
         better += _dtw(a, b) < diag
         total += 1
     assert better / total > 0.5, (better, total)
+
+
+def _frechet(a, b):
+    big = 1 << 40
+    n, m = len(a), len(b)
+    prev = [big] * m
+    for i in range(n):
+        cur = []
+        for j in range(m):
+            c = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+            if i == 0 and j == 0:
+                best = 0
+            else:
+                up = prev[j]
+                diag = prev[j - 1] if j > 0 else big
+                left = cur[j - 1] if j > 0 else big
+                best = min(up, diag, left)
+            cur.append(max(c, best))
+        prev = cur
+    return prev[-1]
+
+
+def test_engine_matches_python_frechet(spark, walks):
+    from co_new_spark.queries.geo_dtw import _SH, _TP, g_frechet_pairs
+
+    want = {}
+    for t, cells in walks.items():
+        a = cells[:_TP]
+        b = cells[_SH:_SH + _TP]
+        want[t] = _frechet(a, b)
+    got = {r.pair: r.frechet
+           for r in g_frechet_pairs(spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
+
+
+def test_frechet_properties(spark, walks):
+    from co_new_spark.queries.geo_dtw import _SH, _TP, g_dtw_pairs, g_frechet_pairs
+
+    fr = {r.pair: r.frechet
+          for r in g_frechet_pairs(spark, "/root/testdata/sf0.001").collect()}
+    dt = {r.pair: r.dtw
+          for r in g_dtw_pairs(spark, "/root/testdata/sf0.001").collect()}
+    # bottleneck <= sum along the optimal warp (non-negative costs)
+    assert all(fr[p] <= dt[p] for p in fr)
+    # symmetry + identity of the python mirror (the engine's corpus pairs
+    # are fixed-orientation, so these laws are checked on the mirror)
+    for t, cells in list(walks.items())[:10]:
+        a, b = cells[:_TP], cells[_SH:_SH + _TP]
+        assert _frechet(a, b) == _frechet(b, a)
+        assert _frechet(a, a) == 0
+    # bottleneck beats the lockstep max on a strict majority of pairs —
+    # the same re-slip regime the DTW gate pins
+    wins = 0
+    for t, cells in walks.items():
+        a, b = cells[:_TP], cells[_SH:_SH + _TP]
+        lock = max((x1 - x2) ** 2 + (y1 - y2) ** 2
+                   for (x1, y1), (x2, y2) in zip(a, b))
+        if fr[t] < lock:
+            wins += 1
+    assert wins > len(walks) * 0.5
