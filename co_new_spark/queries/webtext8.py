@@ -159,3 +159,85 @@ ORDER BY a.source
 QUERIES = {
     "web_hll_vocab": (g_hll_vocab, SQL_HLL_VOCAB),
 }
+
+
+# --------------------------------------------------------------------------
+# web_kmv_vocab — the OTHER cardinality sketch: K-minimum-values / bottom-k
+# (Bar-Yossef et al. 2002; Beyer et al. 2007 unbiased estimator).  Distinct
+# tradeoff vs HLL: exact counts below K, mergeable by keeping the k
+# smallest of a union, and the state is K hashes instead of registers.
+# --------------------------------------------------------------------------
+#
+# Shape: distinct (source, h) first (map-side combined), then the bottom-K
+# per source via a window PARTITIONED by source over the distinct hash set
+# (bounded per key by the distinct count, never corpus-wide).  The
+# estimator is (K-1) * 2^60 / h_K with h_K the K-th smallest hash — an
+# exact int64 numerator over an exact int64 divisor, one IEEE division.
+# When a source has fewer than K distinct items the sketch IS the exact
+# set (n_seen < K -> exact), pytest-exercised via the merge-law test.
+
+_KMV_K = 32
+_KMV_RANGE = 1 << 60   # md5_h60 is uniform on [0, 2^60)
+
+
+def g_kmv_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    sh = _shingles(d)
+    dh = (sh.select("source", md5_h60(F.col("s")).alias("h"))
+            .groupBy("source", "h").agg(F.count("*").alias("_c"))
+            .select("source", "h"))
+    w = Window.partitionBy("source").orderBy("h")
+    bot = (dh.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= _KMV_K))
+    agg = (bot.groupBy("source")
+           .agg(F.count("*").alias("n_seen"),
+                F.max("h").alias("hk"),
+                F.sum("h").alias("hsum")))
+    exact = sh.groupBy("source").agg(F.countDistinct("s").alias("exact_d"))
+    est = F.when(F.col("n_seen") < _KMV_K,
+                 F.col("n_seen").cast("double")) \
+           .otherwise(F.lit(float(_KMV_K - 1) * _KMV_RANGE)
+                      / F.col("hk").cast("double"))
+    return (agg.join(exact, "source")
+            .select("source", "n_seen", "hk", "hsum",
+                    est.alias("kmv_est"), "exact_d")
+            .orderBy("source"))
+
+
+SQL_KMV_VOCAB = f"""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT source, concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]) AS s
+  FROM (SELECT source, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        FROM w)
+), dh AS (
+  SELECT DISTINCT source, {{H60}} AS h FROM sh
+), bot AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h)
+             AS rk
+    FROM dh) WHERE rk <= {_KMV_K}
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_seen,
+         max(h) AS hk, CAST(sum(h) AS BIGINT) AS hsum
+  FROM bot GROUP BY source
+), ex AS (
+  SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS exact_d
+  FROM sh GROUP BY source
+)
+SELECT a.source, a.n_seen, a.hk, a.hsum,
+       CASE WHEN a.n_seen < {_KMV_K} THEN CAST(a.n_seen AS DOUBLE)
+            ELSE {float(_KMV_K - 1) * (1 << 60)!r} / CAST(a.hk AS DOUBLE)
+       END AS kmv_est,
+       ex.exact_d
+FROM agg a JOIN ex ON ex.source = a.source
+ORDER BY a.source
+"""
+SQL_KMV_VOCAB = SQL_KMV_VOCAB.replace("{H60}", sql_h60("s"))
+
+
+QUERIES["web_kmv_vocab"] = (g_kmv_vocab, SQL_KMV_VOCAB)

@@ -74,3 +74,33 @@ def test_merge_law():
     a, b = sets[srcs[0]], sets[srcs[1]]
     merged = [max(x, y) for x, y in zip(_sketch(a), _sketch(b))]
     assert merged == _sketch(a | b)
+
+
+def test_kmv_mirror_merge_and_accuracy(spark):
+    from co_new_spark.queries.webtext8 import _KMV_K, _KMV_RANGE, g_kmv_vocab
+
+    sets = _shingle_sets()
+
+    def kmv(items):
+        hs = sorted({int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                     for s in items})[:_KMV_K]
+        return hs
+
+    want = {}
+    for src, items in sets.items():
+        hs = kmv(items)
+        want[src] = (len(hs), max(hs), sum(hs), len(items))
+    rows = g_kmv_vocab(spark, SF_DIR).collect()
+    got = {r.source: (r.n_seen, r.hk, r.hsum, r.exact_d) for r in rows}
+    assert got == want
+    # accuracy: K=32 bottom-k estimator, ~850+ distinct per source
+    errs = [abs(r.kmv_est - r.exact_d) / r.exact_d for r in rows]
+    assert max(errs) < 0.6 and sum(errs) / len(errs) < 0.2
+    # exact-below-K law: a tiny set IS its sketch
+    tiny = {"a b c", "b c d"}
+    assert len(kmv(tiny)) == 2
+    # merge law: bottom-K of the union == bottom-K of merged bottom-Ks
+    srcs = sorted(sets)
+    a, b = sets[srcs[0]], sets[srcs[1]]
+    merged = sorted(set(kmv(a)) | set(kmv(b)))[:_KMV_K]
+    assert merged == kmv(a | b)
